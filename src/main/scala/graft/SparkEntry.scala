@@ -1,13 +1,296 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry maps to.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AgriOps.martPipeline(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  private val rangeKeys = Seq("click", "purchase")
+  private val pivotKeys = Seq("click", "error", "purchase", "signup", "view")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference surface (ERA5 mart semantics)
+    "q_hourly_mart" -> ((s, d) => AgriOps.hourlyMart(Tables.events(s, d))),
+    "q_unit_convert" -> ((s, d) => AgriOps.unitConvert(Tables.events(s, d))),
+    "q_daily_mart" -> ((s, d) => AgriOps.dailyMart(Tables.events(s, d))),
+    "q_water_balance" -> ((s, d) => AgriOps.waterBalance(Tables.lineitem(s, d))),
+    "q_upsert_dedup" -> ((s, d) => AgriOps.upsertDedup(Tables.events(s, d))),
+    "q_distinct_keys" -> ((s, d) => AgriOps.distinctKeys(Tables.events(s, d))),
+    "q_range_filter" -> ((s, d) => AgriOps.rangeFilter(Tables.events(s, d),
+      rangeKeys, "2024-01-05 00:00:00", "2024-01-12 00:00:00")),
+    "q_pivot_wide" -> ((s, d) => AgriOps.pivotWide(Tables.events(s, d), pivotKeys)),
+    "q_kpi" -> ((s, d) => AgriOps.kpi(Tables.events(s, d))),
+    "q_mart_pipeline" -> ((s, d) => AgriOps.martPipeline(Tables.events(s, d))),
+    "q_json_extract" -> ((s, d) => AgriOps.jsonExtract(Tables.events(s, d))),
+    // B. general analytics
+    "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
+    "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_local_volume" -> ((s, d) => AnalyticsOps.localSupplierVolume(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_join_semi" -> ((s, d) => AnalyticsOps.suppliersWithShipments(
+      Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q_join_anti" -> ((s, d) => AnalyticsOps.customersWithoutOrders(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q_join_outer" -> ((s, d) => AnalyticsOps.orderCountDistribution(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q_window_running" -> ((s, d) => AnalyticsOps.runningWindow(Tables.events(s, d))),
+    "q_window_topn" -> ((s, d) => AnalyticsOps.topNPerGroup(Tables.part(s, d), 3)),
+    "q_rollup" -> ((s, d) => AnalyticsOps.rollupSummary(Tables.lineitem(s, d))),
+    "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinct(Tables.lineitem(s, d))),
+    "q_sessionize" -> ((s, d) => StreamOps.sessionizeBatch(Tables.events(s, d))),
+    // C. training-data pipeline
+    "dedup_exact" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
+    "ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d), 0.5)),
+    "knn_brute" -> ((s, d) => SimilarityOps.knnBrute(Tables.embeddings(s, d))),
+    "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "multimodal_stub" -> ((s, d) => MultimodalOps.mediaStats(s, Tables.documents(s, d))),
+  )
+
+  /** DuckDB-equivalent SQL for the driver's correctness oracle.
+    * Omitted for non-SQL-expressible ops (minhash/simhash/LSH/HLL/
+    * fingerprints/multimodal) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_hourly_mart" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |round(avg(value), 4) AS avg_value, count(*) AS n_obs
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "q_unit_convert" ->
+      """SELECT event_id, event_type,
+        |round(value - 273.15, 4) AS value_c,
+        |round(value * 1000.0, 4) AS value_mm,
+        |round(sqrt(value*value + user_id*user_id), 4) AS speed
+        |FROM events""".stripMargin,
+    "q_daily_mart" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |round(avg(value), 4) AS value_mean,
+        |round(min(value), 4) AS value_min,
+        |round(max(value), 4) AS value_max,
+        |round(sum(value), 4) AS value_sum,
+        |count(*) AS n_obs
+        |FROM events GROUP BY event_type, date_trunc('day', ts)""".stripMargin,
+    "q_water_balance" ->
+      """SELECT l_returnflag, date_trunc('day', l_shipdate) AS ship_day,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS gross,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS disc,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)))
+        |  - sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS balance
+        |FROM lineitem GROUP BY l_returnflag, date_trunc('day', l_shipdate)""".stripMargin,
+    "q_upsert_dedup" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |ts AS last_ts, round(value, 4) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q_distinct_keys" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_range_filter" ->
+      """SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_type, ts, event_id""".stripMargin,
+    "q_pivot_wide" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS click,
+        |round(avg(value) FILTER (WHERE event_type = 'error'), 4) AS error,
+        |round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+        |round(avg(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
+        |round(avg(value) FILTER (WHERE event_type = 'view'), 4) AS view
+        |FROM events GROUP BY date_trunc('day', ts)""".stripMargin,
+    "q_kpi" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT event_type) AS n_types,
+        |min(ts) AS min_ts, max(ts) AS max_ts FROM events""".stripMargin,
+    "q_mart_pipeline" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |round(avg(value - 273.15), 4) AS t_c_avg,
+        |round(sum(value * 1000.0), 4) AS precip_mm_sum,
+        |round(avg(sqrt(value*value + user_id*user_id)), 4) AS speed_avg
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |  AS DOUBLE) AS sum_disc_price,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        |  * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2)
+        |  AS DOUBLE) AS sum_charge,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_extendedprice), 4) AS avg_price,
+        |round(avg(l_discount), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |  AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id, ts,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+        |round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+        |  AS prev_value
+        |FROM events""".stripMargin,
+    "q_window_topn" ->
+      """SELECT p_brand, rn, p_partkey, p_name, p_retailprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+        |WHERE rn <= 3""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |coalesce(l_linestatus, 'ALL') AS linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |  OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END
+        |  AS new_session FROM x),
+        |z AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS session_id FROM y)
+        |SELECT user_id, session_id,
+        |min(ts) AS session_start, max(ts) AS session_end,
+        |count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM z GROUP BY user_id, session_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |round(len(list_intersect(a.toks, b.toks)) * 1.0
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |  AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |  >= 0.5""".stripMargin,
+    "knn_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |  round(list_cosine_similarity(q_emb, c_emb), 3) AS sim
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY sim DESC, c_id) AS rank FROM s)
+        |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','a','and'))) AS score_en,
+        |  len(list_filter(toks, t -> t IN ('der','und','das'))) AS score_de,
+        |  len(list_filter(toks, t -> t IN ('el','y','que'))) AS score_es,
+        |  len(list_filter(toks, t -> t IN ('le','et','la'))) AS score_fr
+        |  FROM t),
+        |g AS (SELECT *, greatest(score_en, score_de, score_es, score_fr) AS best
+        |  FROM s)
+        |SELECT doc_id,
+        |CASE WHEN best = 0 THEN 'und'
+        |     WHEN score_en = best THEN 'en'
+        |     WHEN score_de = best THEN 'de'
+        |     WHEN score_es = best THEN 'es'
+        |     ELSE 'fr' END AS pred_lang,
+        |CAST(best AS BIGINT) AS best_score
+        |FROM g""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |CAST(len(toks) AS BIGINT) AS n_tokens,
+        |round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |  * 1.0 / length(text), 4) AS punct_ratio,
+        |round(len(list_filter(toks, t -> t IN ('the','a','and','of','to')))
+        |  * 1.0 / len(toks), 4) AS stopword_ratio,
+        |(len(toks) >= 5 AND len(toks) <= 500
+        |  AND len(list_filter(toks, t -> t IN ('the','a','and','of','to')))
+        |  * 1.0 / len(toks) <= 0.5) AS keep
+        |FROM t""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |  x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |  AS BIGINT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+  )
 }

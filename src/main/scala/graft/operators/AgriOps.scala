@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The reference's ERA5 mart surface re-expressed Spark-first over the
+  * `events` table (event_type ~ weather variable / region key,
+  * user_id ~ grid cell, value ~ reading, ts ~ valid_time).
+  *
+  * Reference semantics per operator:
+  *  - hourlyMart: grid→series spatial mean —
+  *    /root/reference/dask_jobs/aggregate_hourly.py:70-76
+  *    (`ds.mean(dim=["latitude","longitude"])` per timestamp).
+  *  - unitConvert: /root/reference/dask_jobs/aggregate_hourly.py:15-30
+  *    (K→°C, m→mm, wind_speed = sqrt(u²+v²)).
+  *  - dailyMart: /root/reference/dask_jobs/aggregate_daily.py:9-45
+  *    (AGG_SPECS mean/min/max/sum per column).
+  *  - waterBalance: /root/reference/dask_jobs/aggregate_daily.py:47-49
+  *    (difference of two aggregated columns).
+  *  - upsertDedup: flows/load_hourly_parquet_to_postgres.py:21-45
+  *    (ON CONFLICT (region, ts) DO UPDATE — last-wins on PK).
+  *  - distinctKeys / rangeFilter / pivotWide / kpi:
+  *    /root/reference/dashboards/app.py (load_regions, load_daily,
+  *    wide_series pivot_table, kpi_row).
+  *
+  * All plans are fully declarative: groupBy keys are (low-cardinality
+  * key × time bucket) so partial aggregation handles 100 TB inputs
+  * with a bounded shuffle; no driver-side collects.
+  */
+object AgriOps {
+
+  /** A1: spatial mean per (series key, hour bucket). */
+  def hourlyMart(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        round(avg("value"), 4).as("avg_value"),
+        count(lit(1)).as("n_obs"))
+
+  /** A2: elementwise unit conversions + derived hypotenuse column. */
+  def unitConvert(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("event_type"),
+      round(col("value") - lit(273.15), 4).as("value_c"),
+      round(col("value") * lit(1000.0), 4).as("value_mm"),
+      round(sqrt(col("value") * col("value")
+        + col("user_id").cast("double") * col("user_id").cast("double")), 4)
+        .as("speed"))
+
+  /** A3: daily rollup with per-column agg specs (mean/min/max/sum). */
+  def dailyMart(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        round(avg("value"), 4).as("value_mean"),
+        round(min("value"), 4).as("value_min"),
+        round(max("value"), 4).as("value_max"),
+        round(sum("value"), 4).as("value_sum"),
+        count(lit(1)).as("n_obs"))
+
+  /** A4: derived balance = difference of two aggregates (water_balance
+    * analog) — on lineitem: gross revenue minus discount given.
+    */
+  def waterBalance(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // Exact decimal arithmetic: price×discount products land exactly
+    // on half-cent boundaries where double summation order would make
+    // rounding non-deterministic (see AnalyticsOps.money).
+    val price = col("l_extendedprice").cast(DecimalType(12, 4))
+    val disc = col("l_discount").cast(DecimalType(6, 4))
+    lineitem
+      .groupBy(col("l_returnflag"),
+        date_trunc("day", col("l_shipdate")).as("ship_day"))
+      .agg(
+        round(sum(price), 2).cast("double").as("gross"),
+        round(sum(price * disc), 2).cast("double").as("disc"),
+        round(sum(price) - sum(price * disc), 2).cast("double").as("balance"))
+  }
+
+  /** A5: keyed last-wins upsert semantics: newest (ts, event_id) row
+    * per (user_id, event_type) survives.
+    */
+  def upsertDedup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"),
+        round(col("value"), 4).as("last_value"))
+  }
+
+  /** A6: SELECT DISTINCT key ORDER BY 1 (dashboard region list). */
+  def distinctKeys(events: DataFrame): DataFrame =
+    events.select("event_type").distinct().orderBy("event_type")
+
+  /** A7: key IN-list + time BETWEEN + ORDER BY (dashboard loaders).
+    * Filters reach the parquet scan (PushedFilters).
+    */
+  def rangeFilter(events: DataFrame, keys: Seq[String],
+      start: String, end: String): DataFrame =
+    events
+      .filter(col("event_type").isin(keys: _*)
+        && col("ts") >= to_timestamp(lit(start))
+        && col("ts") <= to_timestamp(lit(end)))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_type", "ts", "event_id")
+
+  /** A8: long→wide pivot (day × key, mean) — wide_series analog.
+    * Pivot values passed explicitly: one pass, deterministic columns.
+    */
+  def pivotWide(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", keys)
+      .agg(round(avg("value"), 4))
+
+  /** A9: KPI row — count / distinct counts / min / max. */
+  def kpi(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      min("ts").as("min_ts"),
+      max("ts").as("max_ts"))
+
+  /** A10: the full hourly-mart pipeline: convert units, then spatial
+    * mean per (key, hour) — transform of aggregate_hourly.py end to
+    * end (sans NetCDF decode, which the test schema has no analog of).
+    */
+  def martPipeline(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"), col("ts"),
+        (col("value") - lit(273.15)).as("value_c"),
+        (col("value") * lit(1000.0)).as("value_mm"),
+        sqrt(col("value") * col("value")
+          + col("user_id").cast("double") * col("user_id").cast("double"))
+          .as("speed"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        round(avg("value_c"), 4).as("t_c_avg"),
+        round(sum("value_mm"), 4).as("precip_mm_sum"),
+        round(avg("speed"), 4).as("speed_avg"))
+
+  /** A11: JSON property extraction (events.props is a JSON object). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Hive-partitioned mart writer — the reference's
+    * region=/year=/month= layout (aggregate_hourly.py:105-117).
+    * Partition pruning then serves the dashboard's (key, time-range)
+    * predicates without touching unrelated files.
+    */
+  def writePartitionedMart(df: DataFrame, outDir: String): Unit =
+    df.withColumn("year", year(col("hour_ts")))
+      .withColumn("month", month(col("hour_ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_type", "year", "month")
+      .parquet(outDir)
+
+  /** Read a hive-partitioned mart back (partition columns recovered). */
+  def readPartitionedMart(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics surface: the query shapes the reference serves
+  * from Postgres (dashboards/app.py) generalized to a full analytics
+  * engine — aggregations, multi-way joins, windows, rollups.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part) are
+  * always broadcast; fact-fact joins shuffle on their join key only
+  * after filters are pushed to the scan; windows partition on
+  * high-cardinality keys (user_id, brand) so no single partition
+  * dominates.
+  */
+object AnalyticsOps {
+  import org.apache.spark.sql.types.DecimalType
+  import org.apache.spark.sql.Column
+
+  /** Money / rate columns as exact decimals. Sums of double products
+    * land exactly on half-cent boundaries (2-dec price × 4-dec rate),
+    * where binary float error decides the rounding side
+    * non-deterministically across engines; decimal arithmetic is
+    * exact and associative, so results are reproducible regardless of
+    * partitioning or merge order — which also matters for re-runs at
+    * cluster scale. Widths chosen so triple products stay ≤ 38 digits
+    * (no precision-loss rounding) in both Spark and DuckDB.
+    */
+  private def money(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def rate(c: Column): Column = c.cast(DecimalType(6, 4))
+  private val one = lit(1).cast(DecimalType(5, 4))
+
+  /** round-to-cents of an exact decimal sum, surfaced as double. */
+  private def cents(c: Column): Column = round(c, 2).cast("double")
+
+  /** Exact revenue term: price × (1 − discount). */
+  private def revenueExpr: Column =
+    money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+
+  /** B1: pricing summary (TPC-H Q1 shape) — groupBy agg with partial
+    * (map-side) aggregation; the canonical 100-TB-safe rollup.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        cents(sum(revenueExpr)).as("sum_disc_price"),
+        cents(sum(revenueExpr * (one + rate(col("l_tax"))))).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** B2: shipping priority (TPC-H Q3 shape) — selective filters pushed
+    * to all three scans, then shuffle joins on the order key, top-N.
+    * Revenue rounded before ordering so the top-10 cutoff is
+    * deterministic across engines.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders.filter(col("o_orderdate") < to_timestamp(lit("1998-03-15"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > to_timestamp(lit("1996-03-15"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(cents(sum(revenueExpr)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** B3: local supplier volume (TPC-H Q5 shape) — star join; every
+    * dimension side is explicitly broadcast (region 5 rows, nation 25,
+    * supplier/customer small relative to lineitem at any SF where this
+    * shape matters).
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+      customer: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer),
+        col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA"
+        && col("o_orderdate") >= to_timestamp(lit("1995-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .groupBy("n_name")
+      .agg(cents(sum(revenueExpr)).as("revenue"))
+
+  /** B4: left-semi join (EXISTS) — suppliers that shipped anything. */
+  def suppliersWithShipments(supplier: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    supplier.join(lineitem.select("l_suppkey"),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_nationkey")
+
+  /** B5: left-anti join (NOT EXISTS) — customers with no orders. */
+  def customersWithoutOrders(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer.join(orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** B6: customer order-count distribution (TPC-H Q13 shape) — left
+    * outer join preserving zero-order customers.
+    */
+  def orderCountDistribution(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** B7: running sum + lag per key ordered by time — partitions on
+    * user_id (high cardinality → even distribution); the cumulative
+    * sum is order-deterministic so results are exactly reproducible.
+    */
+  def runningWindow(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      round(sum("value").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+        .as("running_value"),
+      round(lag("value", 1).over(w), 4).as("prev_value"))
+  }
+
+  /** B8: top-N per group via row_number (deterministic tiebreak). */
+  def topNPerGroup(part: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select("p_brand", "rn", "p_partkey", "p_name", "p_retailprice")
+  }
+
+  /** B9: ROLLUP aggregation (subtotals + grand total); grouping nulls
+    * coalesced to 'ALL' for stable comparison.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+
+  /** B10: approximate distinct (HLL) next to the exact count — the
+    * scale path for distinct counting (exact countDistinct forces a
+    * full shuffle of the key; HLL is a fixed-size sketch mergeable
+    * map-side).
+    */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact_nd"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+}

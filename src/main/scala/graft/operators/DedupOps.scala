@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant turns "compare all pairs" (quadratic,
+  * impossible at 100 TB) into "group by a bucket key, compare within
+  * buckets" — hash-groupBy for exact, (band_id, band_key) buckets for
+  * MinHash-LSH, 16-bit chunk buckets for SimHash. Bucket keys have
+  * cardinality far above the executor count, so work spreads evenly
+  * and nothing is collected to the driver.
+  */
+object DedupOps {
+
+  /** C1: exact dedup — group identical texts by md5, keep the lowest
+    * doc_id (a pure hash-shuffle groupBy; the canonical exact-dedup
+    * plan at any scale).
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** Number of hash permutations in the MinHash signature. */
+  val NumHashes = 64
+  /** LSH bands (NumHashes / RowsPerBand rows each). With 16 bands of
+    * 4 rows, docs with Jaccard ~0.5 collide in ≥1 band w.p. ~0.67,
+    * ~0.8 → ~0.96 (the standard S-curve).
+    */
+  val NumBands = 16
+  val RowsPerBand = 4
+
+  /** Word 3-gram shingles as STRINGS (reference semantics; used by
+    * tests). The hot path uses [[shingleHashes]] instead.
+    */
+  def shingles(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Word 3-gram shingle HASHES, built by hash-combining token hashes
+    * over three aligned slices — zip_with(zip_with(h0,h1),h2). O(n)
+    * array ops per row; never materializes n-gram strings. (The
+    * per-element `slice(toks, i, 3)` formulation is quadratic and its
+    * generated code is pathologically slow — measured 40s for 500
+    * docs; this shape is <1s.)
+    */
+  def shingleHashes(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val th = transform(toks, t => xxhash64(t))
+    val n = size(th)
+    val a = slice(th, lit(1), n - 2)
+    val b = slice(th, lit(2), n - 2)
+    val c = slice(th, lit(3), n - 2)
+    when(n >= 3,
+      zip_with(zip_with(a, b, (x, y) => xxhash64(x, y)), c,
+        (xy, z) => xxhash64(xy, z)))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+  }
+
+  /** doc_id + MinHash signature (array of NumHashes longs).
+    *
+    * Shape: explode shingle hashes once, then ONE hash-aggregate with
+    * NumHashes narrow `min(xxhash64(h, k))` columns. Each "permutation"
+    * is an independent rehash (ANSI-safe — no wrapping arithmetic).
+    * This deliberately avoids a 64-lambda array expression, whose
+    * generated code takes Janino minutes to compile; 64 scalar min
+    * aggregates are tiny codegen units, combine map-side, and shuffle
+    * exactly one 64-column row per document — the scalable plan.
+    *
+    * The result is persisted: it has 3 consumers (banding + both sides
+    * of pair verification) at ~0.5 KB per doc; MEMORY_AND_DISK spills.
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val exploded = documents.select(col("doc_id"),
+      explode(shingleHashes(col("text"))).as("h"))
+    val minCols = (0 until NumHashes).map { k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k")
+    }
+    exploded
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** C2: MinHash+LSH near-dup pairs: signature → band keys → bucket
+    * self-join → signature-estimated Jaccard ≥ minJaccard.
+    */
+  def minhashLshPairs(documents: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(documents)
+
+    val bandStructs = array((0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_key"))
+    }: _*)
+    val banded = sigs
+      .select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_id") === col("y.band_id")
+          && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+
+    candidates
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(aggregate(
+          zip_with(col("sig1"), col("sig2"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(NumHashes), 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** doc_id + 64-bit SimHash: per bit, sum ±1 over token hashes; bit
+    * set when the sum is positive.
+    */
+  def simhashes(documents: DataFrame): DataFrame = {
+    // Same shape as minhashSignatures: explode token hashes once, one
+    // hash-aggregate with 64 narrow ±1 bit-sum columns (map-side
+    // combinable), then assemble the 64-bit hash in a single
+    // projection. Persisted — reused by all 4 chunk buckets.
+    val exploded = documents.select(col("doc_id"),
+      explode(transform(TextOps.tokens(col("text")), t => xxhash64(t))).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    exploded
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** C3: SimHash near-dup pairs: candidates share ≥1 of four 16-bit
+    * chunks (guarantees recall for hamming ≤ 3), verified by exact
+    * hamming distance ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sims = simhashes(documents)
+    val chunked = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+            .as("chunk_key"))
+      }: _*)).as("chunk"))
+      .select(col("doc_id"), col("simhash"),
+        col("chunk.chunk_id"), col("chunk.chunk_key"))
+
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id")
+          && col("x.chunk_key") === col("y.chunk_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** C4: word-set (unigram) Jaccard over candidate pairs blocked by
+    * source — |A∩B| / (|A|+|B|−|A∩B|). Blocking keeps the join from
+    * going quadratic over the whole corpus.
+    */
+  def ngramJaccard(documents: DataFrame,
+      minJaccard: Double = 0.0): DataFrame = {
+    val withToks = documents.select(
+      col("doc_id"), col("source"),
+      array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    withToks.as("x")
+      .join(withToks.as("y"),
+        col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        size(array_intersect(col("x.toks"), col("y.toks"))).as("n_inter"),
+        size(col("x.toks")).as("n1"), size(col("y.toks")).as("n2"))
+      .select(col("id1"), col("id2"),
+        round(col("n_inter").cast("double")
+          / (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

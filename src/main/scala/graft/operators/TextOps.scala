@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd builtins (split / higher-order
+  * array functions / regexp_count / xxhash64) — no UDFs — so the whole
+  * stage stays inside WholeStageCodegen and scales linearly with
+  * corpus size (pure map-side; zero shuffles).
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "y", "que"),
+    "fr" -> Seq("le", "et", "la"))
+
+  /** C7: marker-word language ID — per-language stopword hit counts,
+    * argmax with fixed precedence (en > de > es > fr), 'und'
+    * (undetermined) when no marker hits.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      col("doc_id") +: langMarkers.map { case (lang, ms) =>
+        size(filter(toks, t => t.isin(ms.map(lit): _*))).as(s"score_$lang")
+      }: _*)
+    val best = langMarkers.map(m => col(s"score_${m._1}"))
+      .reduce((a, b) => greatest(a, b))
+    scored.select(
+      col("doc_id"),
+      when(best === 0, lit("und"))
+        .when(col("score_en") === best, lit("en"))
+        .when(col("score_de") === best, lit("de"))
+        .when(col("score_es") === best, lit("es"))
+        .otherwise(lit("fr")).as("pred_lang"),
+      best.cast("long").as("best_score"))
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** C8: quality scoring — length, token stats, punctuation ratio,
+    * stopword ratio, and a keep/drop flag (the standard pre-training
+    * corpus filter shape).
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(col("doc_id"), col("text"))
+      .withColumn("n_chars_calc", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long"))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .select(
+        col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+        round(col("punct_chars").cast("double") / col("n_chars_calc"), 4)
+          .as("punct_ratio"),
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4)
+          .as("stopword_ratio"),
+        (col("n_tokens") >= 5 && col("n_tokens") <= 500
+          && col("n_stopwords").cast("double") / col("n_tokens") <= 0.5)
+          .as("keep"))
+  }
+
+  /** C9: token counting — whitespace tokens and a BPE-ish regex count
+    * (letter runs / digit runs / single other non-space chars), the
+    * usual cheap proxy for tokenizer cost.
+    */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        .cast("long").as("bpe_ish_tokens"))
+
+  /** C10: document fingerprint — order-sensitive polynomial rolling
+    * hash over token hashes (Karp-Rabin shape, computed in a masked
+    * 32-bit ring so it is ANSI-overflow-safe) plus an
+    * order-insensitive min-hash — two cheap fingerprints per document.
+    */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val mask = lit(0xFFFFFFFFL)
+    val th = transform(tokens(col("text")), t => xxhash64(t))
+    documents.select(
+      col("doc_id"),
+      aggregate(th, lit(0L), (acc, h) =>
+        (acc * lit(31L) + h.bitwiseAND(mask)).bitwiseAND(mask))
+        .as("rolling_fp"),
+      array_min(th).as("min_fp"))
+  }
+}

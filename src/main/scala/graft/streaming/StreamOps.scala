@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Schemas.Event
+
+/** Structured Streaming twins of the batch marts — the reference's
+  * hourly pipeline (download → aggregate per hour) re-expressed as a
+  * continuous query: readStream → watermark → windowed agg.
+  *
+  * Scale notes: windowed aggregation state is bounded by
+  * (keys × open windows); the watermark closes windows so state
+  * doesn't grow without bound. Sessionization keeps one small state
+  * object per active user with an idle-timeout eviction.
+  */
+object StreamOps {
+
+  /** D1: streaming hourly mart — per (event_type, 1h window) mean,
+    * 10-minute watermark. Works on any streaming DataFrame with the
+    * events schema (tests feed it from MemoryStream).
+    */
+  def streamingHourlyMart(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n_obs"))
+      .select(col("event_type"), col("window.start").as("hour_ts"),
+        col("avg_value"), col("n_obs"))
+
+  case class SessionState(start: Long, last: Long, nEvents: Int, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Int, sum_value: Double)
+
+  /** D2: sessionization with explicit state — a session closes after
+    * `gapMinutes` of event-time inactivity. Custom state the built-in
+    * windows can't express: per-user dynamic-length sessions.
+    * Event-time timeout (not processing-time) keeps replays
+    * deterministic and doesn't spin empty timeout micro-batches.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val gapMs = gapMinutes * 60000L
+              var cur = state.getOption
+              val closed = Seq.newBuilder[SessionOut]
+              evs.foreach { e =>
+                val t = e.ts.getTime
+                cur match {
+                  case Some(s) if t - s.last <= gapMs =>
+                    cur = Some(s.copy(last = t, nEvents = s.nEvents + 1,
+                      sumValue = s.sumValue + e.value))
+                  case Some(s) =>
+                    closed += SessionOut(userId, s.start, s.last, s.nEvents,
+                      s.sumValue)
+                    cur = Some(SessionState(t, t, 1, e.value))
+                  case None =>
+                    cur = Some(SessionState(t, t, 1, e.value))
+                }
+              }
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              }
+              closed.result().iterator
+            }
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with the same gap semantics (for
+    * correctness cross-checks and backfills): window lag + cumulative
+    * session ids — the declarative twin of [[sessionize]].
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+}

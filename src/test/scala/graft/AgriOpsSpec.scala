@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AgriOps
+import graft.sources.Tables
+
+class AgriOpsSpec extends SparkSpec {
+  lazy val events = Tables.events(spark, sf).cache()
+
+  test("hourlyMart partitions all events into (key, hour) groups") {
+    val mart = AgriOps.hourlyMart(events)
+    val total = mart.agg(sum("n_obs")).head.getLong(0)
+    assert(total === events.count())
+    assert(mart.select("event_type", "hour_ts").distinct().count() === mart.count())
+  }
+
+  test("unitConvert applies the ERA5 conversions elementwise") {
+    val row = AgriOps.unitConvert(events)
+      .join(events.select(col("event_id"), col("value"), col("user_id")), "event_id")
+      .head()
+    val (vc, vm, sp) = (row.getAs[Double]("value_c"),
+      row.getAs[Double]("value_mm"), row.getAs[Double]("speed"))
+    val (v, u) = (row.getAs[Double]("value"), row.getAs[Long]("user_id"))
+    assert(math.abs(vc - (v - 273.15)) < 1e-3)
+    assert(math.abs(vm - v * 1000.0) < 1e-3)
+    assert(math.abs(sp - math.sqrt(v * v + u.toDouble * u)) < 1e-3)
+  }
+
+  test("dailyMart agg specs are consistent (min <= mean <= max)") {
+    val bad = AgriOps.dailyMart(events)
+      .filter(col("value_min") > col("value_mean")
+        || col("value_mean") > col("value_max"))
+    assert(bad.count() === 0)
+  }
+
+  test("upsertDedup leaves exactly one row per key, the newest") {
+    val d = AgriOps.upsertDedup(events)
+    assert(d.select("user_id", "event_type").distinct().count() === d.count())
+    assert(d.count() === events.select("user_id", "event_type").distinct().count())
+    // surviving ts is the max ts of its group
+    val maxTs = events.groupBy("user_id", "event_type").agg(max("ts").as("mts"))
+    val mismatched = d.join(maxTs, Seq("user_id", "event_type"))
+      .filter(col("last_ts") =!= col("mts"))
+    assert(mismatched.count() === 0)
+  }
+
+  test("distinctKeys returns sorted unique keys") {
+    val keys = AgriOps.distinctKeys(events).collect().map(_.getString(0))
+    assert(keys.sorted.sameElements(keys))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("rangeFilter honors both predicates") {
+    val f = AgriOps.rangeFilter(events, Seq("click"),
+      "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    assert(f.filter(col("event_type") =!= "click").count() === 0)
+    assert(f.filter(col("ts") < to_timestamp(lit("2024-01-05 00:00:00"))).count() === 0)
+  }
+
+  test("pivotWide is the wide twin of dailyMart means") {
+    val wide = AgriOps.pivotWide(events, Seq("click", "error", "purchase", "signup", "view"))
+    val long = AgriOps.dailyMart(events)
+      .filter(col("event_type") === "click")
+      .select(col("day"), col("value_mean"))
+    val joined = wide.select(col("day"), col("click"))
+      .join(long, "day")
+      .filter(abs(col("click") - col("value_mean")) > 1e-9)
+    assert(joined.count() === 0)
+  }
+
+  test("kpi matches direct computation") {
+    val k = AgriOps.kpi(events).head()
+    assert(k.getAs[Long]("n_rows") === events.count())
+    assert(k.getAs[Long]("n_types") ===
+      events.select("event_type").distinct().count())
+  }
+
+  test("jsonExtract parses the props payload") {
+    val j = AgriOps.jsonExtract(events)
+    assert(j.filter(col("k").isNull).count() === 0)
+  }
+
+  test("partitioned mart writes hive layout and prunes on read") {
+    val out = java.nio.file.Files.createTempDirectory("mart").toString
+    AgriOps.writePartitionedMart(AgriOps.hourlyMart(events), out)
+    val back = AgriOps.readPartitionedMart(spark, out)
+    assert(back.count() === AgriOps.hourlyMart(events).count())
+    // partition dirs exist
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("event_type=")))
+  }
+}

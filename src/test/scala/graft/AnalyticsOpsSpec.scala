@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AnalyticsOps
+import graft.sources.Tables
+
+class AnalyticsOpsSpec extends SparkSpec {
+  lazy val lineitem = Tables.lineitem(spark, sf).cache()
+  lazy val customer = Tables.customer(spark, sf)
+  lazy val orders = Tables.orders(spark, sf)
+  lazy val supplier = Tables.supplier(spark, sf)
+
+  test("pricingSummary covers every filtered row exactly once") {
+    val q1 = AnalyticsOps.pricingSummary(lineitem)
+    val total = q1.agg(sum("count_order")).head.getLong(0)
+    val expected = lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02"))).count()
+    assert(total === expected)
+  }
+
+  test("shippingPriority returns at most 10, ordered by revenue desc") {
+    val r = AnalyticsOps.shippingPriority(customer, orders, lineitem).collect()
+    assert(r.length <= 10)
+    val revs = r.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("semi + anti partition the left side") {
+    val withS = AnalyticsOps.suppliersWithShipments(supplier, lineitem).count()
+    val semiC = customer.join(orders.select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val antiC = AnalyticsOps.customersWithoutOrders(customer, orders).count()
+    assert(semiC + antiC === customer.count())
+    assert(withS <= supplier.count())
+  }
+
+  test("orderCountDistribution accounts for every customer") {
+    val d = AnalyticsOps.orderCountDistribution(customer, orders)
+    assert(d.agg(sum("custdist")).head.getLong(0) === customer.count())
+  }
+
+  test("runningWindow is monotone for non-negative values") {
+    val w = AnalyticsOps.runningWindow(
+      Tables.events(spark, sf).filter(col("value") >= 0))
+    // per-user final running value equals per-user sum
+    val finals = w.groupBy("user_id").agg(max("running_value").as("rmax"))
+    assert(finals.filter(col("rmax") < 0).count() === 0)
+  }
+
+  test("topNPerGroup yields <= n per group in rank order") {
+    val t = AnalyticsOps.topNPerGroup(Tables.part(spark, sf), 3)
+    val over = t.groupBy("p_brand").count().filter(col("count") > 3)
+    assert(over.count() === 0)
+    assert(t.filter(col("rn") > 3).count() === 0)
+  }
+
+  test("rollup grand total equals table size") {
+    val r = AnalyticsOps.rollupSummary(lineitem)
+    val grand = r.filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+    assert(grand.head.getAs[Long]("n_rows") === lineitem.count())
+  }
+
+  test("approx distinct is within the promised error of exact") {
+    val a = AnalyticsOps.approxDistinct(lineitem).collect()
+    a.foreach { row =>
+      val exact = row.getAs[Long]("exact_nd").toDouble
+      val approx = row.getAs[Long]("approx_nd").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1)
+    }
+  }
+}

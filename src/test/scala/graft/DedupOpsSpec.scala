@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+import graft.sources.Tables
+
+class DedupOpsSpec extends SparkSpec {
+  lazy val documents = Tables.documents(spark, sf).cache()
+
+  /** Tiny corpus with a planted exact dup + near dup for recall checks. */
+  lazy val planted = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base, "en", "s", base.length.toLong),                      // exact dup
+      (3L, base.replace("today", "tomorrow"), "en", "s", base.length.toLong), // near dup
+      (4L, "completely different content about spark catalyst plans distributed shuffles", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exactDedup groups cover the corpus") {
+    val d = DedupOps.exactDedup(documents)
+    assert(d.agg(sum("n_copies")).head.getLong(0) === documents.count())
+  }
+
+  test("exactDedup finds the planted exact dup") {
+    val d = DedupOps.exactDedup(planted).filter(col("n_copies") > 1).collect()
+    assert(d.length === 1)
+    assert(d.head.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH recalls exact and near dups, est_jaccard sane") {
+    val pairs = DedupOps.minhashLshPairs(planted, 0.3).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(exact.getAs[Double]("est_jaccard") === 1.0)
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("minhash LSH on real corpus produces ordered unique pairs") {
+    val pairs = DedupOps.minhashLshPairs(documents, 0.5)
+    assert(pairs.filter(col("id1") >= col("id2")).count() === 0)
+    assert(pairs.select("id1", "id2").distinct().count() === pairs.count())
+  }
+
+  test("simhash identical docs collide, distance bounded") {
+    val pairs = DedupOps.simhashPairs(planted, 3).collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(exact.isDefined)
+    assert(exact.get.getAs[Long]("hamming") === 0L)
+  }
+
+  test("ngramJaccard exact dup scores 1.0") {
+    val j = DedupOps.ngramJaccard(planted, 0.0)
+      .filter(col("id1") === 1L && col("id2") === 2L).head()
+    assert(j.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("shingles produce w-grams") {
+    import spark.implicits._
+    val s = Seq("a b c d").toDF("text")
+      .select(DedupOps.shingles(col("text")).as("sh"))
+      .head().getSeq[String](0)
+    assert(s === Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalOps, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+class SimilarityTextOpsSpec extends SparkSpec {
+  lazy val embeddings = Tables.embeddings(spark, sf).cache()
+  lazy val documents = Tables.documents(spark, sf).cache()
+
+  test("knnBrute: k results per query, sims in [-1,1], rank ordered") {
+    val k = SimilarityOps.knnBrute(embeddings, nQueries = 5, k = 3)
+    val perQ = k.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) === 3L))
+    assert(k.filter(col("sim") > 1.001 || col("sim") < -1.001).count() === 0)
+    // rank 1 has the max sim within each query
+    val bad = k.as("a").join(k.as("b"),
+      col("a.q_id") === col("b.q_id") && col("a.rank") < col("b.rank")
+        && col("a.sim") < col("b.sim"))
+    assert(bad.count() === 0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val c = df.select(SimilarityOps.cosine(col("v"), col("v")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("knnLsh results are a subset of same-bucket candidates with valid sims") {
+    val k = SimilarityOps.knnLsh(embeddings, nQueries = 5, k = 3)
+    assert(k.filter(col("sim") > 1.001 || col("sim") < -1.001).count() === 0)
+    assert(k.groupBy("q_id", "rank").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("ivfAssign gives every vector exactly one list") {
+    val a = SimilarityOps.ivfAssign(embeddings, nLists = 4)
+    assert(a.count() === embeddings.count())
+    assert(a.select("vec_id").distinct().count() === embeddings.count())
+  }
+
+  test("langId picks a language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and a dog", "en", "s", 10L),
+      (2L, "der hund und das haus", "de", "s", 10L),
+      (3L, "xyz qqq", "zz", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und")
+  }
+
+  test("quality ratios live in [0,1]") {
+    val q = TextOps.quality(documents)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() === 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
+  }
+
+  test("tokenCount: ws tokens > 0 and bpe-ish >= ws for plain text") {
+    val t = TextOps.tokenCount(documents)
+    assert(t.filter(col("ws_tokens") <= 0).count() === 0)
+    assert(t.filter(col("bpe_ish_tokens") < col("ws_tokens")).count() === 0)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) !== fp(2L)) // rolling hash depends on order
+    val again = TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp === again)
+  }
+
+  test("multimodal stub: metadata schema and stats flow") {
+    val m = MultimodalOps.extractMeta(spark, documents)
+    assert(m.columns.toSet === Set("doc_id", "n_bytes", "width", "height", "n_frames", "format"))
+    assert(m.count() === documents.count())
+    val s = MultimodalOps.mediaStats(spark, documents)
+    assert(s.count() >= 1)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.Schemas.Event
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, typ, v, "{}")
+
+  test("streamingHourlyMart matches the batch mart on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:45:00", 2, "click", 4.0),
+      ev(3, "2024-01-01 11:05:00", 1, "view", 6.0))
+    val stream = MemoryStream[Event]
+    stream.addData(data)
+    val q = StreamOps.streamingHourlyMart(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly_test")
+      .select("event_type", "hour_ts", "avg_value", "n_obs")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(rows === Set(
+      ("click", "2024-01-01 10:00:00.0", 3.0, 2L),
+      ("view", "2024-01-01 11:00:00.0", 6.0, 1L)))
+  }
+
+  test("sessionizeBatch splits on the idle gap") {
+    import spark.implicits._
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "click", 1.0), // same session
+      ev(3, "2024-01-01 12:00:00", 1, "click", 1.0), // new session (gap > 30m)
+      ev(4, "2024-01-01 10:00:00", 2, "view", 1.0)).toDF()
+    val s = StreamOps.sessionizeBatch(data, 30)
+    assert(s.count() === 3)
+    val u1 = s.filter(col("user_id") === 1).collect()
+    assert(u1.map(_.getAs[Long]("n_events")).sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("sessionizeBatch conserves events") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val s = StreamOps.sessionizeBatch(events, 30)
+    assert(s.agg(sum("n_events")).head.getLong(0) === events.count())
+  }
+
+  test("streaming sessionize emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val ds = StreamOps.sessionize(spark, stream.toDS(), gapMinutes = 30)
+    val q = ds.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    stream.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    // second batch, same user, >30m later event-time → closes prior session
+    stream.addData(ev(2, "2024-01-01 12:00:00", 1, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    // one closed session emitted (the 10:00 one) once the new event arrived
+    val n = spark.table("sess_test").count()
+    assert(n === 1)
+  }
+}
