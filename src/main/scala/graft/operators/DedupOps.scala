@@ -186,22 +186,43 @@ object DedupOps {
     * source — |A∩B| / (|A|+|B|−|A∩B|). Blocking keeps the join from
     * going quadratic over the whole corpus.
     */
+  /** C4 (contd): word-set Jaccard as an inverted-index similarity
+    * join (PPJoin-family shape): explode distinct token hashes, self-
+    * join on (source, token) to COUNT intersections via a plain hash
+    * join + groupBy, then join back per-doc set sizes. No per-pair set
+    * operations, no candidate enumeration beyond shared tokens — the
+    * plan that survives 100 TB, and fully shuffle-parallel instead of
+    * 20 broadcast buckets.
+    *
+    * Requires minJaccard > 0: pairs sharing zero tokens are (correctly)
+    * never produced.
+    */
   def ngramJaccard(documents: DataFrame,
-      minJaccard: Double = 0.0): DataFrame = {
-    val withToks = documents.select(
-      col("doc_id"), col("source"),
-      array_distinct(TextOps.tokens(col("text"))).as("toks"))
-    withToks.as("x")
-      .join(withToks.as("y"),
-        col("x.source") === col("y.source")
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0, "inverted-index jaccard requires minJaccard > 0")
+    // one row per (doc, distinct token hash); persisted — three consumers
+    val toks = documents.select(col("doc_id"), col("source"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val inter = toks.as("x")
+      .join(toks.as("y"),
+        col("x.source") === col("y.source") && col("x.th") === col("y.th")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        size(array_intersect(col("x.toks"), col("y.toks"))).as("n_inter"),
-        size(col("x.toks")).as("n1"), size(col("y.toks")).as("n2"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    // no broadcast hint: counts is |docs|-sized — AQE broadcasts it
+    // when small, shuffles when not
+    inter
+      .join(counts.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("n_inter").cast("double")
+        / (col("n1") + col("n2") - col("n_inter")) >= minJaccard)
       .select(col("id1"), col("id2"),
         round(col("n_inter").cast("double")
           / (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
   }
 }

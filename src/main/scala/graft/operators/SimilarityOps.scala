@@ -34,16 +34,22 @@ object SimilarityOps {
     */
   def knnBrute(embeddings: DataFrame, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
+    // Norms are computed once per side BEFORE the pair join (they sit
+    // below the join in the plan), so each of the |queries|×|corpus|
+    // pairs evaluates a single dot product instead of three.
     val queries = embeddings
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
     val corpus = embeddings
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
 
     val scored = corpus
       .join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 3).as("sim"))
+        round(dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 3).as("sim"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
@@ -77,19 +83,22 @@ object SimilarityOps {
   def knnLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       numPlanes: Int = 8): DataFrame = {
     val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes).as("bucket"))
-    val queries = bucketed.filter(col("vec_id") < nQueries)
+      lshBucket(col("embedding"), numPlanes).as("bucket"),
+      norm(col("embedding")).as("nrm"))
+    val queries = bucketed
+      .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket"))
+        col("bucket"), col("nrm").as("q_norm"))
     val corpus = bucketed
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("bucket"))
+        col("bucket"), col("nrm").as("c_norm"))
 
     val scored = corpus
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 3).as("sim"))
+        round(dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 3).as("sim"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))

@@ -56,7 +56,7 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("ngramJaccard exact dup scores 1.0") {
-    val j = DedupOps.ngramJaccard(planted, 0.0)
+    val j = DedupOps.ngramJaccard(planted, 0.1)
       .filter(col("id1") === 1L && col("id2") === 2L).head()
     assert(j.getAs[Double]("jaccard") === 1.0)
   }
