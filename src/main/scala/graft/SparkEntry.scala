@@ -57,6 +57,7 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d), 0.5)),
     "knn_brute" -> ((s, d) => SimilarityOps.knnBrute(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
+    "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
@@ -250,6 +251,13 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |  ORDER BY sim DESC, c_id) AS rank FROM s)
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |round(list_cosine_similarity(a.emb, b.emb), 3) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 3) >= 0.4""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks

@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** dot(a, b) in double precision. */
+  /** dot(a, b) in double precision — native codegen'd kernel (see
+    * graft.functions.FloatVectorDot); bit-identical to the
+    * zip_with+aggregate composition but with no per-pair intermediate
+    * array allocation.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFns.vec_dot(a, b)
+
+  /** Builtin-composition dot (kept for non-float arrays / reference). */
+  def dotGeneric(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -105,6 +113,27 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (exact): all (id1 < id2)
+    * pairs with cosine ≥ minCosine. The exact variant is inherently
+    * all-pairs — right for modest corpora and for auditing the
+    * LSH variant's recall; at billion-vector scale use [[knnLsh]]
+    * buckets instead (same scoring, candidate generation via buckets).
+    */
+  def embeddingNearDups(embeddings: DataFrame,
+      minCosine: Double = 0.4): DataFrame = {
+    val side = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = side.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val b = side.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 3)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
   }
 
   /** Centroid-style coarse quantization (IVF flavor): assign each

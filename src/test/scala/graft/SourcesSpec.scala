@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv roundtrip preserves schema and rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    Sources.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = Sources.readCsv(spark, dir, schema)
+    assert(back.count() === 2)
+    assert(back.schema === schema)
+    assert(back.agg(sum("v")).head.getDouble(0) === 4.0)
+  }
+
+  test("json-lines roundtrip") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    Sources.writeJsonLines(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType)))
+    assert(Sources.readJsonLines(spark, dir, schema).count() === 2)
+  }
+
+  test("mergeUpsert: updates win, new keys insert, base survives") {
+    import spark.implicits._
+    val base = Seq((1L, "old", 10L), (2L, "keep", 10L)).toDF("k", "v", "ver")
+    val upd = Seq((1L, "new", 11L), (3L, "ins", 11L)).toDF("k", "v", "ver")
+    val merged = Sources.mergeUpsert(base, upd, Seq("k"), "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "new", 2L -> "keep", 3L -> "ins"))
+  }
+
+  test("mergeUpsert: within updates, highest version wins") {
+    import spark.implicits._
+    val base = Seq.empty[(Long, String, Long)].toDF("k", "v", "ver")
+    val upd = Seq((1L, "v1", 1L), (1L, "v2", 2L)).toDF("k", "v", "ver")
+    val merged = Sources.mergeUpsert(base, upd, Seq("k"), "ver").collect()
+    assert(merged.length === 1)
+    assert(merged.head.getString(1) === "v2")
+  }
+
+  test("partitioned writer produces hive dirs") {
+    import spark.implicits._
+    val df = Seq(("a", 2024, 1, 1.0), ("b", 2024, 2, 2.0))
+      .toDF("key", "year", "month", "v")
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    Sources.writePartitioned(df, dir, Seq("key", "year", "month"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("key=")))
+  }
+
+  test("vec_dot native expression matches builtin composition and works in SQL") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val native = df.select(graft.functions.VectorFns.vec_dot(col("a"), col("b")))
+      .head().getDouble(0)
+    val generic = df.select(graft.operators.SimilarityOps.dotGeneric(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(native === 32.0)
+    assert(native === generic)
+    graft.functions.VectorFns.register(spark)
+    df.createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").head().getDouble(0) === 32.0)
+  }
+
+  test("embeddingNearDups returns symmetric-free thresholded pairs") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val p = graft.operators.SimilarityOps.embeddingNearDups(e, 0.4)
+    assert(p.filter(col("id1") >= col("id2")).count() === 0)
+    assert(p.filter(col("cos_sim") < 0.4).count() === 0)
+  }
+}
