@@ -12,6 +12,7 @@ object DebugRun {
     val explain = args.contains("explain")
     val names = args.drop(1).filterNot(_ == "explain")
     val spark = SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graftx.GraftSparkExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
