@@ -50,6 +50,10 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => AnalyticsOps.rollupSummary(Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinct(Tables.lineitem(s, d))),
     "q_sessionize" -> ((s, d) => StreamOps.sessionizeBatch(Tables.events(s, d))),
+    "q_asof_join" -> ((s, d) => AsofJoinOps.lastPurchase(Tables.events(s, d))),
+    "q_histogram" -> ((s, d) => AnalyticsOps.histogram(Tables.events(s, d))),
+    "q_stats" -> ((s, d) => AnalyticsOps.dispersionStats(Tables.events(s, d))),
+    "q_percentiles" -> ((s, d) => AnalyticsOps.percentiles(Tables.events(s, d))),
     // C. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
@@ -223,6 +227,35 @@ object SparkEntry {
         |min(ts) AS session_start, max(ts) AS session_end,
         |count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |p.purchase_id AS last_purchase_id,
+        |p.purchase_value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS purchase_id,
+        |     round(value, 4) AS purchase_value
+        |   FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |count(*) AS n,
+        |round(avg(value), 4) AS avg_value,
+        |round(min(value), 4) AS min_value,
+        |round(max(value), 4) AS max_value
+        |FROM events GROUP BY CAST(floor(value / 50.0) AS BIGINT)""".stripMargin,
+    "q_stats" ->
+      """SELECT event_type,
+        |round(stddev_samp(value), 4) AS value_stddev,
+        |round(var_samp(value), 4) AS value_var,
+        |round(avg(value), 4) AS value_mean,
+        |count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.25), 4) AS p25,
+        |round(quantile_cont(value, 0.5), 4) AS p50,
+        |round(quantile_cont(value, 0.75), 4) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |count(*) AS n_copies

@@ -156,6 +156,37 @@ object AnalyticsOps {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_rows"))
 
+  /** B12: value histogram — fixed-width binning + per-bin stats (the
+    * distributed form of a dashboard bar chart at any cardinality).
+    */
+  def histogram(events: DataFrame, binWidth: Double = 50.0): DataFrame =
+    events
+      .groupBy(floor(col("value") / binWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 4).as("avg_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value"))
+
+  /** B13: dispersion statistics per key — sample stddev/variance and
+    * skew-free single-pass moments (partial-aggregated map-side).
+    */
+  def dispersionStats(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      round(stddev_samp(col("value")), 4).as("value_stddev"),
+      round(var_samp(col("value")), 4).as("value_var"),
+      round(avg(col("value")), 4).as("value_mean"),
+      count(lit(1)).as("n"))
+
+  /** B14: exact percentiles (interpolated) per key — `percentile` is
+    * the exact sort-based aggregate; the approx_percentile sketch is
+    * the scale path when exactness isn't required.
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 4).as("p25"),
+      round(expr("percentile(value, 0.5)"), 4).as("p50"),
+      round(expr("percentile(value, 0.75)"), 4).as("p75"))
+
   /** B10: approximate distinct (HLL) next to the exact count — the
     * scale path for distinct counting (exact countDistinct forces a
     * full shuffle of the key; HLL is a fixed-size sketch mergeable
