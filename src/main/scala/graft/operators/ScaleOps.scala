@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew- and shuffle-management patterns for cluster scale: salted
+  * two-phase aggregation and bucketed co-located joins. These don't
+  * change results — they change the shuffle shape, which is what
+  * breaks first at 100 TB.
+  */
+object ScaleOps {
+
+  /** Two-phase salted aggregation: groupBy(key, salt) partial →
+    * groupBy(key) final. When one key holds a disproportionate share
+    * of rows, a plain groupBy sends that whole key to one reducer; the
+    * salt fans the hot key across `saltBuckets` reducers first. Works
+    * for any algebraic aggregate (sum/count/min/max shown).
+    *
+    * Spark's partial (map-side) aggregation already handles most skew
+    * for algebraic aggs; salting matters when per-key state is too big
+    * for map-side combine (e.g. collect-heavy aggs) or with AQE off —
+    * exposed here as the explicit pattern.
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt",
+        pmod(hash(col(valueCol), monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(round(sum("__psum"), 4).as("value_sum"),
+        sum("__pcnt").as("n"))
+
+  /** Write both sides of a recurring join bucketed on the join key so
+    * the join plans with zero Exchange (co-located, shuffle-free).
+    * Bucketed layout is the static twin of what AQE does dynamically —
+    * and the only option when the same fact table is joined every hour
+    * at 100 TB (pay the shuffle once at write time).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — with matching
+    * bucket counts Catalyst plans a SortMergeJoin with no Exchange on
+    * either side.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -53,6 +53,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.agg(sum("n_events")).head.getLong(0) === events.count())
   }
 
+  test("streaming hourly mart writes finalized windows to a parquet sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val outDir = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("ck").toString
+    val q = StreamOps.streamingHourlyMart(stream.toDF())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    stream.addData(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:45:00", 2, "click", 4.0))
+    q.processAllAvailable()
+    // watermark (max event time - 10m) must pass the window end to finalize
+    stream.addData(ev(3, "2024-01-01 12:00:00", 1, "view", 6.0))
+    q.processAllAvailable()
+    stream.addData(ev(4, "2024-01-01 13:30:00", 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    val clickRow = out.filter($"event_type" === "click").collect()
+    assert(clickRow.length === 1)
+    assert(clickRow.head.getAs[Double]("avg_value") === 3.0)
+    assert(clickRow.head.getAs[Long]("n_obs") === 2L)
+  }
+
   test("streaming sessionize emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
