@@ -54,6 +54,9 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => AnalyticsOps.histogram(Tables.events(s, d))),
     "q_stats" -> ((s, d) => AnalyticsOps.dispersionStats(Tables.events(s, d))),
     "q_percentiles" -> ((s, d) => AnalyticsOps.percentiles(Tables.events(s, d))),
+    "q_ntile" -> ((s, d) => AnalyticsOps.quartileAssign(Tables.events(s, d))),
+    "q_corr" -> ((s, d) => AnalyticsOps.correlation(Tables.events(s, d))),
+    "sample_per_group" -> ((s, d) => TextOps.samplePerGroup(Tables.documents(s, d))),
     // C. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
@@ -256,6 +259,24 @@ object SparkEntry {
         |round(quantile_cont(value, 0.5), 4) AS p50,
         |round(quantile_cont(value, 0.75), 4) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_ntile" ->
+      """SELECT event_id, event_type, round(value, 4) AS value,
+        |CAST(ntile(4) OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) AS BIGINT) AS quartile
+        |FROM events""".stripMargin,
+    "q_corr" ->
+      """SELECT event_type,
+        |round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
+        |count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sample_per_group" ->
+      """SELECT source, sample_rank, doc_id, lang FROM (
+        |  SELECT source, doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+        |    AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |count(*) AS n_copies

@@ -187,6 +187,25 @@ object AnalyticsOps {
       round(expr("percentile(value, 0.5)"), 4).as("p50"),
       round(expr("percentile(value, 0.75)"), 4).as("p75"))
 
+  /** B15: quantile bucketing (ntile) — assign each row its quartile
+    * within its key; window twin of percentiles.
+    */
+  def quartileAssign(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    events.select(col("event_id"), col("event_type"),
+      round(col("value"), 4).as("value"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** B16: correlation between two measures per key (single-pass
+    * co-moment aggregation; partial-aggregated like any algebraic agg).
+    */
+  def correlation(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      round(corr(col("value"), col("user_id").cast("double")), 4)
+        .as("corr_value_user"),
+      count(lit(1)).as("n"))
+
   /** B10: approximate distinct (HLL) next to the exact count — the
     * scale path for distinct counting (exact countDistinct forces a
     * full shuffle of the key; HLL is a fixed-size sketch mergeable

@@ -82,6 +82,25 @@ object TextOps {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** C13: deterministic per-group sampling — keep the k docs per
+    * source with the smallest hash(doc_id). Hash-priority sampling is
+    * the reproducible form of uniform sampling: no RNG state, stable
+    * across runs/partitionings/engines, and cheap (one window, no
+    * shuffle beyond the groupBy key). The standard way to build
+    * fixed-size per-source training subsets.
+    */
+  def samplePerGroup(documents: DataFrame, k: Int = 5): DataFrame = {
+    // Knuth multiplicative hash — chosen over xxhash64 because it is
+    // exactly reproducible in plain SQL (the correctness oracle).
+    val priority = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(priority, col("doc_id"))
+    documents
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select("source", "sample_rank", "doc_id", "lang")
+  }
+
   /** C10: document fingerprint — order-sensitive polynomial rolling
     * hash over token hashes (Karp-Rabin shape, computed in a masked
     * 32-bit ring so it is ANSI-overflow-safe) plus an
