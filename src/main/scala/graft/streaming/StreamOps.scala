@@ -16,6 +16,35 @@ import graft.sources.Schemas.Event
   */
 object StreamOps {
 
+  /** Continuous file ingestion of the events table: new parquet files
+    * appearing under `dir` enter the stream (the deployment shape of
+    * the reference's hourly download loop). Handles the nano-precision
+    * ts column the same way as the batch loader (read as long,
+    * convert to µs) since the streaming parquet source rejects
+    * TIMESTAMP(NANOS) too.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

@@ -80,6 +80,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(clickRow.head.getAs[Long]("n_obs") === 2L)
   }
 
+  test("file-source stream over the real events parquet matches batch totals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = StreamOps.readEventsStream(spark, dir.toString)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .writeStream.format("memory").queryName("ev_file_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ev_file_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming sessionize emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
