@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(Tables.documents(s, d), 0.5)),
+    "ngram_jaccard_prefix" -> ((s, d) => DedupOps.ngramJaccardPrefix(Tables.documents(s, d), 0.5)),
     "knn_brute" -> ((s, d) => SimilarityOps.knnBrute(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
@@ -282,6 +283,21 @@ object SparkEntry {
         |count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |round(len(list_intersect(a.toks, b.toks)) * 1.0
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        |  AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |  >= 0.5""".stripMargin,
+    // identical semantics to ngram_jaccard — the prefix filter is an
+    // exact optimization, so the same oracle must hash-match
+    "ngram_jaccard_prefix" ->
       """WITH t AS (SELECT doc_id, source,
         |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> x <> '')) AS toks
