@@ -53,6 +53,35 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** C11b: frame sampling — one row per kept frame (every `everyK`-th
+    * of each media item's frames), with a deterministic per-frame
+    * fingerprint standing in for decoded frame bytes. The explode is
+    * the real plumbing: row-per-frame fan-out with no shuffle, which
+    * is how video corpora are processed at scale (frames then flow to
+    * batch feature extraction exactly like documents).
+    */
+  def sampleFrames(spark: SparkSession, documents: DataFrame,
+      everyK: Int = 8): DataFrame =
+    extractMeta(spark, documents)
+      .select(col("doc_id"), col("format"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyK === 0)
+      .select(col("doc_id"), col("format"), col("frame_idx"),
+        xxhash64(col("doc_id"), col("frame_idx")).as("frame_fingerprint"))
+
+  /** C11c: resize stub — recomputes target dimensions preserving
+    * aspect ratio (the metadata math is real; the pixel work is the
+    * clearly-marked fake, same as decodeOne).
+    */
+  def resizeMeta(spark: SparkSession, documents: DataFrame,
+      maxSide: Int = 256): DataFrame =
+    extractMeta(spark, documents)
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("width") * col("scale")).cast("int").as("out_width"),
+        round(col("height") * col("scale")).cast("int").as("out_height"))
+
   /** Downstream relational use of the extracted metadata: per-format
     * size/shape stats — shows the decoded struct flows into normal
     * declarative aggregation.

@@ -74,6 +74,24 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(fp === again)
   }
 
+  test("frame sampling keeps every k-th frame with stable fingerprints") {
+    val f = MultimodalOps.sampleFrames(spark, documents, everyK = 8)
+    assert(f.filter(col("frame_idx") % 8 =!= 0).count() === 0)
+    assert(f.count() > 0)
+    val again = MultimodalOps.sampleFrames(spark, documents, everyK = 8)
+    def digest(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(pmod(col("frame_fingerprint"), lit(1000000007L))))
+        .head.getLong(0)
+    assert(digest(f) === digest(again))
+  }
+
+  test("resize preserves aspect ratio within rounding") {
+    val r = MultimodalOps.resizeMeta(spark, documents, maxSide = 256)
+    assert(r.filter(col("out_width") > 256 || col("out_height") > 256).count() === 0)
+    // no upscaling
+    assert(r.filter(col("out_width") > col("width")).count() === 0)
+  }
+
   test("multimodal stub: metadata schema and stats flow") {
     val m = MultimodalOps.extractMeta(spark, documents)
     assert(m.columns.toSet === Set("doc_id", "n_bytes", "width", "height", "n_frames", "format"))
