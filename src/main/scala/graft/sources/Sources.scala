@@ -41,6 +41,36 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Zip-archive text ingestion — the reference's raw downloads arrive
+    * as ZIPs wrapping the real payload (aggregate_hourly.py
+    * `_extract_first_nc`). Spark has no zip codec, and this is the one
+    * legitimately imperative per-partition task in the library: each
+    * archive is streamed through ZipInputStream inside mapPartitions
+    * over binaryFiles (one task per archive; archives parallelize
+    * across executors; entries stream without full materialization).
+    * Returns (archive, entry, line).
+    */
+  def readZipLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (archivePath, stream) =>
+        val zis = new java.util.zip.ZipInputStream(stream.open())
+        Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .flatMap { entry =>
+            val name = entry.getName
+            val reader = new java.io.BufferedReader(
+              new java.io.InputStreamReader(zis,
+                java.nio.charset.StandardCharsets.UTF_8))
+            Iterator.continually(reader.readLine())
+              .takeWhile(_ != null)
+              .map(line => (archivePath, name, line))
+          }
+      }
+      .toDF("archive", "entry", "line")
+  }
+
   /** Keyed last-wins merge — the Spark form of `INSERT … ON CONFLICT
     * (keys) DO UPDATE`: rows from `updates` replace same-key rows in
     * `base`; ties inside `updates` resolved by the highest versionCol.

@@ -58,6 +58,23 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("key=")))
   }
 
+  test("zip ingestion streams entries and lines") {
+    val dir = java.nio.file.Files.createTempDirectory("zips")
+    val zf = dir.resolve("data.zip").toFile
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zf))
+    zos.putNextEntry(new java.util.zip.ZipEntry("a.csv"))
+    zos.write("h1,h2\n1,2\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("b.csv"))
+    zos.write("3,4\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val df = Sources.readZipLines(spark, dir.toString + "/*.zip")
+    assert(df.count() === 3)
+    assert(df.select("entry").distinct().count() === 2)
+    assert(df.filter(col("line") === "3,4").count() === 1)
+  }
+
   test("vec_dot native expression matches builtin composition and works in SQL") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
