@@ -57,6 +57,29 @@ object StreamOps {
       .select(col("event_type"), col("window.start").as("hour_ts"),
         col("avg_value"), col("n_obs"))
 
+  /** D3: stream-stream join — attribute each purchase to the same
+    * user's click within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds the event-time range, so
+    * Spark can evict join state once the watermark passes (unbounded
+    * state otherwise — the failure mode of naive stream joins).
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      p("user_id") === c("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(p("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   case class SessionState(start: Long, last: Long, nEvents: Int, sumValue: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
       n_events: Int, sum_value: Double)

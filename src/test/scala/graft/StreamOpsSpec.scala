@@ -100,6 +100,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream join attributes purchases to in-window clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+      ev(2, "2024-01-01 08:00:00", 2, "click", 0.0)) // too early for u2
+    purchases.addData(
+      ev(10, "2024-01-01 10:30:00", 1, "purchase", 5.0),  // joins click 1
+      ev(11, "2024-01-01 10:30:00", 2, "purchase", 7.0))  // no click in window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(rows === Set((10L, 1L)))
+  }
+
   test("streaming sessionize emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
