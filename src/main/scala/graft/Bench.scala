@@ -1,6 +1,17 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-round benchmark: every SparkEntry query, warmup + MEDIAN OF 3
+  * timed cold-cache passes (a single pass on a noisy shared host
+  * charged round 1 twenty seconds for a query that runs in 0.77 s),
+  * plus per-query stage-time attribution (executor run time, ms) so
+  * wall-clock noise from the host is distinguishable from real work.
+  */
 object Bench {
+  private val TimedPasses = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,23 +22,49 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // warmup pass: compiles the generated code and JITs the kernels
-      // (one-time per-JVM costs, not engine throughput), then caches
-      // are dropped so the timed pass re-does all data work
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // timed self-contained: no cross-query cache pressure
-      spark.catalog.clearCache()
-      name -> dt
+
+    // cumulative executor run time (ms) across all completed stages
+    val execMs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        execMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+    })
+    def drainedExecMs(): Long = {
+      org.apache.spark.sql.graftx.bridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      execMs.get()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def clearAll(): Unit = {
+      spark.catalog.clearCache()
+      CacheRegistry.unpersistAll()
+    }
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      // warmup pass: compiles generated code and JITs kernels (one-time
+      // per-JVM costs, not engine throughput); caches dropped after so
+      // every timed pass re-does all data work
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      clearAll()
+      val passes = (1 to TimedPasses).map { _ =>
+        val s0 = drainedExecMs()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val stage = (drainedExecMs() - s0).toDouble
+        clearAll()
+        (wall, stage)
+      }
+      name -> (median(passes.map(_._1)), median(passes.map(_._2)))
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val st = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$st,"passes":$TimedPasses,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

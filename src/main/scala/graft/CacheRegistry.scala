@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracks DataFrames persisted inside operators so harnesses (Verify,
+  * Bench, tests) can release them after the consuming action finishes.
+  * Without this, cached blocks accumulate across the 40+ queries a
+  * single Verify JVM runs — evicting useful cache and leaking executor
+  * disk in long-lived sessions.
+  */
+object CacheRegistry {
+  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist at MEMORY_AND_DISK and remember the handle. */
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live += p
+    p
+  }
+
+  /** Unpersist everything registered since the last call. */
+  def unpersistAll(blocking: Boolean = false): Unit = synchronized {
+    live.foreach { df =>
+      try df.unpersist(blocking)
+      catch { case _: Throwable => () }
+    }
+    live.clear()
+  }
+}

@@ -20,18 +20,23 @@ object DebugRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val sel = if (names.nonEmpty) SparkEntry.queries.view.filterKeys(names.contains).toMap
       else SparkEntry.queries
-    sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        val n = df.count()
-        println(f"[debug] $name%-20s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        if (explain) df.explain("formatted")
-      } catch {
-        case e: Throwable =>
-          println(s"[debug] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    (1 to repeat).foreach { r =>
+      sel.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          val n = df.count()
+          println(f"[debug] $name%-20s pass=$r rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          if (explain) df.explain("formatted")
+        } catch {
+          case e: Throwable =>
+            println(s"[debug] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+        CacheRegistry.unpersistAll()
       }
     }
     spark.stop()

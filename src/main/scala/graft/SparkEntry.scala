@@ -274,7 +274,7 @@ object SparkEntry {
       """SELECT source, sample_rank, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,
         |  CAST(row_number() OVER (PARTITION BY source
-        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+        |    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id)
         |    AS BIGINT) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 5""".stripMargin,

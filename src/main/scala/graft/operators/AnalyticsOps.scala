@@ -72,18 +72,20 @@ object AnalyticsOps {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
-  /** B3: local supplier volume (TPC-H Q5 shape) — star join; every
-    * dimension side is explicitly broadcast (region 5 rows, nation 25,
-    * supplier/customer small relative to lineitem at any SF where this
-    * shape matters).
+  /** B3: local supplier volume (TPC-H Q5 shape) — star join. Only the
+    * fixed-cardinality dimensions (region 5 rows, nation 25) carry
+    * compile-time broadcast hints; customer and supplier GROW with
+    * scale factor (~15M/1M rows at sf100), so their join strategy is
+    * left to AQE's runtime size check — a forced broadcast there would
+    * OOM executors at scale.
     */
   def localSupplierVolume(region: DataFrame, nation: DataFrame,
       customer: DataFrame, supplier: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer),
+      .join(customer,
         col("o_custkey") === col("c_custkey")
           && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))

@@ -77,7 +77,8 @@ object DedupOps {
     * exactly one 64-column row per document — the scalable plan.
     *
     * The result is persisted: it has 3 consumers (banding + both sides
-    * of pair verification) at ~0.5 KB per doc; MEMORY_AND_DISK spills.
+    * of pair verification) at ~0.5 KB per doc; MEMORY_AND_DISK spills
+    * and CacheRegistry.unpersistAll releases it after the action.
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
     val exploded = documents.select(col("doc_id"),
@@ -85,12 +86,11 @@ object DedupOps {
     val minCols = (0 until NumHashes).map { k =>
       min(xxhash64(col("h"), lit(k))).as(s"m$k")
     }
-    exploded
+    graft.CacheRegistry.persist(exploded
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
-        array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig")))
   }
 
   /** C2: MinHash+LSH near-dup pairs: signature → band keys → bucket
@@ -129,62 +129,102 @@ object DedupOps {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** C14: prefix-filtered set-similarity join (PPJoin prefix filter,
-    * Xiao et al., WWW'08): exact same output as [[ngramJaccard]] with
-    * far fewer candidate pairs.
+  /** C14: prefix-filtered set-similarity join (PPJoin, Xiao et al.,
+    * WWW'08): exact same output as [[ngramJaccard]] with far fewer
+    * candidate pairs and no hot postings.
     *
     * Two sets with Jaccard ≥ τ must share a token within the first
     * p = |x| − ⌈τ·|x|⌉ + 1 tokens of each, when every set is ordered
-    * by a GLOBAL token order (rarest-first by document frequency).
+    * by one GLOBAL token order (rarest-first by document frequency).
     * So the posting join runs only over each doc's p-token prefix —
-    * rare tokens — which simultaneously kills the hot-posting skew of
-    * common tokens and shrinks the join input. Candidates are then
-    * verified exactly on the full token sets.
+    * rare tokens — which kills the hot-posting skew of stop-word-like
+    * tokens exactly, with zero recall loss.
+    *
+    * Plan shape (each numbered step is at most one exchange):
+    *   1. explode distinct token hashes (map-only);
+    *   2. document frequency per token (map-combinable groupBy);
+    *   3. per-doc rarest-first SORTED ARRAYS via collect_list +
+    *      array_sort — a per-row O(n log n) sort inside a hash
+    *      aggregate, NOT a global row_number window over the whole
+    *      token table (round 1's mistake: that windowed sort shuffled
+    *      and sorted every token before any filtering);
+    *   4. prefix postings by slice + posexplode (map-only);
+    *   5. candidate join on (source, token) with the PPJoin LENGTH
+    *      filter (τ·n1 ≤ n2 ∧ τ·n2 ≤ n1) and a per-row POSITIONAL
+    *      bound; surviving rows collapse in one groupBy that keeps the
+    *      first-match positions, where the exact positional filter
+    *      1 + min(n1−p1−1, n2−p2−1) ≥ α prunes again (α = required
+    *      overlap ⌈τ/(1+τ)·(n1+n2)⌉ — valid at the first shared
+    *      token because token order is identical in both arrays);
+    *   6. exact verification per surviving pair via array_intersect on
+    *      the carried sorted arrays — no second exploded join, no
+    *      distinct barrier.
     */
   def ngramJaccardPrefix(documents: DataFrame,
       minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0, "prefix filter requires minJaccard > 0")
+    val tau = minJaccard
+    val eps = 1e-9 // guards ⌈τ·n⌉ against double round-up (safe side)
+
+    // 1. one row per (doc, distinct token hash) — map-only
     val toks = documents.select(col("doc_id"), col("source"),
-      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      explode(array_distinct(transform(TextOps.tokens(col("text")),
+        t => xxhash64(t)))).as("th"))
 
-    // global rarest-first order: (document frequency, hash) per token
-    val df = toks.groupBy("th").agg(count(lit(1)).as("df"))
-    val ranked = toks.join(df, "th")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df"), col("th"))).cast("long"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // prefix length p = n - ceil(τ·n) + 1
-    val prefixes = ranked.join(sizes, "doc_id")
-      .filter(col("pos") <= col("n") - ceil(col("n") * lit(minJaccard)) + 1)
-      .select(col("doc_id"), col("source"), col("th"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. document frequency per token hash
+    val dfreq = toks.groupBy("th").agg(count(lit(1)).as("df"))
 
-    val candidates = prefixes.as("x")
-      .join(prefixes.as("y"),
-        col("x.source") === col("y.source") && col("x.th") === col("y.th")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        col("x.n").as("n1"), col("y.n").as("n2"))
-      .distinct()
+    // 3. per-doc arrays sorted by (df, th): one global rarest-first
+    // total order. Persisted — consumed by the prefix postings and by
+    // both sides of verification.
+    val docs = graft.CacheRegistry.persist(
+      toks.join(dfreq, "th")
+        .groupBy("doc_id", "source")
+        .agg(array_sort(collect_list(struct(col("df"), col("th"))))
+          .as("sorted"))
+        .select(col("doc_id"), col("source"),
+          transform(col("sorted"), s => s.getField("th")).as("ths"),
+          size(col("sorted")).cast("long").as("n")))
 
-    // exact verification: count full-set intersections for candidates
-    // only — second join keyed on (id2, th) so only matching tokens
-    // survive the hash join (no per-candidate token cross product)
-    val inter = candidates
-      .join(toks.select(col("doc_id").as("id1"), col("th")), "id1")
-      .join(toks.select(col("doc_id").as("id2"), col("th")), Seq("id2", "th"))
+    // 4. prefix postings: first p = n − ⌈τ·n⌉ + 1 tokens, 0-based pos
+    val pref = docs.select(col("doc_id"), col("source"), col("n"),
+        posexplode(slice(col("ths"), lit(1),
+          (col("n") - ceil(col("n") * lit(tau) - lit(eps)) + 1).cast("int"))))
+      .withColumnRenamed("col", "th")
+
+    // 5. candidates: equi-join on (source, th) + length filter +
+    // positional bounds. α = minimum overlap a τ-pair must have.
+    val alpha = ceil((col("n1") + col("n2")) * lit(tau / (1.0 + tau)) - lit(eps))
+    val cands = pref
+      .select(col("source"), col("th"), col("doc_id").as("id1"),
+        col("n").as("n1"), col("pos").as("pos1"))
+      .join(pref.select(col("source"), col("th"), col("doc_id").as("id2"),
+        col("n").as("n2"), col("pos").as("pos2")), Seq("source", "th"))
+      .filter(col("id1") < col("id2")
+        && col("n2") >= ceil(col("n1") * lit(tau) - lit(eps))
+        && col("n1") >= ceil(col("n2") * lit(tau) - lit(eps))
+        // per-row bound: overlap ≤ 1 + min(pos) + min(remaining suffix)
+        && lit(1) + least(col("pos1"), col("pos2"))
+          + least(col("n1") - col("pos1") - 1, col("n2") - col("pos2") - 1)
+          >= alpha)
       .groupBy("id1", "id2", "n1", "n2")
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(min("pos1").as("mp1"), min("pos2").as("mp2"))
+      // first-match positional filter: no shared token precedes the
+      // first shared prefix token (same order both sides), so overlap
+      // ≤ 1 + min(n1−mp1−1, n2−mp2−1)
+      .filter(lit(1)
+        + least(col("n1") - col("mp1") - 1, col("n2") - col("mp2") - 1)
+        >= alpha)
 
-    inter
-      .filter(col("n_inter").cast("double")
-        / (col("n1") + col("n2") - col("n_inter")) >= minJaccard)
+    // 6. exact verification on the carried sorted arrays; AQE
+    // broadcasts `docs` when it is small enough
+    cands
+      .join(docs.select(col("doc_id").as("id1"), col("ths").as("ths1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("ths").as("ths2")), "id2")
+      .withColumn("ni", size(array_intersect(col("ths1"), col("ths2"))).cast("double"))
+      .filter(col("ni") / (col("n1") + col("n2") - col("ni")) >= tau)
       .select(col("id1"), col("id2"),
-        round(col("n_inter").cast("double")
-          / (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+        round(col("ni") / (col("n1") + col("n2") - col("ni")), 4).as("jaccard"))
   }
 
   // ---- SimHash ------------------------------------------------------
@@ -203,14 +243,13 @@ object DedupOps {
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), 1L)
         .otherwise(-1L)).as(s"b$i")
     }
-    exploded
+    graft.CacheRegistry.persist(exploded
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map { i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }.reduce(_ + _).as("simhash")))
   }
 
   /** C3: SimHash near-dup pairs: candidates share ≥1 of four 16-bit
@@ -258,11 +297,13 @@ object DedupOps {
   def ngramJaccard(documents: DataFrame,
       minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0, "inverted-index jaccard requires minJaccard > 0")
-    // one row per (doc, distinct token hash); persisted — three consumers
-    val toks = documents.select(col("doc_id"), col("source"),
-      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per (doc, distinct token hash); persisted — three
+    // consumers (released by CacheRegistry.unpersistAll after the
+    // consuming action)
+    val toks = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), col("source"), xxhash64(col("tok")).as("th")))
     val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val inter = toks.as("x")

@@ -92,7 +92,16 @@ object TextOps {
   def samplePerGroup(documents: DataFrame, k: Int = 5): DataFrame = {
     // Knuth multiplicative hash — chosen over xxhash64 because it is
     // exactly reproducible in plain SQL (the correctness oracle).
-    val priority = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    // The multiply runs in DECIMAL: doc_id * 2654435761 overflows Long
+    // for doc_id ≳ 3.47e9, and Spark 4's ANSI mode turns that into a
+    // runtime ARITHMETIC_OVERFLOW at scale. Decimal(20,0)×(10,0) →
+    // (31,0): exact, overflow-free for any 64-bit doc_id; the oracle
+    // mirrors it via HUGEINT.
+    import org.apache.spark.sql.types.DecimalType
+    val priority = pmod(
+      col("doc_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      lit(4294967296L).cast(DecimalType(11, 0)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(priority, col("doc_id"))
     documents

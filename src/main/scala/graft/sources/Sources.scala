@@ -55,8 +55,19 @@ object Sources {
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (archivePath, stream) =>
         val zis = new java.util.zip.ZipInputStream(stream.open())
+        // Close on task completion (covers abort mid-iteration from a
+        // malformed archive) AND at natural exhaustion — a lazy
+        // iterator alone would leak one file handle per archive in
+        // long-lived executor JVMs.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try zis.close() catch { case _: java.io.IOException => () }
+          })
         Iterator.continually(zis.getNextEntry)
-          .takeWhile(_ != null)
+          .takeWhile { e =>
+            if (e == null) { try zis.close() catch { case _: java.io.IOException => () }; false }
+            else true
+          }
           .filterNot(_.isDirectory)
           .flatMap { entry =>
             val name = entry.getName

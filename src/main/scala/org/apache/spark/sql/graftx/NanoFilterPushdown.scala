@@ -69,6 +69,17 @@ case class NanoFilterPushdown(dummy: Boolean = true) extends Rule[LogicalPlan] {
       case LessThanOrEqual(Literal(v: Long, TimestampType), x)
           if rawNanos(x).isDefined && inRange(v) => // V <= ts ⟺ ts >= V
         GreaterThanOrEqual(rawNanos(x).get, Literal(v * 1000L))
+      case GreaterThan(Literal(v: Long, TimestampType), x)
+          if rawNanos(x).isDefined && inRange(v) => // V > ts ⟺ ts < V
+        LessThan(rawNanos(x).get, Literal(v * 1000L))
+      case LessThan(Literal(v: Long, TimestampType), x)
+          if rawNanos(x).isDefined && inRange(v) => // V < ts ⟺ ts > V
+        GreaterThanOrEqual(rawNanos(x).get, Literal((v + 1) * 1000L))
+      case EqualTo(Literal(v: Long, TimestampType), x)
+          if rawNanos(x).isDefined && inRange(v) =>
+        val raw = rawNanos(x).get
+        And(GreaterThanOrEqual(raw, Literal(v * 1000L)),
+          LessThan(raw, Literal((v + 1) * 1000L)))
     }
 }
 

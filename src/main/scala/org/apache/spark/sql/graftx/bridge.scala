@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the listener bus so stage metrics observed by bench
+    * listeners are complete before reading them (listener events are
+    * posted asynchronously). private[spark], hence bridged here.
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Throwable => () }
 }
