@@ -30,6 +30,9 @@ object SparkEntry {
       rangeKeys, "2024-01-05 00:00:00", "2024-01-12 00:00:00")),
     "q_pivot_wide" -> ((s, d) => AgriOps.pivotWide(Tables.events(s, d), pivotKeys)),
     "q_kpi" -> ((s, d) => AgriOps.kpi(Tables.events(s, d))),
+    "q_grid_unpivot" -> ((s, d) => AgriOps.gridUnpivot(
+      AgriOps.pivotWide(Tables.events(s, d), pivotKeys),
+      Seq("day"), pivotKeys, "metric", "avg_value")),
     "q_mart_pipeline" -> ((s, d) => AgriOps.martPipeline(Tables.events(s, d))),
     "q_json_extract" -> ((s, d) => AgriOps.jsonExtract(Tables.events(s, d))),
     // B. general analytics
@@ -47,8 +50,9 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d))),
     "q_window_running" -> ((s, d) => AnalyticsOps.runningWindow(Tables.events(s, d))),
     "q_window_topn" -> ((s, d) => AnalyticsOps.topNPerGroup(Tables.part(s, d), 3)),
+    "q_topk_agg" -> ((s, d) => AnalyticsOps.topNPerGroupAgg(Tables.part(s, d), 3)),
     "q_rollup" -> ((s, d) => AnalyticsOps.rollupSummary(Tables.lineitem(s, d))),
-    "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinct(Tables.lineitem(s, d))),
+    "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinctChecked(Tables.lineitem(s, d))),
     "q_sessionize" -> ((s, d) => StreamOps.sessionizeBatch(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoinOps.lastPurchase(Tables.events(s, d))),
     "q_histogram" -> ((s, d) => AnalyticsOps.histogram(Tables.events(s, d))),
@@ -132,6 +136,17 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
         |count(DISTINCT event_type) AS n_types,
         |min(ts) AS min_ts, max(ts) AS max_ts FROM events""".stripMargin,
+    "q_grid_unpivot" ->
+      """WITH wide AS (SELECT date_trunc('day', ts) AS day,
+        |round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS click,
+        |round(avg(value) FILTER (WHERE event_type = 'error'), 4) AS error,
+        |round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+        |round(avg(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
+        |round(avg(value) FILTER (WHERE event_type = 'view'), 4) AS view
+        |FROM events GROUP BY date_trunc('day', ts))
+        |SELECT day, metric, avg_value FROM
+        |(UNPIVOT wide ON click, error, purchase, signup, view
+        | INTO NAME metric VALUE avg_value)""".stripMargin,
     "q_mart_pipeline" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
         |round(avg(value - 273.15), 4) AS t_c_avg,
@@ -207,6 +222,13 @@ object SparkEntry {
         |  AS prev_value
         |FROM events""".stripMargin,
     "q_window_topn" ->
+      """SELECT p_brand, rn, p_partkey, p_name, p_retailprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+        |WHERE rn <= 3""".stripMargin,
+    // same semantics as q_window_topn — the native bounded-heap
+    // aggregate must reproduce the window plan's output exactly
+    "q_topk_agg" ->
       """SELECT p_brand, rn, p_partkey, p_name, p_retailprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
         |  ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
@@ -370,5 +392,29 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |  AS BIGINT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
+    // exact column gated by equality; HLL column gated by the error
+    // bound (oracle emits TRUE, so Spark's sketch must stay within 10%)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |count(DISTINCT l_partkey) AS exact_nd,
+        |TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // positional fingerprint: md5-derived 32-bit token hash
+    // (md5_number_upper reads the first 8 digest bytes little-endian —
+    // the Spark side byte-swaps hex chars 9..16 to match) MULTIPLIED
+    // by the positional coefficient i*2654435761 mod 2^32, summed
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |CAST(COALESCE(list_sum(list_transform(generate_series(1, len(toks)), i ->
+        |  CAST((CAST((i * 2654435761) % 4294967296 AS HUGEINT)
+        |    * CAST(md5_number_upper(toks[i]) >> 32 AS BIGINT))
+        |    % 4294967296 AS BIGINT))), 0) % 4294967296
+        |  AS BIGINT) AS rolling_fp,
+        |list_min(list_transform(generate_series(1, len(toks)), i ->
+        |  CAST(md5_number_upper(toks[i]) >> 32 AS BIGINT))) AS min_fp
+        |FROM t""".stripMargin,
   )
 }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, FloatVectorDot}
+import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, TopKAggregate}
 
-/** Column/SQL facade over graft's native Catalyst vector expressions
-  * (see org.apache.spark.sql.graftx.FloatVectorDot).
+/** Column/SQL facade over graft's native Catalyst expressions
+  * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
   */
 object VectorFns {
   /** Column API: dot product of two ArrayType(FloatType) columns. */
@@ -15,4 +15,12 @@ object VectorFns {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
+
+  /** Aggregate: ascending-sorted array of the k SMALLEST values of `e`
+    * (negate the sort field for top-by-descending). Map-side
+    * combinable bounded heap — see graftx.TopKAggregate.
+    */
+  def top_k(e: Column, k: Int): Column =
+    bridge.column(TopKAggregate(bridge.expression(e), k)
+      .toAggregateExpression())
 }

@@ -122,6 +122,20 @@ object AgriOps {
       .pivot("event_type", keys)
       .agg(round(avg("value"), 4))
 
+  /** A12: wide→long grid unpivot — the EXTRACT-stage analog of the
+    * reference's grid decode (dask_jobs/aggregate_hourly.py:60
+    * xr.open_dataset: one value column per variable, one row per
+    * coordinate): N value columns melt into long (id, metric, value)
+    * rows. Pure map (one generator expression, no shuffle); null cells
+    * are dropped to match sparse grids — and DuckDB UNPIVOT semantics.
+    */
+  def gridUnpivot(wide: DataFrame, idCols: Seq[String],
+      valueCols: Seq[String], metricCol: String = "metric",
+      valueCol: String = "value"): DataFrame =
+    wide.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        metricCol, valueCol)
+      .filter(col(valueCol).isNotNull)
+
   /** A9: KPI row — count / distinct counts / min / max. */
   def kpi(events: DataFrame): DataFrame =
     events.agg(

@@ -145,6 +145,28 @@ object AnalyticsOps {
       .select("p_brand", "rn", "p_partkey", "p_name", "p_retailprice")
   }
 
+  /** B8 (aggregate form): identical output to [[topNPerGroup]], built
+    * on the native bounded-heap TopKAggregate instead of a window.
+    * The window plan sorts EVERY row of every group before discarding
+    * all but n; this shape partial-aggregates map-side, so the shuffle
+    * carries at most n rows per (task, group) and nothing ever sorts
+    * more than n elements — the plan to prefer for small n at scale.
+    * Descending price is expressed by negating the leading sort field;
+    * p_partkey breaks ties deterministically.
+    */
+  def topNPerGroupAgg(part: DataFrame, n: Int): DataFrame =
+    part
+      .groupBy("p_brand")
+      .agg(graft.functions.VectorFns.top_k(
+        struct(negate(col("p_retailprice")).as("neg_price"),
+          col("p_partkey"), col("p_name"), col("p_retailprice")), n)
+        .as("topk"))
+      .select(col("p_brand"), posexplode(col("topk")))
+      .select(col("p_brand"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.p_partkey").as("p_partkey"),
+        col("col.p_name").as("p_name"),
+        col("col.p_retailprice").as("p_retailprice"))
+
   /** B9: ROLLUP aggregation (subtotals + grand total); grouping nulls
     * coalesced to 'ALL' for stable comparison.
     */
@@ -217,4 +239,17 @@ object AnalyticsOps {
     lineitem.groupBy("l_returnflag").agg(
       countDistinct(col("l_partkey")).as("exact_nd"),
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+
+  /** B10 (oracle form): the exact column is gated by SQL equality and
+    * the HLL estimate by an in-row error-bound predicate — the oracle
+    * asserts `approx_ok = TRUE`, so a sketch drifting past 10% relative
+    * error fails the hash compare. This turns the previously rows-only
+    * check into a full oracle gate without requiring DuckDB to
+    * reproduce Spark's HLL bit-for-bit.
+    */
+  def approxDistinctChecked(lineitem: DataFrame): DataFrame =
+    approxDistinct(lineitem).select(
+      col("l_returnflag"), col("exact_nd"),
+      (abs(col("approx_nd") - col("exact_nd"))
+        <= col("exact_nd").cast("double") * lit(0.1)).as("approx_ok"))
 }

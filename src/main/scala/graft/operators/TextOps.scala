@@ -110,18 +110,48 @@ object TextOps {
       .select("source", "sample_rank", "doc_id", "lang")
   }
 
-  /** C10: document fingerprint — order-sensitive polynomial rolling
-    * hash over token hashes (Karp-Rabin shape, computed in a masked
-    * 32-bit ring so it is ANSI-overflow-safe) plus an
-    * order-insensitive min-hash — two cheap fingerprints per document.
+  /** 32-bit md5-derived token hash, bit-identical to DuckDB's
+    * `md5_number_upper(t) >> 32`: DuckDB reads the first 8 digest
+    * bytes LITTLE-endian, so the upper 32 bits are hex chars 9–16
+    * with the byte pairs reversed. A real hash (md5) that both
+    * engines can compute — the reason C10 can be oracle-gated at all
+    * (xxhash64 has no DuckDB twin; VERDICT r1 item 4).
+    */
+  private def md5Hash32(t: Column): Column = {
+    val h = md5(t)
+    conv(concat(substring(h, 15, 2), substring(h, 13, 2),
+      substring(h, 11, 2), substring(h, 9, 2)), 16, 10).cast("long")
+  }
+
+  /** C10: document fingerprint — ORDER-SENSITIVE positional
+    * fingerprint plus an order-insensitive min-hash, two cheap
+    * fingerprints per document, all map-side (no shuffle).
+    *
+    * Each token contributes m_i = c_i·h_i mod 2^32 with a
+    * position-dependent coefficient c_i = i·k mod 2^32 (k = Knuth's
+    * 2654435761, i = 1-based position, h_i = md5-derived 32-bit token
+    * hash); the fingerprint is Σ m_i mod 2^32 — a random-linear-
+    * combination hash. The coefficient MULTIPLIES the hash (an
+    * additive/affine mix would make the sum separable and therefore
+    * permutation-invariant), so swapping tokens i,j shifts the sum by
+    * (c_i−c_j)(h_i−h_j) ≠ 0. A commutative SUM of positional terms is
+    * what keeps this SQL-expressible without fold/reduce — i.e.
+    * reproducible by the DuckDB oracle. The c·h product runs in
+    * DECIMAL (ANSI-overflow-safe; everything else stays in long range).
     */
   def fingerprint(documents: DataFrame): DataFrame = {
-    val mask = lit(0xFFFFFFFFL)
-    val th = transform(tokens(col("text")), t => xxhash64(t))
+    import org.apache.spark.sql.types.DecimalType
+    val K = lit(2654435761L)
+    val M = lit(4294967296L)
+    val th = transform(tokens(col("text")), t => md5Hash32(t))
+    val mixed = transform(th, (h, i) =>
+      pmod(
+        pmod((i + 1).cast("long") * K, M).cast(DecimalType(20, 0))
+          * h.cast(DecimalType(20, 0)),
+        M.cast(DecimalType(11, 0))).cast("long"))
     documents.select(
       col("doc_id"),
-      aggregate(th, lit(0L), (acc, h) =>
-        (acc * lit(31L) + h.bitwiseAND(mask)).bitwiseAND(mask))
+      pmod(aggregate(mixed, lit(0L), (acc, m) => acc + m), M)
         .as("rolling_fp"),
       array_min(th).as("min_fp"))
   }

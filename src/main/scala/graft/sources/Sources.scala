@@ -97,4 +97,71 @@ object Sources {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** LOAD stage: keyed upsert into a JDBC serving store — the engine
+    * side of the reference's `INSERT … ON CONFLICT (keys) DO UPDATE`
+    * load (flows/load_hourly_parquet_to_postgres.py:20-35), which every
+    * reference deployment runs each pipeline cycle.
+    *
+    * Pattern: executors bulk-write the batch to a STAGING table through
+    * the parallel JDBC sink (no per-row upsert round-trips from tasks),
+    * then the driver issues ONE set-based `MERGE INTO target USING
+    * staging` the database executes set-wise. This is the scalable
+    * Spark→RDBMS upsert shape: parallel load + a single transactional
+    * merge, safe to re-run (idempotent on the key).
+    *
+    * The target table is expected to exist (serving-store DDL is owned
+    * by the store, as in the reference's docker/init/01_marts.sql).
+    * ANSI MERGE syntax — works on Postgres 15+, Derby, H2, Oracle,
+    * SQL Server; the spec exercises it against embedded Derby.
+    */
+  def writeJdbcUpsert(df: DataFrame, url: String, table: String,
+      keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val staging = table + "_STAGE"
+    df.write.mode("overwrite").jdbc(url, staging, props)
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val merge =
+      s"""MERGE INTO $table t USING $staging s ON ($on)
+         |WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = s.$c").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(merge) finally st.close()
+    } finally conn.close()
+  }
+
+  /** Incremental, idempotent partition backfill — the reference's
+    * `if target.exists(): skip` month-skipping idempotency
+    * (flows/download_era5_land.py:81) as a set-based operator: append
+    * only the input's partitions that are NOT already materialized in
+    * the hive layout at `path`.
+    *
+    * The existing side projects ONLY partition columns, whose values
+    * come from the directory listing — no data columns are read; the
+    * anti-join keys on partition values; the append writes whole new
+    * partitions. Re-running over the same input writes zero new files
+    * (spec-asserted), which is what makes retrying a failed backfill
+    * safe at any scale.
+    */
+  def appendMissingPartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    val spark = df.sparkSession
+    val existing =
+      try Some(spark.read.parquet(path)
+        .select(partitionCols.map(col): _*).distinct())
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val missing = existing match {
+      case Some(e) => df.join(e, partitionCols, "left_anti")
+      case None => df
+    }
+    missing.write.mode("append")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -68,6 +68,23 @@ class AgriOpsSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("gridUnpivot inverts pivotWide back to long rows") {
+    val keys = Seq("click", "error", "purchase", "signup", "view")
+    val wide = AgriOps.pivotWide(events, keys)
+    val long = AgriOps.gridUnpivot(wide, Seq("day"), keys, "metric", "avg_value")
+    // every non-null wide cell becomes exactly one long row
+    val nonNullCells = keys.map(k =>
+      wide.filter(col(k).isNotNull).count()).sum
+    assert(long.count() === nonNullCells)
+    assert(long.filter(col("avg_value").isNull).count() === 0)
+    // and the values match the daily mart means for a sample metric
+    val clicks = long.filter(col("metric") === "click")
+      .join(AgriOps.dailyMart(events)
+        .filter(col("event_type") === "click"), "day")
+      .filter(abs(col("avg_value") - col("value_mean")) > 1e-9)
+    assert(clicks.count() === 0)
+  }
+
   test("kpi matches direct computation") {
     val k = AgriOps.kpi(events).head()
     assert(k.getAs[Long]("n_rows") === events.count())

@@ -54,6 +54,15 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(t.filter(col("rn") > 3).count() === 0)
   }
 
+  test("topNPerGroupAgg (bounded-heap aggregate) equals the window form exactly") {
+    val part = Tables.part(spark, sf)
+    val win = AnalyticsOps.topNPerGroup(part, 3)
+    val agg = AnalyticsOps.topNPerGroupAgg(part, 3)
+    assert(agg.count() === win.count())
+    assert(win.exceptAll(agg).count() === 0)
+    assert(agg.exceptAll(win).count() === 0)
+  }
+
   test("rollup grand total equals table size") {
     val r = AnalyticsOps.rollupSummary(lineitem)
     val grand = r.filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")

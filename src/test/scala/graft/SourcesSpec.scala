@@ -75,6 +75,70 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("line") === "3,4").count() === 1)
   }
 
+  test("writeJdbcUpsert: staged MERGE updates matched keys, inserts new ones") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftupsert;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE MART (K BIGINT NOT NULL, REGION VARCHAR(16), V DOUBLE, PRIMARY KEY (K))")
+      st.executeUpdate("INSERT INTO MART VALUES (1, 'old', 1.0), (2, 'keep', 2.0)")
+      st.close()
+    } finally conn.close()
+
+    val batch = Seq((1L, "new", 10.0), (3L, "ins", 30.0)).toDF("K", "REGION", "V")
+    Sources.writeJdbcUpsert(batch, url, "MART", Seq("K"))
+    // second run with the same batch must be idempotent
+    Sources.writeJdbcUpsert(batch, url, "MART", Seq("K"))
+
+    val check = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = check.createStatement()
+        .executeQuery("SELECT K, REGION, V FROM MART ORDER BY K")
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toList
+      assert(rows === List((1L, "new", 10.0), (2L, "keep", 2.0), (3L, "ins", 30.0)))
+    } finally check.close()
+  }
+
+  test("appendMissingPartitions: second run over same input writes zero new files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("backfill").toString
+    val batch1 = Seq(("r1", 2024, 1, 1.0), ("r1", 2024, 2, 2.0))
+      .toDF("region", "year", "month", "v")
+    Sources.appendMissingPartitions(batch1, dir, Seq("region", "year", "month"))
+    assert(spark.read.parquet(dir).count() === 2)
+
+    def partFiles(): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.startsWith("part-")) buf += f.getPath
+      }
+      walk(new java.io.File(dir))
+      buf.toSeq.sorted
+    }
+    val after1 = partFiles()
+
+    // identical rerun: nothing new materializes
+    Sources.appendMissingPartitions(batch1, dir, Seq("region", "year", "month"))
+    assert(partFiles() === after1)
+    assert(spark.read.parquet(dir).count() === 2)
+
+    // a batch with one already-present and one new partition appends
+    // only the new one (the existing row is NOT duplicated)
+    val batch2 = Seq(("r1", 2024, 2, 99.0), ("r2", 2024, 1, 3.0))
+      .toDF("region", "year", "month", "v")
+    Sources.appendMissingPartitions(batch2, dir, Seq("region", "year", "month"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("region") === "r2").count() === 1)
+    assert(back.filter(col("v") === 99.0).count() === 0)
+  }
+
   test("vec_dot native expression matches builtin composition and works in SQL") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
@@ -88,6 +152,17 @@ class SourcesSpec extends SparkSpec {
     graft.functions.VectorFns.register(spark)
     df.createOrReplaceTempView("vecs")
     assert(spark.sql("SELECT vec_dot(a, b) AS d FROM vecs").head().getDouble(0) === 32.0)
+  }
+
+  test("vec_dot yields null on length mismatch, like the builtin composition") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val native = df.select(graft.functions.VectorFns.vec_dot(col("a"), col("b")))
+      .head()
+    val generic = df.select(graft.operators.SimilarityOps.dotGeneric(col("a"), col("b")))
+      .head()
+    assert(native.isNullAt(0))
+    assert(generic.isNullAt(0))
   }
 
   test("embeddingNearDups returns symmetric-free thresholded pairs") {
