@@ -69,6 +69,7 @@ object SparkEntry {
     "ngram_jaccard_prefix" -> ((s, d) => DedupOps.ngramJaccardPrefix(Tables.documents(s, d), 0.5)),
     "knn_brute" -> ((s, d) => SimilarityOps.knnBrute(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
+    "knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(Tables.embeddings(s, d))),
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),

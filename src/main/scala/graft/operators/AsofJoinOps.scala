@@ -33,17 +33,23 @@ object AsofJoinOps {
     val leftCols = left.columns
     val tb = Option(tieBreak)
 
+    // the tiebreak keeps its NATIVE type (any orderable column works —
+    // numeric, string, timestamp); left rows carry null, which is fine:
+    // __side already orders them after every right row at equal ts, and
+    // relative order among left rows never affects the carried value
+    val tbType = tb.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType)
     val lTagged = left
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightCols.map(col): _*).schema.fields)))
       .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(Long.MaxValue))
+      .withColumn("__tb", lit(null).cast(tbType))
     val rTagged = right
       .select(col(key), col(tsCol),
         struct(rightCols.map(col): _*).as("__r"),
         lit(0).as("__side"),
-        tb.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tb"))
+        tb.map(c => col(c)).getOrElse(lit(0L).cast(tbType)).as("__tb"))
 
     val unified = lTagged.select(
       (Seq(col(key), col(tsCol), col("__r"), col("__side"), col("__tb")) ++

@@ -199,19 +199,73 @@ object SimilarityOps {
   /** Centroid-style coarse quantization (IVF flavor): assign each
     * vector to the nearest of `nLists` deterministic seed vectors
     * (the corpus rows with the lowest vec_ids serve as seeds — a
-    * degenerate but deterministic "training"), then search only the
-    * probe list. Returns (vec_id, list_id) assignments.
+    * degenerate but deterministic "training"). Returns
+    * (vec_id, list_id) assignments.
+    *
+    * Plan: broadcast seeds × corpus scan, then argmax via `max_by`
+    * with a deterministic (d, −list_id) tiebreak — a map-side
+    * combinable hash aggregate, NOT a window: the nLists-way fan-out
+    * collapses back to one row per vector before any shuffle.
     */
   def ivfAssign(embeddings: DataFrame, nLists: Int = 16): DataFrame = {
     val seeds = embeddings.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("seed_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("d").desc, col("list_id"))
     embeddings.join(broadcast(seeds))
       .select(col("vec_id"), col("list_id"),
         cosine(col("embedding"), col("seed_emb")).as("d"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("list_id"))
+      .groupBy("vec_id")
+      .agg(max_by(col("list_id"),
+        struct(col("d"), negate(col("list_id")))).as("list_id"))
+  }
+
+  /** C15: ANN via IVF probe-n search — the inverted-file twin of
+    * [[knnLsh]]: the corpus is partitioned once into nLists coarse
+    * cells ([[ivfAssign]]); each query ranks the cell centroids and
+    * scans only its `nProbe` closest cells (exact cosine + top-k
+    * inside them).
+    *
+    * Scale shape: the index is one assignment column on the corpus
+    * (map + one partial-agg); queries fan out ×nProbe before the
+    * broadcast cell equi-join — candidate generation is a cell join,
+    * never a cross product. nProbe/nLists is the recall↔cost dial:
+    * cells a query skips are never read, which is the point of IVF at
+    * 100 TB (cells map to partition pruning when the corpus is
+    * written clustered by list_id).
+    */
+  def knnIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists)
+    val seeds = embeddings.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("seed_emb"))
+    val corpus = embeddings
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
+      .join(ivfAssign(embeddings, nLists)
+        .select(col("vec_id").as("c_id"), col("list_id")), "c_id")
+
+    // per query: its nProbe closest cells (tiny side — window is fine)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d").desc, col("list_id"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+      .join(broadcast(seeds))
+      .withColumn("d", cosine(col("q_emb"), col("seed_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("list_id"))
+
+    val scored = corpus
+      .join(broadcast(queries), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 3).as("sim"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "sim")
   }
 }

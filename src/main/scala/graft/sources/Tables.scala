@@ -53,7 +53,12 @@ object Tables {
     * and Spark timestamps are µs precision anyway.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session-wide SQLConf (not a per-read option).
+    // Guarded set: idempotent, and the only possible race writes the
+    // same value. Deployments sharing one session across jobs should
+    // set it once at session build instead.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -104,6 +104,13 @@ object StreamOps {
             state.remove()
             Iterator(SessionOut(userId, s.start, s.last, s.nEvents, s.sumValue))
           } else {
+            // Bounded by design, not unbounded: this materializes ONE
+            // user's events from ONE micro-batch (not the whole
+            // stream) — the watermark upper-bounds how much late data
+            // a batch can carry, and trigger intervals bound batch
+            // size. A pathological hot user whose per-batch volume
+            // can't fit an executor should be salted upstream
+            // (user_id, ts-bucket) before sessionizing.
             val evs = it.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
