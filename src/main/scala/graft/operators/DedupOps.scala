@@ -166,10 +166,14 @@ object DedupOps {
     val tau = minJaccard
     val eps = 1e-9 // guards ⌈τ·n⌉ against double round-up (safe side)
 
-    // 1. one row per (doc, distinct token hash) — map-only
-    val toks = documents.select(col("doc_id"), col("source"),
-      explode(array_distinct(transform(TextOps.tokens(col("text")),
-        t => xxhash64(t)))).as("th"))
+    // 1. one row per (doc, distinct token hash) — persisted: the
+    // document-frequency aggregate AND the df-join both consume it,
+    // and tokenization is the single most CPU-expensive map in the
+    // pipeline (don't run it twice)
+    val toks = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(TextOps.tokens(col("text")),
+          t => xxhash64(t)))).as("th")))
 
     // 2. document frequency per token hash
     val dfreq = toks.groupBy("th").agg(count(lit(1)).as("df"))

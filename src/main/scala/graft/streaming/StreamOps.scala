@@ -45,6 +45,29 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** D4: incremental batch ingestion via Trigger.AvailableNow — the
+    * streaming twin of [[graft.sources.Sources.appendMissingPartitions]]
+    * and the exact engine shape of the reference's "process new months,
+    * skip done ones" cycle (flows/download_era5_land.py:81): each run
+    * drains ONLY files not yet recorded in the checkpoint, writes them
+    * through `transform`, and exits. Restart-safe and exactly-once at
+    * the file level — the checkpoint, not directory diffing, is the
+    * source of truth, so a crashed run resumes instead of reprocessing.
+    */
+  def ingestAvailableNow(spark: SparkSession, inDir: String,
+      outDir: String, checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val q = transform(readEventsStream(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append)
+      .start()
+    q.awaitTermination()
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

@@ -139,6 +139,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("v") === 99.0).count() === 0)
   }
 
+  test("Catalog.ensureMartTable registers the mart, recovers partitions, prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mart").toString
+    val ddl = "v DOUBLE, event_type STRING, year INT, month INT"
+    val parts = Seq("event_type", "year", "month")
+    Seq(("click", 2024, 1, 1.0), ("view", 2024, 2, 2.0))
+      .toDF("event_type", "year", "month", "v")
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(dir)
+
+    spark.sql("DROP TABLE IF EXISTS mart_t")
+    graft.sources.Catalog.ensureMartTable(spark, "mart_t", dir, ddl, parts)
+    assert(graft.sources.Catalog.mart(spark, "mart_t").count() === 2)
+    // idempotent re-run (every pipeline cycle)
+    graft.sources.Catalog.ensureMartTable(spark, "mart_t", dir, ddl, parts)
+
+    // out-of-band append (e.g. the incremental backfill) + refresh
+    Seq(("error", 2024, 3, 3.0)).toDF("event_type", "year", "month", "v")
+      .write.mode("append").partitionBy(parts: _*).parquet(dir)
+    graft.sources.Catalog.refreshMart(spark, "mart_t")
+    val mart = graft.sources.Catalog.mart(spark, "mart_t")
+    assert(mart.count() === 3)
+    assert(mart.filter(col("event_type") === "click").count() === 1)
+    spark.sql("DROP TABLE mart_t")
+  }
+
   test("vec_dot native expression matches builtin composition and works in SQL") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))

@@ -100,6 +100,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("ingestAvailableNow processes only new files per run (checkpoint-idempotent)") {
+    val in = java.nio.file.Files.createTempDirectory("ingest_in")
+    val out = java.nio.file.Files.createTempDirectory("ingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, in.resolve("f1.parquet"))
+
+    StreamOps.ingestAvailableNow(spark, in.toString, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+
+    // rerun with nothing new: drains zero files, output unchanged
+    StreamOps.ingestAvailableNow(spark, in.toString, out, ckpt)
+    assert(spark.read.parquet(out).count() === n1)
+
+    // a new file arrives: exactly its rows are appended (file-level
+    // exactly-once from the checkpoint, not directory diffing)
+    java.nio.file.Files.copy(src, in.resolve("f2.parquet"))
+    StreamOps.ingestAvailableNow(spark, in.toString, out, ckpt)
+    assert(spark.read.parquet(out).count() === 2 * n1)
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
