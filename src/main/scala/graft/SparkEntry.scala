@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.operators._
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -75,6 +76,12 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "text_normalize" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminate(docs,
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0), 0.5)
+    }),
     "multimodal_stub" -> ((s, d) => MultimodalOps.mediaStats(s, Tables.documents(s, d))),
   )
 
@@ -393,6 +400,29 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |  AS BIGINT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text),
+        |  '[0-9]{4,}', '<num>', 'g'), '\s+', ' ', 'g')) AS text_norm,
+        |CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT)
+        |  AS n_num_runs
+        |FROM documents""".stripMargin,
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |d AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+        |b AS (SELECT DISTINCT gm FROM d WHERE doc_id % 20 = 0),
+        |j AS (SELECT d.doc_id, count(*) AS n_grams, count(b.gm) AS n_hits
+        |  FROM d LEFT JOIN b ON d.gm = b.gm GROUP BY d.doc_id)
+        |SELECT doc_id, n_grams, CAST(n_hits AS BIGINT) AS n_hits,
+        |round(n_hits * 1.0 / n_grams, 4) AS contamination,
+        |(n_hits * 1.0 / n_grams <= 0.5) AS keep
+        |FROM j""".stripMargin,
     // exact column gated by equality; HLL column gated by the error
     // bound (oracle emits TRUE, so Spark's sketch must stay within 10%)
     "q_approx_distinct" ->

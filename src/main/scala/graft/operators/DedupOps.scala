@@ -231,6 +231,37 @@ object DedupOps {
         round(col("ni") / (col("n1") + col("n2") - col("ni")), 4).as("jaccard"))
   }
 
+  /** C16: benchmark decontamination — the standard pre-training hygiene
+    * pass: flag training documents whose word 3-grams overlap an
+    * evaluation/benchmark corpus, so eval answers don't leak into
+    * training data. Per document: total 3-gram instances, how many
+    * appear anywhere in the benchmark set, the contamination ratio,
+    * and a keep flag.
+    *
+    * Scale shape: explode doc n-grams; the benchmark side collapses to
+    * DISTINCT n-grams (typically tiny vs the corpus — eval sets are
+    * thousands of docs, training corpora billions), so the membership
+    * join broadcasts; one groupBy(doc_id) rolls the verdict up. No
+    * all-pairs anything — cost is linear in corpus n-grams.
+    */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame,
+      maxOverlap: Double = 0.5): DataFrame = {
+    val docGrams = documents.select(col("doc_id"),
+      explode(shingles(col("text"))).as("g"))
+    val benchGrams = benchmark.select(explode(shingles(col("text"))).as("g"))
+      .distinct()
+    docGrams
+      .join(benchGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 4)
+          .as("contamination"),
+        (col("n_hits").cast("double") / col("n_grams") <= maxOverlap)
+          .as("keep"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** doc_id + 64-bit SimHash: per bit, sum ±1 over token hashes; bit

@@ -110,6 +110,21 @@ object TextOps {
       .select("source", "sample_rank", "doc_id", "lang")
   }
 
+  /** C17: text normalization — the cheap canonicalization pass every
+    * training corpus gets before dedup/tokenization: lowercase,
+    * long digit runs → a <num> placeholder (so "2023" and "2024"
+    * variants of the same boilerplate dedup together), whitespace
+    * collapsed and trimmed. Pure map over codegen'd regexp builtins;
+    * zero shuffles at any scale.
+    */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[0-9]{4,}", "<num>"), "\\s+", " ")).as("text_norm"),
+      regexp_count(col("text"), lit("[0-9]{4,}")).cast("long")
+        .as("n_num_runs"))
+
   /** 32-bit md5-derived token hash, bit-identical to DuckDB's
     * `md5_number_upper(t) >> 32`: DuckDB reads the first 8 digest
     * bytes LITTLE-endian, so the upper 32 bits are hex chars 9–16

@@ -7,6 +7,23 @@ import graft.sources.Tables
 class DedupOpsSpec extends SparkSpec {
   lazy val documents = Tables.documents(spark, sf).cache()
 
+  test("decontaminate flags full overlap, clears disjoint docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma nu xi omicron pi")) // shares 1 of 5 grams
+      .toDF("doc_id", "text")
+    val benchmark = docs.filter(col("doc_id") === 1)
+    val out = DedupOps.decontaminate(docs, benchmark, maxOverlap = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((1.0, false))) // the benchmark doc itself
+    assert(out(2L) === ((0.0, true)))  // disjoint vocabulary
+    assert(out(3L)._1 === 0.2)         // 1 shared gram of 5
+    assert(out(3L)._2 === true)
+  }
+
   /** Tiny corpus with a planted exact dup + near dup for recall checks. */
   lazy val planted = {
     import spark.implicits._

@@ -108,6 +108,14 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(t.filter(col("bpe_ish_tokens") < col("ws_tokens")).count() === 0)
   }
 
+  test("normalizeText lowers, collapses whitespace, masks digit runs") {
+    import spark.implicits._
+    val df = Seq((1L, "  Call 12345  NOW\t please 99 ")).toDF("doc_id", "text")
+    val r = TextOps.normalizeText(df).head()
+    assert(r.getString(1) === "call <num> now please 99")
+    assert(r.getLong(2) === 1L) // only the 5-digit run qualifies
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
