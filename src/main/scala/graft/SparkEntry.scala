@@ -77,6 +77,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
+    "sample_fraction" -> ((s, d) => TextOps.sampleFraction(Tables.documents(s, d), 0.25)),
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       DedupOps.decontaminate(docs,
@@ -400,6 +401,10 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
         |  AS BIGINT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
+    "sample_fraction" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |  < CAST(0.25 * 4294967296 AS BIGINT)""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(lower(text),

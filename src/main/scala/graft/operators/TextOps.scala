@@ -138,6 +138,25 @@ object TextOps {
       substring(h, 11, 2), substring(h, 9, 2)), 16, 10).cast("long")
   }
 
+  /** C18: deterministic fractional sampling — keep a hash-selected
+    * `frac` of documents, reproducibly: doc survives iff its Knuth
+    * priority (same overflow-safe decimal ring as [[samplePerGroup]],
+    * uniform on [0, 2^32)) falls under frac·2^32. No RNG state, stable
+    * across runs/partitionings/engines, map-only; the standard way to
+    * cut a corpus to a byte budget without coordination.
+    */
+  def sampleFraction(documents: DataFrame, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0)
+    import org.apache.spark.sql.types.DecimalType
+    val priority = pmod(
+      col("doc_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      lit(4294967296L).cast(DecimalType(11, 0))).cast("long")
+    documents
+      .filter(priority < lit((frac * 4294967296.0).toLong))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** C10: document fingerprint — ORDER-SENSITIVE positional
     * fingerprint plus an order-insensitive min-hash, two cheap
     * fingerprints per document, all map-side (no shuffle).

@@ -68,6 +68,18 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** D5: streaming exact dedup — drop replayed events by id, with the
+    * watermark EVICTING dedup state: ids older than the watermark can
+    * never collide with a late arrival (the source's replay window),
+    * so state stays bounded — `dropDuplicates` without a watermark
+    * grows keys forever, the classic unbounded-state failure.
+    * Streaming twin of the batch C1/A5 dedup.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

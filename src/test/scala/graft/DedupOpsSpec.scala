@@ -7,6 +7,16 @@ import graft.sources.Tables
 class DedupOpsSpec extends SparkSpec {
   lazy val documents = Tables.documents(spark, sf).cache()
 
+  test("ngramJaccardPrefix plan contains no window operator (r1 regression guard)") {
+    // round 1 ranked tokens with a row_number window over the WHOLE
+    // exploded token table — a full shuffle+sort before any filtering,
+    // and the reason the prefix path was slower than the unfiltered
+    // join. The rewrite must stay window-free.
+    val plan = DedupOps.ngramJaccardPrefix(documents, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "prefix join regressed to a window plan")
+  }
+
   test("decontaminate flags full overlap, clears disjoint docs") {
     import spark.implicits._
     val docs = Seq(

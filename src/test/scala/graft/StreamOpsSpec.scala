@@ -100,6 +100,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streamingDedup drops replayed event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingDedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    stream.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // in-batch dup
+      ev(2, "2024-01-01 10:01:00", 2, "view", 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      ev(1, "2024-01-01 10:00:30", 1, "click", 1.0), // replay, in watermark
+      ev(3, "2024-01-01 10:02:00", 3, "view", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("ingestAvailableNow processes only new files per run (checkpoint-idempotent)") {
     val in = java.nio.file.Files.createTempDirectory("ingest_in")
     val out = java.nio.file.Files.createTempDirectory("ingest_out").toString
