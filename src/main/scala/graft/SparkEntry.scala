@@ -91,9 +91,13 @@ object SparkEntry {
     * fingerprints/multimodal) → rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // avg/sum of doubles mirror graft.operators.Exact: exact decimal
+    // sum (order-independent), then one double op — a plain double
+    // avg's last ulp differs between engines and flips round(.,4)
     "q_hourly_mart" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-        |round(avg(value), 4) AS avg_value, count(*) AS n_obs
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+        |  AS avg_value, count(*) AS n_obs
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
     "q_unit_convert" ->
       """SELECT event_id, event_type,
@@ -103,10 +107,11 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q_daily_mart" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
-        |round(avg(value), 4) AS value_mean,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+        |  AS value_mean,
         |round(min(value), 4) AS value_min,
         |round(max(value), 4) AS value_max,
-        |round(sum(value), 4) AS value_sum,
+        |CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS value_sum,
         |count(*) AS n_obs
         |FROM events GROUP BY event_type, date_trunc('day', ts)""".stripMargin,
     "q_water_balance" ->
@@ -135,11 +140,11 @@ object SparkEntry {
         |ORDER BY event_type, ts, event_id""".stripMargin,
     "q_pivot_wide" ->
       """SELECT date_trunc('day', ts) AS day,
-        |round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS click,
-        |round(avg(value) FILTER (WHERE event_type = 'error'), 4) AS error,
-        |round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
-        |round(avg(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
-        |round(avg(value) FILTER (WHERE event_type = 'view'), 4) AS view
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'click')) AS click,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'error')) AS error,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'purchase')) AS purchase,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'signup')) AS signup,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'view')) AS view
         |FROM events GROUP BY date_trunc('day', ts)""".stripMargin,
     "q_kpi" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
@@ -147,20 +152,23 @@ object SparkEntry {
         |min(ts) AS min_ts, max(ts) AS max_ts FROM events""".stripMargin,
     "q_grid_unpivot" ->
       """WITH wide AS (SELECT date_trunc('day', ts) AS day,
-        |round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS click,
-        |round(avg(value) FILTER (WHERE event_type = 'error'), 4) AS error,
-        |round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
-        |round(avg(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
-        |round(avg(value) FILTER (WHERE event_type = 'view'), 4) AS view
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'click')) AS click,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'error')) AS error,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'purchase')) AS purchase,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'signup')) AS signup,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) / count(*) FILTER (WHERE event_type = 'view')) AS view
         |FROM events GROUP BY date_trunc('day', ts))
         |SELECT day, metric, avg_value FROM
         |(UNPIVOT wide ON click, error, purchase, signup, view
         | INTO NAME metric VALUE avg_value)""".stripMargin,
     "q_mart_pipeline" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-        |round(avg(value - 273.15), 4) AS t_c_avg,
-        |round(sum(value * 1000.0), 4) AS precip_mm_sum,
-        |round(avg(sqrt(value*value + user_id*user_id)), 4) AS speed_avg
+        |(CAST(sum(CAST(value - 273.15 AS DECIMAL(20,6))) AS DOUBLE)
+        |  / count(*)) AS t_c_avg,
+        |CAST(round(sum(CAST(value * 1000.0 AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |  AS precip_mm_sum,
+        |(CAST(sum(CAST(sqrt(value*value + user_id*user_id)
+        |  AS DECIMAL(20,6))) AS DOUBLE) / count(*)) AS speed_avg
         |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
@@ -168,8 +176,8 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |round(sum(l_quantity), 2) AS sum_qty,
-        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_base_price,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
         |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
         |  AS DOUBLE) AS sum_disc_price,
@@ -177,9 +185,9 @@ object SparkEntry {
         |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
         |  * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2)
         |  AS DOUBLE) AS sum_charge,
-        |round(avg(l_quantity), 4) AS avg_qty,
-        |round(avg(l_extendedprice), 4) AS avg_price,
-        |round(avg(l_discount), 4) AS avg_disc,
+        |(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*)) AS avg_qty,
+        |(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)) AS avg_price,
+        |(CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / count(*)) AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -260,7 +268,8 @@ object SparkEntry {
         |  AS session_id FROM y)
         |SELECT user_id, session_id,
         |min(ts) AS session_start, max(ts) AS session_end,
-        |count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |count(*) AS n_events,
+        |CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
@@ -274,7 +283,8 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
         |count(*) AS n,
-        |round(avg(value), 4) AS avg_value,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+        |  AS avg_value,
         |round(min(value), 4) AS min_value,
         |round(max(value), 4) AS max_value
         |FROM events GROUP BY CAST(floor(value / 50.0) AS BIGINT)""".stripMargin,
@@ -282,7 +292,8 @@ object SparkEntry {
       """SELECT event_type,
         |round(stddev_samp(value), 4) AS value_stddev,
         |round(var_samp(value), 4) AS value_var,
-        |round(avg(value), 4) AS value_mean,
+        |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+        |  AS value_mean,
         |count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q_percentiles" ->

@@ -31,12 +31,17 @@ import graft.sources.Tables
   */
 object AgriOps {
 
-  /** A1: spatial mean per (series key, hour bucket). */
+  /** A1: spatial mean per (series key, hour bucket). The mean is
+    * computed via [[Exact.avgD]] (exact decimal sum, one double
+    * division) so the mart is bit-identical regardless of
+    * partitioning — a re-run on different executor counts must not
+    * emit different values.
+    */
   def hourlyMart(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(
-        round(avg("value"), 4).as("avg_value"),
+        Exact.avgD(col("value")).as("avg_value"),
         count(lit(1)).as("n_obs"))
 
   /** A2: elementwise unit conversions + derived hypotenuse column. */
@@ -50,15 +55,18 @@ object AgriOps {
         + col("user_id").cast("double") * col("user_id").cast("double")), 4)
         .as("speed"))
 
-  /** A3: daily rollup with per-column agg specs (mean/min/max/sum). */
+  /** A3: daily rollup with per-column agg specs (mean/min/max/sum).
+    * mean/sum via exact decimal (order-independent); min/max are
+    * order-independent already.
+    */
   def dailyMart(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(
-        round(avg("value"), 4).as("value_mean"),
+        Exact.avgD(col("value")).as("value_mean"),
         round(min("value"), 4).as("value_min"),
         round(max("value"), 4).as("value_max"),
-        round(sum("value"), 4).as("value_sum"),
+        Exact.sumD(col("value")).as("value_sum"),
         count(lit(1)).as("n_obs"))
 
   /** A4: derived balance = difference of two aggregates (water_balance
@@ -120,7 +128,7 @@ object AgriOps {
     events
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .pivot("event_type", keys)
-      .agg(round(avg("value"), 4))
+      .agg(Exact.avgD(col("value")))
 
   /** A12: wide→long grid unpivot — the EXTRACT-stage analog of the
     * reference's grid decode (dask_jobs/aggregate_hourly.py:60
@@ -160,9 +168,9 @@ object AgriOps {
           .as("speed"))
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(
-        round(avg("value_c"), 4).as("t_c_avg"),
-        round(sum("value_mm"), 4).as("precip_mm_sum"),
-        round(avg("speed"), 4).as("speed_avg"))
+        Exact.avgD(col("value_c")).as("t_c_avg"),
+        Exact.sumD(col("value_mm")).as("precip_mm_sum"),
+        Exact.avgD(col("speed")).as("speed_avg"))
 
   /** A11: JSON property extraction (events.props is a JSON object). */
   def jsonExtract(events: DataFrame): DataFrame =

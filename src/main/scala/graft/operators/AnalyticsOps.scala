@@ -46,13 +46,15 @@ object AnalyticsOps {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        // sums/avgs of fixed-dp columns run in exact decimal (see
+        // Exact) — a double sum's last ulp depends on partitioning
+        Exact.sumD(col("l_quantity"), 2).as("sum_qty"),
+        Exact.sumD(col("l_extendedprice"), 2).as("sum_base_price"),
         cents(sum(revenueExpr)).as("sum_disc_price"),
         cents(sum(revenueExpr * (one + rate(col("l_tax"))))).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Exact.avgD(col("l_quantity")).as("avg_qty"),
+        Exact.avgD(col("l_extendedprice")).as("avg_price"),
+        Exact.avgD(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** B2: shipping priority (TPC-H Q3 shape) — selective filters pushed
@@ -187,7 +189,7 @@ object AnalyticsOps {
     events
       .groupBy(floor(col("value") / binWidth).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(avg("value"), 4).as("avg_value"),
+        Exact.avgD(col("value")).as("avg_value"),
         round(min("value"), 4).as("min_value"),
         round(max("value"), 4).as("max_value"))
 
@@ -198,7 +200,7 @@ object AnalyticsOps {
     events.groupBy("event_type").agg(
       round(stddev_samp(col("value")), 4).as("value_stddev"),
       round(var_samp(col("value")), 4).as("value_var"),
-      round(avg(col("value")), 4).as("value_mean"),
+      Exact.avgD(col("value")).as("value_mean"),
       count(lit(1)).as("n"))
 
   /** B14: exact percentiles (interpolated) per key — `percentile` is

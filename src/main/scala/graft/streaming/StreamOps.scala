@@ -197,6 +197,6 @@ object StreamOps {
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("sum_value"))
+        graft.operators.Exact.sumD(col("value")).as("sum_value"))
   }
 }
