@@ -246,9 +246,14 @@ object DedupOps {
     */
   def decontaminate(documents: DataFrame, benchmark: DataFrame,
       maxOverlap: Double = 0.5): DataFrame = {
+    // membership-join on the 8-byte gram HASH, not the gram string:
+    // identical counts (a 64-bit collision needs ~2^32 distinct grams
+    // in the benchmark set), and the broadcast/shuffle payload shrinks
+    // ~4x vs shipping word trigrams as text
     val docGrams = documents.select(col("doc_id"),
-      explode(shingles(col("text"))).as("g"))
-    val benchGrams = benchmark.select(explode(shingles(col("text"))).as("g"))
+      explode(transform(shingles(col("text")), g => xxhash64(g))).as("g"))
+    val benchGrams = benchmark
+      .select(explode(transform(shingles(col("text")), g => xxhash64(g))).as("g"))
       .distinct()
     docGrams
       .join(benchGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
