@@ -53,6 +53,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => AnalyticsOps.topNPerGroup(Tables.part(s, d), 3)),
     "q_topk_agg" -> ((s, d) => AnalyticsOps.topNPerGroupAgg(Tables.part(s, d), 3)),
     "q_rollup" -> ((s, d) => AnalyticsOps.rollupSummary(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => AnalyticsOps.cubeSummary(Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinctChecked(Tables.lineitem(s, d))),
     "q_sessionize" -> ((s, d) => StreamOps.sessionizeBatch(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoinOps.lastPurchase(Tables.events(s, d))),
@@ -256,6 +257,13 @@ object SparkEntry {
         |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |coalesce(l_linestatus, 'ALL') AS linestatus,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id, value,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

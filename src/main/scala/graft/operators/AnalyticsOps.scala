@@ -182,6 +182,22 @@ object AnalyticsOps {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_rows"))
 
+  /** B19: CUBE aggregation — all 2^k grouping-set combinations in one
+    * pass (rollup's lattice sibling: rollup gives the drill-down path,
+    * cube gives every slice). Spark expands grouping sets BEFORE the
+    * exchange, so each set partial-aggregates map-side — one shuffle
+    * regardless of how many sets the lattice has.
+    */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(Exact.sumD(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+
   /** B12: value histogram — fixed-width binning + per-bin stats (the
     * distributed form of a dashboard bar chart at any cardinality).
     */
