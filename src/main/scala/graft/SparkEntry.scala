@@ -55,6 +55,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => AnalyticsOps.rollupSummary(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => AnalyticsOps.cubeSummary(Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinctChecked(Tables.lineitem(s, d))),
+    "q_approx_pct" -> ((s, d) => AnalyticsOps.approxPercentilesChecked(Tables.events(s, d))),
+    "q_salted_sum" -> ((s, d) => ScaleOps.saltedSum(Tables.events(s, d), "event_type", "value")),
     "q_sessionize" -> ((s, d) => StreamOps.sessionizeBatch(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoinOps.lastPurchase(Tables.events(s, d))),
     "q_histogram" -> ((s, d) => AnalyticsOps.histogram(Tables.events(s, d))),
@@ -447,6 +449,24 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    // exact quartiles gated by equality; the approx_percentile median
+    // is gated by the in-row bracket predicate (oracle emits TRUE):
+    // rank error 1/1000 keeps the sketch far inside [p25, p75]
+    "q_approx_pct" ->
+      """SELECT event_type,
+        |round(quantile_cont(value, 0.25), 4) AS p25,
+        |round(quantile_cont(value, 0.75), 4) AS p75,
+        |TRUE AS approx_in_bounds
+        |FROM events GROUP BY event_type""".stripMargin,
+    // salted two-phase aggregation must be bit-identical to the plain
+    // groupBy — partials run in exact decimal, so the salt spread (and
+    // partition layout) cannot change the merged sum
+    "q_salted_sum" ->
+      """SELECT event_type,
+        |CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |  AS value_sum,
+        |count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     // exact column gated by equality; HLL column gated by the error
     // bound (oracle emits TRUE, so Spark's sketch must stay within 10%)
     "q_approx_distinct" ->

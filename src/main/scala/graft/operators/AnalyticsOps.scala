@@ -219,6 +219,24 @@ object AnalyticsOps {
       Exact.avgD(col("value")).as("value_mean"),
       count(lit(1)).as("n"))
 
+  /** B20: the approx_percentile sketch next to exact percentiles,
+    * gated like B10's HLL: the exact columns compare by equality, the
+    * sketch by an in-row error-bound predicate the oracle asserts as
+    * TRUE. KLL/GK-style sketches are THE scale path for quantiles —
+    * fixed memory, merge map-side — and this query pins their error
+    * to the contract (rank error ≤ accuracy⁻¹ ⇒ value within the
+    * neighboring exact quartiles).
+    */
+  def approxPercentilesChecked(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 4).as("p25"),
+      round(expr("percentile(value, 0.75)"), 4).as("p75"),
+      expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+      round(expr("percentile(value, 0.5)"), 4).as("p50_exact"))
+      .select(col("event_type"), col("p25"), col("p75"),
+        (col("ap50") >= col("p25") && col("ap50") <= col("p75"))
+          .as("approx_in_bounds"))
+
   /** B14: exact percentiles (interpolated) per key — `percentile` is
     * the exact sort-based aggregate; the approx_percentile sketch is
     * the scale path when exactness isn't required.

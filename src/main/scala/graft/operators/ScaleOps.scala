@@ -22,14 +22,21 @@ object ScaleOps {
     * exposed here as the explicit pattern.
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
-      saltBuckets: Int = 16): DataFrame =
+      saltBuckets: Int = 16): DataFrame = {
+    // partial sums run in exact decimal (graft.operators.Exact
+    // rationale): the salted two-phase merge must produce the
+    // bit-identical result of a plain groupBy, whatever the salt
+    // spread — that equality is oracle-checked
+    import org.apache.spark.sql.types.DecimalType
     df.withColumn("__salt",
         pmod(hash(col(valueCol), monotonically_increasing_id()), lit(saltBuckets)))
       .groupBy(col(key), col("__salt"))
-      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .agg(sum(col(valueCol).cast(DecimalType(20, 6))).as("__psum"),
+        count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
-      .agg(round(sum("__psum"), 4).as("value_sum"),
+      .agg(round(sum("__psum"), 4).cast("double").as("value_sum"),
         sum("__pcnt").as("n"))
+  }
 
   /** Write both sides of a recurring join bucketed on the join key so
     * the join plans with zero Exchange (co-located, shuffle-free).

@@ -77,4 +77,11 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact < 0.1)
     }
   }
+
+  test("approx percentile median lands inside the exact quartile bracket") {
+    val r = AnalyticsOps.approxPercentilesChecked(Tables.events(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Boolean]("approx_in_bounds"),
+      s"approx p50 escaped [p25, p75] for ${row.getAs[String]("event_type")}"))
+  }
 }

@@ -10,8 +10,11 @@ class ScaleOpsSpec extends SparkSpec {
     val events = Tables.events(spark, sf)
     val salted = ScaleOps.saltedSum(events, "event_type", "value")
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // direct side in the same exact-decimal domain: a plain double sum
+    // can differ in the last ulp and flip round(.,4)
     val direct = events.groupBy("event_type")
-      .agg(round(sum("value"), 4).as("s"), count(lit(1)).as("n"))
+      .agg(round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))), 4)
+        .cast("double").as("s"), count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(salted === direct)
   }
