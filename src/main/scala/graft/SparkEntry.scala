@@ -87,6 +87,9 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), 0.5)
     }),
     "multimodal_stub" -> ((s, d) => MultimodalOps.mediaStats(s, Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
+    "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
+    "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -449,6 +452,67 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    // integer-domain repetition stats; keep rule by integer
+    // cross-multiplication (dup ratio ≤ 0.5, top-bigram share ≤ 0.1)
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bigrams FROM t),
+        |x AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+        |g AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM x GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |CAST(b.n_distinct AS BIGINT) AS n_distinct,
+        |CAST(COALESCE(g.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |((b.n_tokens - b.n_distinct) * 2 <= b.n_tokens
+        |  AND COALESCE(g.top_bigram_n, 0) * 10 <= COALESCE(g.n_bigrams, 0))
+        |  AS keep
+        |FROM b LEFT JOIN g USING (doc_id)""".stripMargin,
+    // per-source threshold floor(sqrt(n_min/n_s)·2^32) uses only
+    // correctly-rounded IEEE ops on integers — bit-identical across
+    // engines; priority is the same HUGEINT Knuth ring as C18
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_source
+        |  FROM documents GROUP BY source),
+        |f AS (SELECT source, n_source,
+        |  CAST(floor(sqrt(CAST((SELECT min(n_source) FROM c) AS DOUBLE)
+        |    / CAST(n_source AS DOUBLE)) * 4294967296) AS BIGINT) AS threshold
+        |  FROM c)
+        |SELECT d.doc_id, d.source, d.lang, f.n_source, f.threshold
+        |FROM documents d JOIN f USING (source)
+        |WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |  < f.threshold""".stripMargin,
+    // transitive closure by recursive CTE mirrors Spark's min-label
+    // propagation exactly: both compute min reachable doc_id
+    "dedup_groups" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS toks
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |    >= 0.7),
+        |e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+        |r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
+        |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id),
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.doc_id, c.component, s.n_members,
+        |c.doc_id = c.component AS is_canonical
+        |FROM c JOIN s USING (component)""".stripMargin,
     // exact quartiles gated by equality; the approx_percentile median
     // is gated by the in-row bracket predicate (oracle emits TRUE):
     // rank error 1/1000 keeps the sketch far inside [p25, p75]

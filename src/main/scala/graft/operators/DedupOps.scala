@@ -364,4 +364,54 @@ object DedupOps {
         round(col("n_inter").cast("double")
           / (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
   }
+
+  /** C21: near-duplicate clustering — the step every production dedup
+    * pipeline needs after pair generation: group transitively-linked
+    * near-dups into components and elect one canonical doc per group
+    * (min doc_id), so "keep one of each cluster" is a single filter on
+    * `is_canonical`. Pairs alone can't do that: {A~B, B~C} must
+    * collapse to ONE kept doc, not two independent pair decisions.
+    *
+    * Connected components via min-label propagation (hash-to-min):
+    * every doc starts labeled with itself; each round takes the min
+    * label across neighbors; converges in O(graph diameter) rounds.
+    * Near-dup clusters are dense and tiny-diameter (a few rounds in
+    * practice), which is why plain propagation is the right pick here
+    * — the large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce") only wins on long-chain graphs that
+    * similarity joins don't produce. Each round is one equi-join +
+    * groupBy-min — fully shuffle-parallel, no driver data beyond the
+    * converged? counter.
+    */
+  def dedupGroups(documents: DataFrame, minJaccard: Double = 0.7,
+      maxIters: Int = 50): DataFrame = {
+    val pairs = graft.CacheRegistry.persist(
+      ngramJaccard(documents, minJaccard).select("id1", "id2"))
+    // undirected: propagate along both directions of every edge
+    val edges = pairs.union(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), col("doc_id").as("component")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.id2") === col("l.doc_id"))
+        .groupBy(col("e.id1").as("doc_id"))
+        .agg(min(col("l.component")).as("nbr_min"))
+      val next = graft.CacheRegistry.persist(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component")))
+      changed = next.as("a").join(labels.as("b"), "doc_id")
+        .filter(col("a.component") < col("b.component")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+  }
 }

@@ -82,6 +82,87 @@ object TextOps {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_ish_tokens"))
 
+  /** C19: Gopher-style repetition filter — the standard quality gate
+    * that kills boilerplate and degenerate (looping) generations:
+    * duplicate-token ratio and most-frequent-bigram share per doc
+    * (Rae et al. 2021 §A1.3 use the same family of repetition
+    * signals). Counts stay in the integer domain and the keep rule is
+    * integer cross-multiplication — `(n−nd)·2 ≤ n ⟺ dup ratio ≤ 0.5`
+    * — so the gate is exactly reproducible across engines with zero
+    * float rounding risk.
+    *
+    * Scale shape: one explode + groupBy(doc_id, bigram) — keys are
+    * (doc × distinct-bigram), maximally high-cardinality, so the
+    * shuffle is perfectly spreadable and map-side combine collapses
+    * repeated bigrams before the wire. No windows, no skew pivot.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        // guard: sequence(0, -1) would generate a DESCENDING sequence
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+    val bigramStats = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+    base.select("doc_id", "n_tokens", "n_distinct")
+      .join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        // dup-token ratio ≤ 0.5 AND top-bigram share ≤ 0.1, both
+        // integer-exact; the bigram test is vacuously true for docs
+        // with < 2 tokens (0 ≤ 0)
+        ((col("n_tokens") - col("n_distinct")) * 2 <= col("n_tokens") &&
+          coalesce(col("top_bigram_n"), lit(0L)) * 10 <=
+            coalesce(col("n_bigrams"), lit(0L))).as("keep"))
+  }
+
+  /** C20: temperature-flattened multi-source sampling — the
+    * multilingual-training resampling step (alpha-sampling, α = 0.5):
+    * big sources are down-sampled toward the small ones so no single
+    * domain dominates the mix. Per-source keep fraction
+    * `f_s = sqrt(n_min / n_s)` (n_min = smallest source), realized by
+    * the same overflow-safe Knuth hash threshold as [[sampleFraction]]
+    * — deterministic, coordination-free, map-side after one tiny agg.
+    *
+    * Cross-engine exactness: f_s uses only correctly-rounded IEEE ops
+    * (one divide, one sqrt, one multiply, floor) on integer inputs, so
+    * Spark and the oracle compute bit-identical thresholds — no
+    * cross-row double sums anywhere.
+    *
+    * Scale shape: the per-source count table has one row per source
+    * (bounded, tiny at any corpus size) — AQE broadcasts the join
+    * back; the filter itself is pure map-side. No windows over
+    * unpartitioned data.
+    */
+  def sampleTemperature(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val fracs = counts
+      .crossJoin(counts.agg(min("n_source").as("n_min")))
+      .select(col("source"), col("n_source"),
+        floor(sqrt(col("n_min").cast("double") / col("n_source").cast("double"))
+          * lit(4294967296.0)).cast("long").as("threshold"))
+    val priority = pmod(
+      col("doc_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      lit(4294967296L).cast(DecimalType(11, 0))).cast("long")
+    documents.join(fracs, "source")
+      .filter(priority < col("threshold"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_source"), col("threshold"))
+  }
+
   /** C13: deterministic per-group sampling — keep the k docs per
     * source with the smallest hash(doc_id). Hash-priority sampling is
     * the reproducible form of uniform sampling: no RNG state, stable

@@ -95,4 +95,20 @@ class DedupOpsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(s === Seq("a b c", "b c d"))
   }
+
+  test("dedupGroups merges a transitive chain into one component") {
+    import spark.implicits._
+    // A~B and B~C clear 0.7 (9/11 = 0.818), A~C does not (8/12 = 0.667):
+    // only the transitive closure puts all three in one group
+    def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (10L, toks(1, 10), "s"), (11L, toks(2, 11), "s"),
+      (12L, toks(3, 12), "s"), (99L, "u1 u2 u3 u4 u5", "s")
+    ).toDF("doc_id", "text", "source")
+    val r = DedupOps.dedupGroups(docs, 0.7).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(Seq(10L, 11L, 12L).forall(id => r(id)._1 === 10L && r(id)._2 === 3L))
+    assert(r(10L)._3 && !r(11L)._3 && !r(12L)._3)
+    assert(r(99L) === ((99L, 1L, true)))
+  }
 }

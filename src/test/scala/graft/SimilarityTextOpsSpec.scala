@@ -150,4 +150,41 @@ class SimilarityTextOpsSpec extends SparkSpec {
     val s = MultimodalOps.mediaStats(spark, documents)
     assert(s.count() >= 1)
   }
+
+  test("repetition counts known degenerate and clean docs correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"),                                  // degenerate
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),     // clean
+      (3L, "solo")                                        // 1 token
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // "a a a a b": 5 tokens, 2 distinct; bigrams "a a"×3 + "a b"×1
+    assert(r(1L).getLong(1) === 5 && r(1L).getLong(2) === 2)
+    assert(r(1L).getLong(3) === 3 && r(1L).getLong(4) === 4)
+    assert(!r(1L).getBoolean(5))
+    // 12 distinct tokens: no dup, every bigram unique (1/11 ≤ 0.1)
+    assert(r(2L).getBoolean(5))
+    // single token: no bigrams, vacuously kept
+    assert(r(3L).getLong(4) === 0 && r(3L).getBoolean(5))
+  }
+
+  test("sampleTemperature keeps all of the smallest source, flattens the rest") {
+    val out = TextOps.sampleTemperature(documents).cache()
+    val counts = documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest source: threshold = 2^32 ⇒ every doc survives
+    counts.filter(_._2 == minN).keys.foreach { s =>
+      assert(kept.getOrElse(s, 0L) === counts(s), s"smallest source $s cut")
+    }
+    // output is a subset and deterministic
+    assert(out.count() <= documents.count())
+    val again = TextOps.sampleTemperature(documents)
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
 }
