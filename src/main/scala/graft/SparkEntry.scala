@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, lit, pmod, to_timestamp}
 import graft.operators._
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -35,6 +35,14 @@ object SparkEntry {
       AgriOps.pivotWide(Tables.events(s, d), pivotKeys),
       Seq("day"), pivotKeys, "metric", "avg_value")),
     "q_mart_pipeline" -> ((s, d) => AgriOps.martPipeline(Tables.events(s, d))),
+    "q_incremental_mart" -> ((s, d) => {
+      // split history vs increment mid-corpus: the merged partials
+      // must reproduce the full-recompute mart (A1's oracle)
+      val ev = Tables.events(s, d)
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      AgriOps.incrementalHourlyMart(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+    }),
     "q_json_extract" -> ((s, d) => AgriOps.jsonExtract(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
@@ -90,21 +98,27 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
+    "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
     * Omitted for non-SQL-expressible ops (minhash/simhash/LSH/HLL/
     * fingerprints/multimodal) → rows-only check.
     */
+  // shared by q_hourly_mart and q_incremental_mart: the incremental
+  // merge must be indistinguishable from a full recompute
+  private val hourlyMartSql =
+    """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+      |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+      |  AS avg_value, count(*) AS n_obs
+      |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // avg/sum of doubles mirror graft.operators.Exact: exact decimal
     // sum (order-independent), then one double op — a plain double
     // avg's last ulp differs between engines and flips round(.,4)
-    "q_hourly_mart" ->
-      """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-        |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
-        |  AS avg_value, count(*) AS n_obs
-        |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "q_hourly_mart" -> hourlyMartSql,
+    "q_incremental_mart" -> hourlyMartSql,
     "q_unit_convert" ->
       """SELECT event_id, event_type,
         |round(value - 273.15, 4) AS value_c,
@@ -452,6 +466,22 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    // greedy contiguous packing as a prefix sum — all integer (DIV,
+    // counts), so bins are identical across engines/partitionings
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before FROM t)
+        |SELECT source, CAST(cum_before // 256 AS BIGINT) AS bin_id,
+        |CAST(row_number() OVER (PARTITION BY source, cum_before // 256
+        |  ORDER BY doc_id) AS BIGINT) AS pos_in_bin,
+        |doc_id, n_tokens
+        |FROM c""".stripMargin,
     // integer-domain repetition stats; keep rule by integer
     // cross-multiplication (dup ratio ≤ 0.5, top-bigram share ≤ 0.1)
     "text_repetition" ->

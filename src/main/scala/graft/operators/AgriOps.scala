@@ -44,6 +44,37 @@ object AgriOps {
         Exact.avgD(col("value")).as("avg_value"),
         count(lit(1)).as("n_obs"))
 
+  /** A16: incremental mart maintenance — merge a new batch into
+    * previously-materialized per-key partial state instead of
+    * recomputing the mart from all history. The state per (series,
+    * hour) is the MERGEABLE pair (exact decimal sum, count); merging
+    * is a sum of partials, and the final mean is the same single
+    * double division [[Exact.avgD]] performs. Because decimal
+    * addition is associative, the merged mart is bit-identical to a
+    * full recompute — which is exactly what the oracle checks (this
+    * query's oracle is A1's full-recompute SQL).
+    *
+    * This is the 100 TB answer to the reference's re-run-the-cycle
+    * LOAD stage (flows/load_hourly_parquet_to_postgres.py:20-35): a
+    * day's increment touches a day's partials, not the full history.
+    * The same state pair is what a streaming agg would keep — batch
+    * and streaming maintenance share one merge algebra.
+    */
+  def incrementalHourlyMart(oldEvents: DataFrame,
+      newEvents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))).as("vsum"),
+          count(lit(1)).as("n_obs"))
+    partials(oldEvents).unionByName(partials(newEvents))
+      .groupBy("event_type", "hour_ts")
+      .agg(sum("vsum").as("vsum"), sum("n_obs").as("n_obs"))
+      .select(col("event_type"), col("hour_ts"),
+        (col("vsum").cast("double") / col("n_obs")).as("avg_value"),
+        col("n_obs"))
+  }
+
   /** A2: elementwise unit conversions + derived hypotenuse column. */
   def unitConvert(events: DataFrame): DataFrame =
     events.select(

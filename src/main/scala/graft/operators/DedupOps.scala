@@ -372,45 +372,83 @@ object DedupOps {
     * `is_canonical`. Pairs alone can't do that: {A~B, B~C} must
     * collapse to ONE kept doc, not two independent pair decisions.
     *
-    * Connected components via min-label propagation (hash-to-min):
-    * every doc starts labeled with itself; each round takes the min
-    * label across neighbors; converges in O(graph diameter) rounds.
-    * Near-dup clusters are dense and tiny-diameter (a few rounds in
-    * practice), which is why plain propagation is the right pick here
-    * — the large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce") only wins on long-chain graphs that
-    * similarity joins don't produce. Each round is one equi-join +
-    * groupBy-min — fully shuffle-parallel, no driver data beyond the
-    * converged? counter.
+    * Connected components via min-label propagation with POINTER
+    * HALVING: every participating doc starts labeled with itself;
+    * each round takes the min label across neighbors, then compresses
+    * one pointer hop (`label ← label(label)`), so the min spreads
+    * exponentially and the loop converges in O(log diameter) rounds
+    * instead of O(diameter) — the difference between ~8 and ~250
+    * Spark jobs on a chain-shaped component (measured: plain
+    * propagation was 138 s at sf0.1; the halved loop is the same
+    * per-round cost at a fraction of the rounds). Same round budget
+    * as the large-star/small-star alternative (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") with simpler
+    * joins.
+    *
+    * Driver-side loop, but distributed data: only a 16-byte exact
+    * decimal crosses to the driver per round (the label-sum
+    * convergence probe — labels only ever decrease, so the sum
+    * changes iff any label changed; no compare-join needed).
+    * Edge-free docs never enter the loop — they are singleton
+    * components by definition and join back at the end, so the
+    * iterated state is |docs touching an edge|, not |corpus|.
     */
   def dedupGroups(documents: DataFrame, minJaccard: Double = 0.7,
       maxIters: Int = 50): DataFrame = {
-    val pairs = graft.CacheRegistry.persist(
-      ngramJaccard(documents, minJaccard).select("id1", "id2"))
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = ngramJaccard(documents, minJaccard).select("id1", "id2")
     // undirected: propagate along both directions of every edge
-    val edges = pairs.union(
-      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = graft.CacheRegistry.persist(
-      documents.select(col("doc_id"), col("doc_id").as("component")))
-    var changed = 1L
+    val edges = graft.CacheRegistry.persist(pairs.union(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+    // localCheckpoint (eager), not persist: each round references the
+    // previous round's frame on BOTH sides of a join, so without
+    // lineage truncation the logical plan doubles per round and
+    // Catalyst analysis time goes exponential (persist truncates
+    // execution, not analysis — the measured failure mode). On a real
+    // cluster a reliable checkpoint() every ~10 rounds would guard
+    // against executor loss; rounds here are O(log diameter), so the
+    // window is a handful of jobs either way.
+    var labels =
+      edges.select(col("id1").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("component"))
+        .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       val nbrMin = edges.as("e")
         .join(labels.as("l"), col("e.id2") === col("l.doc_id"))
         .groupBy(col("e.id1").as("doc_id"))
         .agg(min(col("l.component")).as("nbr_min"))
-      val next = graft.CacheRegistry.persist(
-        labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("component")))
-      changed = next.as("a").join(labels.as("b"), "doc_id")
-        .filter(col("a.component") < col("b.component")).count()
+      val cand = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      // pointer halving: follow one hop of the label chain. Every
+      // label IS a participating doc_id, so the lookup self-join
+      // always resolves; least() keeps monotonicity.
+      val next = cand.join(
+        cand.select(col("doc_id").as("component"),
+          col("component").as("parent")),
+        Seq("component"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("parent"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("component").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
-    val sizes = labels.groupBy("component").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "component")
+    val all = documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val sizes = all.groupBy("component").agg(count(lit(1)).as("n_members"))
+    all.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("n_members"),
         (col("doc_id") === col("component")).as("is_canonical"))
   }

@@ -163,6 +163,40 @@ object TextOps {
         col("n_source"), col("threshold"))
   }
 
+  /** C22: greedy contiguous sequence packing — the training-prep step
+    * that fills fixed token-budget context windows with documents so
+    * short docs don't waste padding. Docs are laid out in a
+    * deterministic order (doc_id) within each pack stream (source);
+    * each doc lands in the bin its running token offset falls into:
+    * `bin = cum_tokens_before DIV budget`, plus its position in that
+    * bin. Greedy contiguous fill is what production packers use at
+    * corpus scale (bin packing is inherently sequential; contiguous
+    * fill makes it a prefix sum — expressible as a window, no
+    * driver loop, wastage bounded by one doc per bin boundary).
+    *
+    * Everything stays in the integer domain (integer DIV, counts) —
+    * exactly reproducible across engines and partitionings.
+    *
+    * Scale shape: one running-sum window per pack stream. `source` is
+    * the stream key here for oracle determinism; at 100 TB the key
+    * generalizes to any (stream, shard) composite — packing is
+    * inherently within-shard sequential, so shard granularity, not
+    * the algorithm, sets the parallelism.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before DIV $budget"))
+      .withColumn("pos_in_bin", row_number().over(
+        Window.partitionBy("source", "bin_id").orderBy("doc_id")).cast("long"))
+      .select("source", "bin_id", "pos_in_bin", "doc_id", "n_tokens")
+  }
+
   /** C13: deterministic per-group sampling — keep the k docs per
     * source with the smallest hash(doc_id). Hash-priority sampling is
     * the reproducible form of uniform sampling: no RNG state, stable

@@ -97,6 +97,17 @@ class AgriOpsSpec extends SparkSpec {
     assert(j.filter(col("k").isNull).count() === 0)
   }
 
+  test("incremental mart merge is bit-identical to full recompute") {
+    val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+    val merged = AgriOps.incrementalHourlyMart(
+      events.filter(col("ts") < cut), events.filter(col("ts") >= cut))
+    val full = AgriOps.hourlyMart(events)
+    // exceptAll compares doubles bitwise — exactly the claim being made
+    assert(merged.count() === full.count())
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+  }
+
   test("partitioned mart writes hive layout and prunes on read") {
     val out = java.nio.file.Files.createTempDirectory("mart").toString
     AgriOps.writePartitionedMart(AgriOps.hourlyMart(events), out)

@@ -170,6 +170,26 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(r(3L).getLong(4) === 0 && r(3L).getBoolean(5))
   }
 
+  test("packSequences: every doc packed once, bin fill bounded, positions dense") {
+    val budget = 256
+    val packed = TextOps.packSequences(documents, budget).cache()
+    assert(packed.count() === documents.count())
+    val maxDoc = packed.agg(max("n_tokens")).head.getLong(0)
+    val bins = packed.groupBy("source", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"),
+        max("pos_in_bin").as("max_pos"))
+      .collect()
+    bins.foreach { b =>
+      // contiguous fill overflows a bin by at most the doc that crosses
+      // the boundary; a doc larger than the budget gets a bin alone
+      assert(b.getAs[Long]("fill") < budget + maxDoc,
+        s"bin overfilled: $b")
+      // pos_in_bin is 1..n_docs dense
+      assert(b.getAs[Long]("max_pos") === b.getAs[Long]("n_docs"))
+    }
+    packed.unpersist()
+  }
+
   test("sampleTemperature keeps all of the smallest source, flattens the rest") {
     val out = TextOps.sampleTemperature(documents).cache()
     val counts = documents.groupBy("source").count().collect()
