@@ -99,6 +99,8 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
+    "keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -466,6 +468,30 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    "vocab_topk" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents) GROUP BY doc_id, tok),
+        |v AS (SELECT tok, sum(tf) AS cf, count(*) AS df FROM tf GROUP BY tok),
+        |r AS (SELECT tok, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+        |  CAST(row_number() OVER (ORDER BY cf DESC, tok) AS BIGINT) AS rank
+        |  FROM v)
+        |SELECT rank, tok, cf, df FROM r WHERE rank <= 100""".stripMargin,
+    // integer sort key (tf desc, df asc, tok) — the tf-idf ranking
+    // without float log(), which libm computes differently per engine
+    "keywords" ->
+      """WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents) GROUP BY doc_id, tok),
+        |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id, kw_rank, tok, tf, df FROM (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, d.df,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, d.df ASC, tf.tok) AS BIGINT) AS kw_rank
+        |  FROM tf JOIN d USING (tok))
+        |WHERE kw_rank <= 3""".stripMargin,
     // greedy contiguous packing as a prefix sum — all integer (DIV,
     // counts), so bins are identical across engines/partitionings
     "pack_sequences" ->

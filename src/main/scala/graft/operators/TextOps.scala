@@ -163,6 +163,61 @@ object TextOps {
         col("n_source"), col("threshold"))
   }
 
+  /** C23: corpus vocabulary head — collection frequency (total
+    * occurrences) and document frequency per token, top-k slice. The
+    * corpus-statistics pass behind tokenizer training, stopword
+    * derivation, and Zipf-curve QA.
+    *
+    * Scale shape: one explode + two partial-agg rollups (token-keyed —
+    * maximally spreadable), then `orderBy.limit(k)` which plans as
+    * TakeOrderedAndProject: each task keeps a k-row heap, the driver
+    * merges k·tasks rows — NO global sort of the vocabulary (a
+    * 100 M-token vocab never passes through one partition). The final
+    * rank is a window over the already-limited k rows — bounded by
+    * construction.
+    */
+  def vocabTopK(documents: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val head = tf.groupBy("tok")
+      .agg(sum("tf").as("cf"), count(lit(1)).as("df"))
+      .orderBy(col("cf").desc, col("tok"))
+      .limit(k)
+    head.withColumn("rank",
+      row_number().over(Window.orderBy(col("cf").desc, col("tok"))).cast("long"))
+      .select("rank", "tok", "cf", "df")
+  }
+
+  /** C24: per-document keyword extraction — top-k terms ranked by the
+    * TF-IDF ordering (term frequency high, document frequency low)
+    * realized as a pure INTEGER sort key `(tf desc, df asc, tok)`:
+    * the induced ranking is the one tf·idf(monotone idf) gives within
+    * a document, with none of float idf's cross-engine log()
+    * nondeterminism (libm ln is not correctly-rounded — the one IEEE
+    * loophole the exact-aggregation protocol can't paper over).
+    *
+    * Scale shape: explode → (doc, term) counts; df joins back on the
+    * token key (vocab-sized — AQE broadcasts when it fits); the top-k
+    * window partitions on doc_id, the highest-cardinality key there
+    * is. WindowGroupLimit prunes to k rows per doc before the sort
+    * spills anywhere.
+    */
+  def keywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("tok"))
+    tf.join(df_, "tok")
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= k)
+      .select("doc_id", "kw_rank", "tok", "tf", "df")
+  }
+
   /** C22: greedy contiguous sequence packing — the training-prep step
     * that fills fixed token-budget context windows with documents so
     * short docs don't waste padding. Docs are laid out in a

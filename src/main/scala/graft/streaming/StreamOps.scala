@@ -80,6 +80,23 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** D6: streaming serving-layer load — the reference's LOAD stage
+    * (hourly mart → Postgres ON CONFLICT upsert, run every cycle) as
+    * a continuous query: each micro-batch is MERGEd into the JDBC
+    * serving table via the same staged upsert the batch path uses
+    * ([[graft.sources.Sources.writeJdbcUpsert]]), so batch and
+    * streaming loads share one idempotent merge. foreachBatch is the
+    * right sink here: the upsert is keyed, so replaying a batch after
+    * a failure converges to the same table (effectively-once on PK).
+    */
+  def streamToJdbcUpsert(updates: DataFrame, url: String, table: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sources.writeJdbcUpsert(batch, url, table, keys)
+      }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

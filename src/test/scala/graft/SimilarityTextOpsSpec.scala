@@ -170,6 +170,28 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(r(3L).getLong(4) === 0 && r(3L).getBoolean(5))
   }
 
+  test("vocabTopK: dense ranks, cf non-increasing, counts consistent") {
+    val v = TextOps.vocabTopK(documents, 50).collect()
+    assert(v.length === math.min(50, v.length) && v.nonEmpty)
+    assert(v.map(_.getAs[Long]("rank")).toSeq === (1L to v.length))
+    val cfs = v.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cf"))
+    assert(cfs.zip(cfs.tail).forall { case (a, b) => a >= b })
+    v.foreach(r => assert(r.getAs[Long]("cf") >= r.getAs[Long]("df")))
+  }
+
+  test("keywords ranks high-tf low-df terms first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare rare rare common common"),
+      (2L, "common other words here")).toDF("doc_id", "text")
+    val kw = TextOps.keywords(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("kw_rank")) -> r.getAs[String]("tok")).toMap
+    // doc 1: "rare" tf=3 df=1 beats "common" tf=2 df=2
+    assert(kw((1L, 1L)) === "rare" && kw((1L, 2L)) === "common")
+    val counts = TextOps.keywords(docs, 2).groupBy("doc_id").count().collect()
+    counts.foreach(r => assert(r.getLong(1) <= 2))
+  }
+
   test("packSequences: every doc packed once, bin fill bounded, positions dense") {
     val budget = 256
     val packed = TextOps.packSequences(documents, budget).cache()

@@ -182,4 +182,36 @@ class StreamOpsSpec extends SparkSpec {
     val n = spark.table("sess_test").count()
     assert(n === 1)
   }
+
+  test("streamToJdbcUpsert merges each micro-batch into the serving table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE SERVE (K BIGINT NOT NULL, V DOUBLE, PRIMARY KEY (K))")
+      st.close()
+    } finally conn.close()
+
+    val stream = MemoryStream[(Long, Double)]
+    val q = StreamOps.streamToJdbcUpsert(
+      stream.toDF().toDF("K", "V"), url, "SERVE", Seq("K")).start()
+    stream.addData((1L, 1.0), (2L, 2.0))
+    q.processAllAvailable()
+    // second batch updates key 1, inserts key 3 — last-wins on PK
+    stream.addData((1L, 10.0), (3L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val check = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = check.createStatement()
+        .executeQuery("SELECT K, V FROM SERVE ORDER BY K")
+      val rows = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getDouble(2))).toList
+      assert(rows === List((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+    } finally check.close()
+  }
 }
