@@ -27,4 +27,20 @@ object CacheRegistry {
     }
     live.clear()
   }
+
+  /** Position marker for [[releaseSince]]. */
+  def mark(): Int = synchronized { live.size }
+
+  /** Unpersist only frames registered after `m` — for an operator that
+    * fully materializes a sub-pipeline's result (e.g. a checkpoint)
+    * and wants its intermediates gone WITHOUT touching caches other
+    * operators registered earlier in the same session.
+    */
+  def releaseSince(m: Int, blocking: Boolean = false): Unit = synchronized {
+    live.drop(m).foreach { df =>
+      try df.unpersist(blocking)
+      catch { case _: Throwable => () }
+    }
+    live.remove(m, math.max(0, live.size - m))
+  }
 }

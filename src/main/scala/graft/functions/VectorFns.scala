@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, SortedIntersectCount, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -15,6 +15,13 @@ object VectorFns {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
+
+  /** Intersection size of two ascending-sorted ArrayType(LongType)
+    * columns — codegen'd two-pointer merge, zero allocation (see
+    * graftx.SortedIntersectCount for why the builtins don't cut it).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 
   /** Aggregate: ascending-sorted array of the k SMALLEST values of `e`
     * (negate the sort field for top-by-descending). Map-side
