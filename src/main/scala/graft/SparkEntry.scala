@@ -44,6 +44,7 @@ object SparkEntry {
         ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
     }),
     "q_json_extract" -> ((s, d) => AgriOps.jsonExtract(Tables.events(s, d))),
+    "q_scd2" -> ((s, d) => TimeSeriesOps.scd2History(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -72,6 +73,13 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => AnalyticsOps.percentiles(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => AnalyticsOps.quartileAssign(Tables.events(s, d))),
     "q_corr" -> ((s, d) => AnalyticsOps.correlation(Tables.events(s, d))),
+    "q_argmax" -> ((s, d) => AnalyticsOps.argmaxPerGroup(Tables.part(s, d))),
+    "q_mode" -> ((s, d) => AnalyticsOps.modePerKey(Tables.events(s, d))),
+    "q_regression" -> ((s, d) => AnalyticsOps.regressionPerKey(Tables.events(s, d))),
+    "q_bloom_join" -> ((s, d) => AnalyticsOps.urgentOrderRevenue(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_range_window" -> ((s, d) => TimeSeriesOps.trailingWindow(Tables.events(s, d))),
+    "q_ewma" -> ((s, d) => TimeSeriesOps.ewma(Tables.events(s, d))),
     "sample_per_group" -> ((s, d) => TextOps.samplePerGroup(Tables.documents(s, d))),
     // C. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
@@ -101,6 +109,10 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
+    "doc_chunk" -> ((s, d) => TextOps.docChunks(Tables.documents(s, d))),
+    "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
+    "train_split" -> ((s, d) => TextOps.trainSplit(Tables.documents(s, d))),
+    "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -196,6 +208,28 @@ object SparkEntry {
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    // SCD2 history: island detection (change flag → running version),
+    // then per-version interval bounds; valid_to = next valid_from
+    "q_scd2" ->
+      """WITH x AS (SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS DISTINCT FROM event_type
+        |    THEN 1 ELSE 0 END AS changed
+        |  FROM events),
+        |y AS (SELECT *, CAST(sum(changed) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS version FROM x),
+        |v AS (SELECT user_id, version,
+        |  min(event_type) AS event_type,
+        |  min(ts) AS valid_from, count(*) AS n_events
+        |  FROM y GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |  AS valid_to,
+        |n_events,
+        |lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |  IS NULL AS is_current
+        |FROM v""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty,
@@ -341,6 +375,82 @@ object SparkEntry {
         |round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user,
         |count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    // argmax join-back: window formulation is the SQL-clear mirror of
+    // Spark's max(struct(price, -key)) single-pass aggregate
+    "q_argmax" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice AS max_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+        |WHERE rn = 1""".stripMargin,
+    // mode: ties break to the lexicographically LARGEST value — the
+    // order max(struct(cnt, value)) induces
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type AS mode_event_type, cnt AS n_mode
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY cnt DESC, event_type DESC) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin,
+    // regression co-moments in HUGEINT (mirrors Spark DECIMAL(38,0)):
+    // integer sums are exact/associative; the closed form then runs
+    // the identical sequence of double ops in both engines
+    "q_regression" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(user_id AS HUGEINT)) AS sx,
+        |  sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS sy,
+        |  sum(CAST(user_id AS HUGEINT)
+        |    * CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS sxy,
+        |  sum(CAST(user_id AS HUGEINT) * CAST(user_id AS HUGEINT)) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6 AS slope,
+        |CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+        |  - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6)
+        |    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+        |FROM m""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderpriority,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |  * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |  AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // RANGE frame on epoch millis (events carry sub-second precision;
+    // identical timestamps share one frame → tie-independent)
+    "q_range_window" ->
+      """SELECT event_id, user_id, ts,
+        |CAST(round(sum(CAST(value AS DECIMAL(20,6)))
+        |  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+        |  AS trailing_sum,
+        |count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS trailing_n
+        |FROM events""".stripMargin,
+    // dyadic-weight EWMA over 8 lags: weights 2^-k and the quantized
+    // values are exact decimals, so num/den are exact; ONE double
+    // division at the end is bit-identical across engines
+    "q_ewma" -> {
+      val terms = (0 until 8).map { k =>
+        val w = java.math.BigDecimal.ONE.divide(
+          java.math.BigDecimal.valueOf(2).pow(k))
+        val xk =
+          if (k == 0) "CAST(value AS DECIMAL(20,6))"
+          else s"lag(CAST(value AS DECIMAL(20,6)), $k) OVER w"
+        (s"COALESCE($xk, 0) * CAST($w AS DECIMAL(10,8))",
+          s"CASE WHEN $xk IS NOT NULL THEN CAST($w AS DECIMAL(10,8)) ELSE CAST(0 AS DECIMAL(10,8)) END")
+      }
+      s"""SELECT event_id, user_id, ts, round(value, 4) AS value,
+         |CAST(${terms.map(_._1).mkString(" + ")} AS DOUBLE)
+         |  / CAST(${terms.map(_._2).mkString(" + ")} AS DOUBLE) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+    },
     "sample_per_group" ->
       """SELECT source, sample_rank, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,
@@ -594,6 +704,59 @@ object SparkEntry {
         |count(DISTINCT l_partkey) AS exact_nd,
         |TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // sliding-window chunking: starts step by stride while inside the
+    // doc; DuckDB's t[a:b] slice clamps exactly like Spark's slice()
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 32))
+        |  AS chunk_id, toks FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |CAST(chunk_id * 32 AS BIGINT) AS chunk_start,
+        |CAST(len(toks[(chunk_id * 32 + 1):(chunk_id * 32 + 64)]) AS BIGINT)
+        |  AS n_chunk_tokens,
+        |array_to_string(toks[(chunk_id * 32 + 1):(chunk_id * 32 + 64)], ' ')
+        |  AS chunk_text
+        |FROM c""".stripMargin,
+    "chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 32))
+        |  AS chunk_id, toks FROM t),
+        |x AS (SELECT doc_id, chunk_id,
+        |  md5(array_to_string(toks[(chunk_id * 32 + 1):(chunk_id * 32 + 64)],
+        |    ' ')) AS chunk_hash FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_hash
+        |    ORDER BY doc_id, chunk_id) AS rn,
+        |  count(*) OVER (PARTITION BY chunk_hash) AS n_copies FROM x)
+        |SELECT chunk_hash, doc_id AS keep_doc_id,
+        |CAST(chunk_id AS BIGINT) AS keep_chunk_id, n_copies
+        |FROM r WHERE rn = 1""".stripMargin,
+    // 80/10/10 hash split on the Knuth ring (thresholds are exact:
+    // 0.8 * 2^32 and 0.9 * 2^32 floor to the same longs both sides)
+    "train_split" ->
+      """SELECT doc_id, source,
+        |CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |       < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+        |     WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |       < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "bpe_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN len(toks) >= 2
+        |  THEN list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE CAST([] AS VARCHAR[]) END AS pairs FROM t),
+        |p AS (SELECT unnest(pairs) AS pair FROM b),
+        |g AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+        |  AS rank, pair, n
+        |FROM g ORDER BY rank LIMIT 50""".stripMargin,
     // positional fingerprint: md5-derived 32-bit token hash
     // (md5_number_upper reads the first 8 digest bytes little-endian —
     // the Spark side byte-swaps hex chars 9..16 to match) MULTIPLIED

@@ -288,4 +288,92 @@ object AnalyticsOps {
       col("l_returnflag"), col("exact_nd"),
       (abs(col("approx_nd") - col("exact_nd"))
         <= col("exact_nd").cast("double") * lit(0.1)).as("approx_ok"))
+
+  /** B22: argmax per group WITHOUT a window — the priciest part per
+    * brand via `max(struct(price, -key))`: struct comparison is
+    * lexicographic, so one map-side-combinable aggregate carries both
+    * the max price and its (tie-broken: lowest) part key. The window
+    * formulation (row_number = 1) sorts every group; this shape keeps
+    * one 16-byte struct per (task, group) — the argmax plan that
+    * survives any group size. The name joins back on the unique key
+    * (one row per brand on the build side → AQE broadcasts it).
+    */
+  def argmaxPerGroup(part: DataFrame): DataFrame = {
+    val m = part
+      .groupBy("p_brand")
+      .agg(max(struct(col("p_retailprice").as("price"),
+        negate(col("p_partkey")).as("neg_key"))).as("m"))
+      .select(col("p_brand").as("brand"),
+        col("m.price").as("max_price"),
+        negate(col("m.neg_key")).as("argmax_key"))
+    m.join(part.select(col("p_partkey"), col("p_name")),
+        m("argmax_key") === col("p_partkey"))
+      .select(col("brand").as("p_brand"), col("p_partkey"),
+        col("p_name"), col("max_price"))
+  }
+
+  /** B23: mode (most frequent value) per key — two chained aggregates,
+    * both partial map-side: count per (key, value), then
+    * `max(struct(cnt, value))` picks the winner (ties → the
+    * lexicographically largest value, deterministically). No window,
+    * no sort: the classic two-phase mode plan that never materializes
+    * a per-key ordering at any cardinality.
+    */
+  def modePerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("mode_event_type"),
+        col("m.cnt").as("n_mode"))
+
+  /** B25: simple linear regression (slope/intercept) per key with
+    * ORDER-INDEPENDENT co-moments: x (user_id) stays integral, y is
+    * quantized to 1e-6 (exact for the 4-dp sensor values) and both are
+    * summed in DECIMAL(38,0) — integer arithmetic, associative, so any
+    * partitioning yields bit-identical sums. The closed form
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) then runs as a fixed
+    * sequence of correctly-rounded double ops on identical inputs —
+    * reproducible across engines and cluster sizes, unlike the
+    * built-in regr_slope (double co-moments, partition-order drift).
+    */
+  def regressionPerKey(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val x = col("user_id").cast(I)
+    val y6 = (col("value").cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val agg = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y6).as("sy"),
+      sum(x * y6).as("sxy"), sum(x * x).as("sxx"))
+    val n = col("n").cast(I)
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den / lit(1e6)
+    val meanY = col("sy").cast("double") / col("n").cast("double") / lit(1e6)
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    agg.select(col("event_type"), col("n"),
+      slope.as("slope"),
+      (meanY - slope * meanX).as("intercept"))
+  }
+
+  /** B27: selective fact-to-fact join — the shape Spark's RUNTIME
+    * BLOOM FILTER optimization exists for: a filtered orders side
+    * too big to broadcast-prune the scan statically, so the optimizer
+    * builds a bloom filter over its join keys at runtime and pushes a
+    * might-contain probe below the lineitem shuffle, cutting the
+    * shuffled fact rows to ~the matching fraction. The query itself is
+    * plain declarative Spark (that is the point — the engine injects
+    * the filter); BloomJoinSpec asserts the injection fires under
+    * shuffle-join conditions.
+    */
+  def urgentOrderRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderdate") >= to_timestamp(lit("1997-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("1997-07-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(cents(sum(revenueExpr)).as("revenue"),
+        count(lit(1)).as("n_items"))
 }

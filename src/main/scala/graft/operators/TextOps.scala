@@ -295,6 +295,105 @@ object TextOps {
       regexp_count(col("text"), lit("[0-9]{4,}")).cast("long")
         .as("n_num_runs"))
 
+  /** C25: sliding-window document chunking — cut each document into
+    * fixed-size overlapping token windows (size 64, stride 32 by
+    * default): the context-window preparation step for embedding /
+    * retrieval indexing, and the granularity at which passage-level
+    * dedup (C26) operates. Chunk starts step by `stride` while they
+    * fall inside the document, so every token is covered and
+    * boundary-spanning content appears in two chunks (the standard
+    * overlap rationale). Pure generator map — explode + slice, zero
+    * shuffles at any corpus size.
+    */
+  def docChunks(documents: DataFrame, size: Int = 64,
+      stride: Int = 32): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size)
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((org.apache.spark.sql.functions.size(col("toks")) - 1)
+            / stride).cast("int"))).as("chunk_id"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("chunk_start"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(size))
+          .as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        org.apache.spark.sql.functions.size(col("chunk_toks")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+  }
+
+  /** C26: passage-level exact dedup — [[docChunks]] re-keyed by chunk
+    * hash: boilerplate shared ACROSS documents (headers, disclaimers,
+    * templated passages) that document-level dedup can never see.
+    * Keep the first occurrence (min (doc_id, chunk_id), carried in one
+    * struct-min aggregate); n_copies tells the removal rate. Same
+    * hash-groupBy scale shape as C1 — map-side combine collapses each
+    * duplicate group to one row per partition before the shuffle.
+    */
+  def chunkDedup(documents: DataFrame, size: Int = 64,
+      stride: Int = 32): DataFrame =
+    docChunks(documents, size, stride)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .select(col("chunk_hash"), col("keep.doc_id").as("keep_doc_id"),
+        col("keep.chunk_id").as("keep_chunk_id"), col("n_copies"))
+
+  /** C27: deterministic train/val/test split — the dataset-assembly
+    * step every training corpus ends with. The same overflow-safe
+    * Knuth hash ring as [[sampleFraction]] maps each doc to a uniform
+    * priority in [0, 2^32); fixed thresholds carve 80/10/10. Hash
+    * splitting (vs random) means the split is stable under reruns,
+    * engine changes, and corpus APPENDS — a new doc lands in a split
+    * without moving any existing doc. Map-only, zero shuffles.
+    */
+  def trainSplit(documents: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
+    import org.apache.spark.sql.types.DecimalType
+    val ring = lit(4294967296L)
+    val priority = pmod(
+      col("doc_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      ring.cast(DecimalType(11, 0))).cast("long")
+    documents.select(col("doc_id"), col("source"),
+      when(priority < lit((trainFrac * 4294967296.0).toLong), "train")
+        .when(priority < lit(((trainFrac + valFrac) * 4294967296.0).toLong),
+          "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** C28: adjacent-pair statistics — the first iteration of BPE merge
+    * selection: count every adjacent token pair in the corpus, rank by
+    * frequency (the top pair is BPE's first merge). Also the bigram
+    * table for collocation mining. Integer counts; ties broken by the
+    * pair string, so the ranking is exactly reproducible.
+    *
+    * Scale shape: explode bigrams → one map-combinable groupBy (keys
+    * are distinct pairs — high cardinality, spreadable), then
+    * orderBy.limit(k) plans as TakeOrderedAndProject (per-task k-row
+    * heaps, no global sort); the rank window runs over k rows only.
+    */
+  def bpePairs(documents: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val head = documents
+      .select(explode(when(org.apache.spark.sql.functions.size(toks) >= 2,
+        transform(sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+    head.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .select("rank", "pair", "n")
+  }
+
   /** 32-bit md5-derived token hash, bit-identical to DuckDB's
     * `md5_number_upper(t) >> 32`: DuckDB reads the first 8 digest
     * bytes LITTLE-endian, so the upper 32 bits are hex chars 9–16

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Tables
+
+class ChunkOpsSpec extends SparkSpec {
+  lazy val documents = Tables.documents(spark, sf).cache()
+
+  test("docChunks covers every token and starts at zero") {
+    val chunks = TextOps.docChunks(documents).cache()
+    val tokTotals = documents.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    // overlap means chunk tokens sum to >= doc tokens; chunk count is
+    // exactly floor((n-1)/stride)+1; first chunk starts at 0
+    val per = chunks.groupBy("doc_id").agg(
+      sum("n_chunk_tokens").as("covered"),
+      count(lit(1)).as("n_chunks"),
+      min("chunk_start").as("first_start"))
+    val j = per.join(tokTotals, "doc_id")
+    assert(j.filter(col("covered") < col("n_toks")).count() === 0)
+    assert(j.filter(col("first_start") =!= 0).count() === 0)
+    assert(j.filter(col("n_chunks")
+      =!= floor((col("n_toks") - 1) / 32) + 1).count() === 0)
+    chunks.unpersist()
+  }
+
+  test("docChunks chunk 0 is the first min(64, n) tokens verbatim") {
+    val c0 = TextOps.docChunks(documents).filter(col("chunk_id") === 0)
+    val expected = documents.select(col("doc_id"),
+      concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 64))
+        .as("expected_text"))
+    val bad = c0.join(expected, "doc_id")
+      .filter(col("chunk_text") =!= col("expected_text"))
+    assert(bad.count() === 0)
+  }
+
+  test("chunkDedup accounts for every chunk and keeps a real one") {
+    val chunks = TextOps.docChunks(documents).cache()
+    val dedup = TextOps.chunkDedup(documents)
+    assert(dedup.agg(sum("n_copies")).head.getLong(0) === chunks.count())
+    // the kept (doc_id, chunk_id) must exist and hash to its group key
+    val bad = dedup.join(chunks,
+        dedup("keep_doc_id") === chunks("doc_id")
+          && dedup("keep_chunk_id") === chunks("chunk_id"))
+      .filter(col("chunk_hash") =!= md5(col("chunk_text")))
+    assert(bad.count() === 0)
+    chunks.unpersist()
+  }
+
+  test("trainSplit partitions the corpus near 80/10/10") {
+    val s = TextOps.trainSplit(documents).cache()
+    val n = documents.count().toDouble
+    assert(s.count().toLong === n.toLong)
+    val bys = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys.keySet.subsetOf(Set("train", "val", "test")))
+    // hash split is uniform in expectation; loose bounds for n=500
+    assert(bys("train") / n > 0.7 && bys("train") / n < 0.9)
+    assert(bys.getOrElse("val", 0L) / n < 0.2)
+    assert(bys.getOrElse("test", 0L) / n < 0.2)
+    s.unpersist()
+  }
+
+  test("trainSplit is append-stable: a subset keeps its assignments") {
+    val full = TextOps.trainSplit(documents)
+    val subset = TextOps.trainSplit(documents.filter(col("doc_id") < 100))
+    val moved = subset.as("s").join(full.as("f"), Seq("doc_id"))
+      .filter(col("s.split") =!= col("f.split"))
+    assert(moved.count() === 0)
+  }
+
+  test("bpePairs ranks adjacent-pair counts correctly") {
+    val p = TextOps.bpePairs(documents, 50).collect().sortBy(_.getLong(0))
+    assert(p.length <= 50)
+    assert(p.map(_.getLong(0)).toSeq === (1L to p.length))
+    val counts = p.map(_.getLong(2))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    // top pair count matches a direct computation
+    val toks = TextOps.tokens(col("text"))
+    val direct = documents
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").count().agg(max("count")).head.getLong(0)
+    assert(p.head.getLong(2) === direct)
+  }
+}
