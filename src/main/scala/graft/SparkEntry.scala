@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, to_timestamp}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, to_timestamp}
 import graft.operators._
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -113,6 +113,19 @@ object SparkEntry {
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
     "train_split" -> ((s, d) => TextOps.trainSplit(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
+    "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
+    "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
+    "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
+    "q_skew_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ScaleOps.saltedJoin(ev,
+        ev.groupBy("event_type").agg(count(lit(1)).as("type_total")),
+        "event_type")
+        .select("event_id", "event_type", "value", "type_total")
+    }),
+    "pii_redact" -> ((s, d) =>
+      TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
+    "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -774,5 +787,110 @@ object SparkEntry {
         |list_min(list_transform(generate_series(1, len(toks)), i ->
         |  CAST(md5_number_upper(toks[i]) >> 32 AS BIGINT))) AS min_fp
         |FROM t""".stripMargin,
+    // A18/A19 share the hourly-resample head; forward-fill and linear
+    // interpolation are window reconstructions over the dense spine
+    "q_gap_fill" ->
+      """WITH agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)/count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM agg GROUP BY event_type)
+        |SELECT s.event_type, s.hour,
+        |  last_value(a.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |    ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS avg_value,
+        |  a.v IS NULL AS is_gap
+        |FROM spine s
+        |LEFT JOIN agg a ON s.event_type = a.event_type AND s.hour = a.hour""".stripMargin,
+    "q_interpolate" ->
+      """WITH agg AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)/count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM agg GROUP BY event_type),
+        |j AS (SELECT s.event_type, s.hour, a.v
+        |  FROM spine s
+        |  LEFT JOIN agg a ON s.event_type = a.event_type AND s.hour = a.hour),
+        |f AS (SELECT *,
+        |  last_value(v IGNORE NULLS) OVER wp AS prev_v,
+        |  last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER wp AS prev_t,
+        |  first_value(v IGNORE NULLS) OVER wn AS next_v,
+        |  first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER wn AS next_t
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hour,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    WHEN prev_v IS NULL THEN next_v
+        |    WHEN next_v IS NULL THEN prev_v
+        |    ELSE prev_v + (next_v - prev_v) *
+        |      (CAST(date_diff('hour', prev_t, hour) AS DOUBLE)
+        |       / CAST(date_diff('hour', prev_t, next_t) AS DOUBLE))
+        |  END AS value_interp,
+        |  v IS NULL AS is_gap
+        |FROM f""".stripMargin,
+    // B28: co-moments in HUGEINT (exact, = Spark's DECIMAL(38,0));
+    // sd and z are the identical double-op sequence as the Spark side
+    "q_zscore" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS s1,
+        |  sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)
+        |    * CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(m.n * CAST(CAST(e.value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)
+        |      - m.s1 AS DOUBLE)
+        |    / (CAST(m.n AS DOUBLE)
+        |       * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+        |              / CAST(m.n * (m.n - 1) AS DOUBLE))) AS z,
+        |  abs(CAST(m.n * CAST(CAST(e.value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)
+        |      - m.s1 AS DOUBLE)
+        |    / (CAST(m.n AS DOUBLE)
+        |       * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+        |              / CAST(m.n * (m.n - 1) AS DOUBLE)))) > 2.5 AS is_anomaly
+        |FROM events e JOIN m ON e.event_type = m.event_type""".stripMargin,
+    // B29: the salted join must be indistinguishable from the plain one
+    "q_skew_join" ->
+      """WITH d AS (SELECT event_type, count(*) AS type_total
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, d.type_total
+        |FROM events e JOIN d ON e.event_type = d.event_type""".stripMargin,
+    // C29: same injected PII, same regexes (Java/RE2-common subset),
+    // phones counted after email removal in both engines
+    "pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 010-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{5,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{5,}[0-9]')) AS n_phones
+        |FROM aug""".stripMargin,
+    // C30: exact integer quantization (×2^20, floor) then one double
+    // division — bit-identical to the Spark decimal-sum formulation
+    "emb_centroid" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  unnest(embedding) AS val FROM embeddings)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1048576.0) AS DECIMAL(38,0)))
+        |    AS DOUBLE) / (count(*) * 1048576.0) AS centroid,
+        |  count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -357,6 +357,43 @@ object AnalyticsOps {
       (meanY - slope * meanX).as("intercept"))
   }
 
+  /** B28: per-key z-score anomaly flags — the per-row form of B14's
+    * dispersion stats: every event scored against its key's mean/sd,
+    * `|z| > threshold` flagged. The monitoring pass the reference's
+    * dashboard eyeballs (hourly series vs its own spread), as a
+    * distributed operator.
+    *
+    * Order-independent by construction (B25's co-moment recipe):
+    * n, Σy, Σy² accumulate in DECIMAL(38,0) on 1e-6-quantized values
+    * (exact, associative — any partitioning gives identical sums);
+    * sd and z are then a FIXED sequence of correctly-rounded double
+    * ops on identical operands, so scores are bit-identical across
+    * engines and cluster sizes. z stays in the 1e6-scaled domain
+    * throughout (the scale cancels in (n·y − Σy)/(n·sd)).
+    *
+    * Scale shape: one partial-aggregated groupBy over a bounded key
+    * space, then a broadcast join of the |keys|-row stats back onto
+    * the stream — no window, no second shuffle of the fact.
+    */
+  def zscoreFlags(events: DataFrame, threshold: Double = 2.5): DataFrame = {
+    val I = DecimalType(38, 0)
+    def y6(c: Column): Column =
+      (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val stats = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(y6(col("value"))).as("s1"),
+      sum(y6(col("value")) * y6(col("value"))).as("s2"))
+    val n = col("n").cast(I)
+    val sd = sqrt((n * col("s2") - col("s1") * col("s1")).cast("double") /
+      (n * (n - lit(1).cast(I))).cast("double"))
+    events
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((n * y6(col("value")) - col("s1")).cast("double") /
+          (col("n").cast("double") * sd)).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
+  }
+
   /** B27: selective fact-to-fact join — the shape Spark's RUNTIME
     * BLOOM FILTER optimization exists for: a filtered orders side
     * too big to broadcast-prune the scan statically, so the optimizer

@@ -293,4 +293,33 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "sim")
   }
+
+  /** C30: per-label centroid vectors in long form (label, pos, mean) —
+    * the k-means/class-prototype step of embedding-space curation
+    * (cluster-balanced sampling, C15's coarse quantizer refresh).
+    *
+    * Order-independent across any partitioning: each float is
+    * quantized EXACTLY — f32 → f64 is lossless, ×2^20 only shifts the
+    * exponent (no mantissa bits move), floor is exact — then summed in
+    * DECIMAL(38,0) integer space (associative), with ONE double
+    * division at the end. Resolution 2^-20 ≈ 1e-6, plenty for unit-
+    * scale embeddings; bit-identical in any engine by construction.
+    *
+    * Scale shape: posexplode is a generator (no shuffle), then one
+    * partial-aggregated groupBy on (label, pos) — |labels|·dim groups
+    * regardless of corpus size; the narrow (label, pos, int64) shuffle
+    * rows are the minimal sufficient statistic.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = floor(col("val").cast("double") * lit(1048576.0))
+      .cast(DecimalType(38, 0))
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(
+        (sum(q).cast("double") / (count(lit(1)) * lit(1048576.0)))
+          .as("centroid"),
+        count(lit(1)).as("n"))
+  }
 }

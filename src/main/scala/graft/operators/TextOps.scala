@@ -377,14 +377,25 @@ object TextOps {
     * are distinct pairs — high cardinality, spreadable), then
     * orderBy.limit(k) plans as TakeOrderedAndProject (per-task k-row
     * heaps, no global sort); the rank window runs over k rows only.
+    *
+    * The bigram build is zip_with over two slices of the token array —
+    * NOT transform + element_at(toks, i): sub-expressions inside a
+    * higher-order-function lambda are re-evaluated per ELEMENT, so an
+    * element_at on the un-materialized `tokens()` expression re-runs
+    * the regex split of the whole document for every position —
+    * O(doc²) work (measured: 2.6× the whole-query wall time at sf0.1).
+    * zip_with evaluates its array arguments once per row.
     */
   def bpePairs(documents: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = tokens(col("text"))
+    import org.apache.spark.sql.functions.size
     val head = documents
-      .select(explode(when(org.apache.spark.sql.functions.size(toks) >= 2,
-        transform(sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b)))
         .otherwise(array().cast("array<string>"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
@@ -442,6 +453,44 @@ object TextOps {
     * reproducible by the DuckDB oracle. The c·h product runs in
     * DECIMAL (ANSI-overflow-safe; everything else stays in long range).
     */
+  /** C29: PII redaction — the scrub pass every training corpus runs
+    * before anything else: emails and phone-number shapes replaced by
+    * typed placeholder tokens, with per-doc match counts for the
+    * removal audit. Pure map (regexp_replace/regexp_count are
+    * codegen'd builtins — no UDF), zero shuffles; patterns restricted
+    * to the regex subset with identical semantics in Java and RE2 so
+    * the DuckDB oracle replays them verbatim.
+    *
+    * The synthetic corpus carries no PII, so the query entry injects a
+    * deterministic doc_id-derived email + phone into each doc first
+    * (both engines build the same string) — the regexes are exercised
+    * on every row, not vacuously green.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+?[0-9][0-9()\\-. ]{5,}[0-9]"
+    val deEmailed = regexp_replace(col("text"), emailPat, "<EMAIL>")
+    documents.select(
+      col("doc_id"),
+      regexp_replace(deEmailed, phonePat, "<PHONE>").as("redacted"),
+      regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+      // phones counted AFTER email removal: digits inside an address
+      // must not double-count (mirrored in the oracle)
+      regexp_count(deEmailed, lit(phonePat)).as("n_phones"))
+  }
+
+  /** Deterministic PII augmentation for C29's query entry: append a
+    * doc_id-derived email and phone so the redaction has real work on
+    * the synthetic corpus. String construction is engine-portable
+    * (concat/lpad/mod only).
+    */
+  def withSyntheticPii(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1 (555) 010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+
   def fingerprint(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val K = lit(2654435761L)

@@ -75,6 +75,86 @@ object TimeSeriesOps {
       (num.cast("double") / den.cast("double")).as("ewma"))
   }
 
+  /** Hourly mean per series key — shared head of the resample family
+    * (A18/A19): the reference's `ds.resample(time="1H").mean()` shape
+    * (dask_jobs/aggregate_hourly.py) as one partial-aggregated groupBy.
+    */
+  private def hourlyAvg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(Exact.avgD(col("value")).as("v"))
+
+  /** Dense hourly spine per key: every hour between that key's first
+    * and last observation, generated AT the data (sequence + explode,
+    * a generator map over one tiny min/max aggregate — no driver
+    * collect, no cross join against a global calendar).
+    */
+  private def hourlySpine(agg: DataFrame): DataFrame =
+    agg.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+
+  /** A18: resample + forward-fill — xarray's `resample().mean()` then
+    * `ffill()` (the reference grids are dense; real sensor feeds are
+    * not, and the mart must still emit every hour). Missing hours are
+    * materialized from the per-key spine and filled with the most
+    * recent observed value (`last value IGNORE NULLS` running window);
+    * `is_gap` marks synthesized rows.
+    *
+    * Scale shape: one groupBy shuffle on (key, hour), a spine join and
+    * a window both keyed on event_type — bounded key space, and the
+    * spine is |keys| × |hours| regardless of input row count.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val agg = hourlyAvg(events)
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourlySpine(agg)
+      .join(agg, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        last(col("v"), ignoreNulls = true).over(w).as("avg_value"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  /** A19: resample + LINEAR interpolation — xarray `interpolate_na`:
+    * each missing hour gets the time-weighted blend of its nearest
+    * observed neighbors; edges fall back to the one known side.
+    *
+    * Cross-engine exactness: the weight is a ratio of whole-hour
+    * counts (exact integers), and the blend
+    * `prev + (next - prev) * w` is a fixed sequence of correctly-
+    * rounded double ops on identical operands — bit-identical in any
+    * engine, so the oracle compares raw doubles, no tolerance.
+    */
+  def interpolate(events: DataFrame): DataFrame = {
+    val agg = hourlyAvg(events)
+    val wp = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("v").isNotNull, col("hour"))
+    val f = hourlySpine(agg)
+      .join(agg, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wp).as("prev_v"),
+        last(obsHour, ignoreNulls = true).over(wp).as("prev_t"),
+        first(col("v"), ignoreNulls = true).over(wn).as("next_v"),
+        first(obsHour, ignoreNulls = true).over(wn).as("next_t"))
+    // whole-hour distances: exact longs in both engines
+    def hours(a: Column, b: Column): Column =
+      ((unix_millis(b) - unix_millis(a)) / lit(3600000L)).cast("double")
+    f.select(col("event_type"), col("hour"),
+      when(col("v").isNotNull, col("v"))
+        .when(col("prev_v").isNull, col("next_v"))
+        .when(col("next_v").isNull, col("prev_v"))
+        .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+          (hours(col("prev_t"), col("hour")) / hours(col("prev_t"), col("next_t"))))
+        .as("value_interp"),
+      col("v").isNull.as("is_gap"))
+  }
+
   /** A17: SCD2 (type-2 slowly-changing-dimension) history — the full
     * form of the reference's keyed upsert: instead of keeping only the
     * latest attribute value per key (ON CONFLICT DO UPDATE,

@@ -84,4 +84,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     r.foreach(row => assert(row.getAs[Boolean]("approx_in_bounds"),
       s"approx p50 escaped [p25, p75] for ${row.getAs[String]("event_type")}"))
   }
+
+  test("zscoreFlags: planted outlier is flagged, z distribution is sane") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    // plant one extreme point per key
+    val planted = events.limit(1).withColumn("event_id", lit(-1L))
+      .withColumn("value", lit(100000.0))
+    val z = AnalyticsOps.zscoreFlags(events.unionByName(planted)).cache()
+    assert(z.filter(col("event_id") === -1L).head.getAs[Boolean]("is_anomaly"))
+    // z standardization: mean ≈ 0, sd ≈ 1 per key — checked on keys
+    // WITHOUT the planted point (its own key's sd is blown up by it)
+    val plantedType = planted.head.getAs[String]("event_type")
+    val stats = z.filter(col("event_id") >= 0 && col("event_type") =!= plantedType)
+      .groupBy("event_type")
+      .agg(avg("z").as("zm"), stddev_samp("z").as("zs"))
+    assert(stats.filter(abs(col("zm")) > 0.5).count() === 0)
+    assert(stats.filter(col("zs") < 0.2 || col("zs") > 2.0).count() === 0)
+    // flags agree with the threshold everywhere
+    assert(z.filter(col("is_anomaly") =!= (abs(col("z")) > 2.5)).count() === 0)
+    z.unpersist()
+  }
 }

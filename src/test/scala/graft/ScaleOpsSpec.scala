@@ -35,4 +35,31 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ev_b")
     spark.sql("DROP TABLE IF EXISTS graft_us_b")
   }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val events = Tables.events(spark, sf)
+    val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+    val salted = ScaleOps.saltedJoin(events, dim, "event_type")
+      .select("event_id", "event_type", "type_total")
+    val plain = events.join(dim, "event_type")
+      .select("event_id", "event_type", "type_total")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    val events = Tables.events(spark, sf)
+    val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+    // re-derive the fact-side salt distribution the join used: every
+    // bucket of a hot key should get some rows (16 buckets, ~hundreds
+    // of rows per key at sf0.001)
+    val salted = events.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(16)))
+    val buckets = salted.groupBy("event_type").agg(
+      countDistinct(col("__salt")).as("n_buckets"),
+      count(lit(1)).as("n"))
+    assert(buckets.filter(col("n") > 100 && col("n_buckets") < 8).count() === 0)
+    assert(dim.count() > 0)
+  }
 }

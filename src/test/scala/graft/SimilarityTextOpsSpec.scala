@@ -229,4 +229,42 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
     out.unpersist()
   }
+
+  test("piiRedact scrubs every injected email and phone") {
+    val red = TextOps.piiRedact(TextOps.withSyntheticPii(documents)).cache()
+    // every doc got exactly one of each planted PII item
+    assert(red.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() === 0)
+    // nothing address- or phone-shaped survives the scrub
+    assert(red.filter(col("redacted").rlike(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() === 0)
+    assert(red.filter(col("redacted").rlike(
+      "\\+?[0-9][0-9()\\-. ]{5,}[0-9]")).count() === 0)
+    assert(red.filter(!col("redacted").contains("<EMAIL>")
+      || !col("redacted").contains("<PHONE>")).count() === 0)
+    red.unpersist()
+  }
+
+  test("piiRedact leaves PII-free text untouched") {
+    val red = TextOps.piiRedact(documents)
+    val joined = red.join(documents, "doc_id")
+      .filter(col("redacted") =!= col("text")
+        || col("n_emails") =!= 0 || col("n_phones") =!= 0)
+    assert(joined.count() === 0)
+  }
+
+  test("labelCentroids matches the naive mean within quantization error") {
+    val c = SimilarityOps.labelCentroids(embeddings).cache()
+    val naive = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(avg(col("v").cast("double")).as("naive"), count(lit(1)).as("n2"))
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val labels = embeddings.select(countDistinct("label")).head.getLong(0)
+    assert(c.count() === dim * labels)
+    // floor quantization at 2^-20 → per-element error < 2^-20
+    val j = c.join(naive, Seq("label", "pos"))
+    assert(j.filter(abs(col("centroid") - col("naive")) > 1.0 / (1 << 20)).count() === 0)
+    assert(j.filter(col("n") =!= col("n2")).count() === 0)
+    c.unpersist()
+  }
 }

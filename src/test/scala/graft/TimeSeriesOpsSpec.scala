@@ -93,4 +93,56 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(r.filter(abs(col("slope") - 3.0) > 1e-9).count() === 0)
     assert(r.filter(abs(col("intercept") - 2.0) > 1e-6).count() === 0)
   }
+
+  // toy series: key "a" observed at hours 0, 1 and 4 (gap at 2, 3)
+  private def toySeries = {
+    import spark.implicits._
+    Seq(
+      (1L, "2024-01-01 00:30:00", "a", 10.0),
+      (2L, "2024-01-01 01:15:00", "a", 20.0),
+      (3L, "2024-01-01 04:45:00", "a", 50.0))
+      .toDF("event_id", "tstr", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tstr")).as("ts"),
+        col("event_type"), col("value"))
+  }
+
+  test("gapFill emits the full hourly spine, forward-filling gaps") {
+    val g = TimeSeriesOps.gapFill(toySeries).orderBy("hour").collect()
+    assert(g.length === 5) // hours 0..4 inclusive
+    val gaps = g.filter(_.getAs[Boolean]("is_gap"))
+    assert(gaps.length === 2)
+    // both gap hours carry hour-1's value (20.0), not hour-4's
+    assert(gaps.forall(_.getAs[Double]("avg_value") === 20.0))
+    assert(g.last.getAs[Double]("avg_value") === 50.0)
+  }
+
+  test("gapFill on the real events leaves no unfilled interior rows") {
+    val g = TimeSeriesOps.gapFill(events).cache()
+    // every row after a key's first observation must have a value
+    assert(g.filter(col("avg_value").isNull && !col("is_gap")).count() === 0)
+    val unfilled = g.filter(col("avg_value").isNull)
+    // nulls can only be a leading run (no prior observation)
+    val minObs = g.filter(!col("is_gap")).groupBy("event_type")
+      .agg(min("hour").as("first_obs"))
+    assert(unfilled.join(minObs, "event_type")
+      .filter(col("hour") >= col("first_obs")).count() === 0)
+    g.unpersist()
+  }
+
+  test("interpolate blends gap hours linearly between neighbors") {
+    val i = TimeSeriesOps.interpolate(toySeries).orderBy("hour").collect()
+    assert(i.length === 5)
+    // gap at hour 2: prev=20 @1, next=50 @4 → 20 + 30 * (1/3) = 30
+    assert(math.abs(i(2).getAs[Double]("value_interp") - 30.0) < 1e-12)
+    // gap at hour 3: 20 + 30 * (2/3) = 40
+    assert(math.abs(i(3).getAs[Double]("value_interp") - 40.0) < 1e-12)
+  }
+
+  test("interpolate equals the observed value on non-gap rows") {
+    val i = TimeSeriesOps.interpolate(events)
+    val a = TimeSeriesOps.gapFill(events)
+      .filter(!col("is_gap")).select("event_type", "hour", "avg_value")
+    val joined = i.filter(!col("is_gap")).join(a, Seq("event_type", "hour"))
+    assert(joined.filter(col("value_interp") =!= col("avg_value")).count() === 0)
+  }
 }
