@@ -41,16 +41,25 @@ object Bench {
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+    // noop sink, NOT count(): count() lets the optimizer prune every
+    // column — a map-only query collapses to a parquet metadata scan
+    // and times as ~0 regardless of its real cost. The noop writer
+    // consumes every row fully materialized, so the timing includes
+    // the actual projection work while still writing nothing.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       // warmup pass: compiles generated code and JITs kernels (one-time
       // per-JVM costs, not engine throughput); caches dropped after so
       // every timed pass re-does all data work
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      run(fn)
       clearAll()
       val passes = (1 to TimedPasses).map { _ =>
         val s0 = drainedExecMs()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        run(fn)
         val wall = (System.nanoTime() - t0) / 1e9
         val stage = (drainedExecMs() - s0).toDouble
         clearAll()

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check: replicate the sf0.1 corpus k× with DISJOINT
+  * per-copy universes (suffixed tokens, offset user/doc ids) so every
+  * copy has the same internal statistics as the original — duplicate
+  * rates, posting-list shapes, per-user series lengths — and no
+  * cross-copy similarity artifacts. Then time the headline operators
+  * at 1× and k× and print the wall-time ratios.
+  *
+  * A shuffle-shaped operator scales ~linearly in input (ratio ≈ k, or
+  * below it while fixed overhead still dominates); a design with a
+  * hidden all-pairs or single-reducer bottleneck shows ratio ≫ k.
+  * This is the measurement behind SURVEY §4's per-family scale
+  * claims — run it after touching any operator's shuffle shape:
+  *
+  *   sbt -batch "runMain graft.ScaleSmoke /root/testdata/sf0.1 10"
+  */
+object ScaleSmoke {
+
+  private def scaleDocs(docs: DataFrame, copies: DataFrame): DataFrame =
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
+        // per-copy token universe: "_<copy>" suffix on every token
+        // keeps within-copy dup/similarity structure identical to the
+        // original corpus and cross-copy similarity exactly zero
+        concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(t, lit("_"), col("copy"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  private def scaleEvents(events: DataFrame, copies: DataFrame): DataFrame =
+    events.crossJoin(copies)
+      .select(
+        (col("event_id") + col("copy") * lit(100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * lit(1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+
+  private def scaleEmb(emb: DataFrame, copies: DataFrame): DataFrame =
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.create(s"local[$cpus]", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = "/tmp/graft_scale"
+    val copies = spark.range(k).select(col("id").as("copy"))
+    val docs0 = graft.sources.Tables.documents(spark, sfDir)
+    val ev0 = graft.sources.Tables.events(spark, sfDir)
+    val emb0 = graft.sources.Tables.embeddings(spark, sfDir)
+    scaleDocs(docs0, copies).write.mode("overwrite").parquet(s"$out/documents")
+    scaleEvents(ev0, copies).write.mode("overwrite").parquet(s"$out/events")
+    scaleEmb(emb0, copies).write.mode("overwrite").parquet(s"$out/embeddings")
+    val docsK = spark.read.parquet(s"$out/documents")
+    val evK = spark.read.parquet(s"$out/events")
+    val embK = spark.read.parquet(s"$out/embeddings")
+
+    import graft.operators._
+    val ops: Seq[(String, (DataFrame, DataFrame, DataFrame) => DataFrame)] = Seq(
+      ("dedup_exact", (d, _, _) => DedupOps.exactDedup(d)),
+      ("dedup_minhash_lsh", (d, _, _) => DedupOps.minhashLshPairs(d)),
+      ("ngram_jaccard_prefix", (d, _, _) => DedupOps.ngramJaccardPrefix(d, 0.5)),
+      ("token_count", (d, _, _) => TextOps.tokenCount(d)),
+      ("vocab_topk", (d, _, _) => TextOps.vocabTopK(d)),
+      ("q_hourly_mart", (_, e, _) => AgriOps.hourlyMart(e)),
+      ("q_window_running", (_, e, _) => AnalyticsOps.runningWindow(e)),
+      ("q_asof_join", (_, e, _) => AsofJoinOps.lastPurchase(e)),
+      ("q_zscore", (_, e, _) => AnalyticsOps.zscoreFlags(e)),
+      ("q_sessionize", (_, e, _) => graft.streaming.StreamOps.sessionizeBatch(e)),
+      ("knn_brute", (_, _, m) => SimilarityOps.knnBrute(m)),
+      ("emb_centroid", (_, _, m) => SimilarityOps.labelCentroids(m)))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // noop sink (as in Bench): count() would let the optimizer prune
+    // the whole projection on map-only operators
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warmup both scales once (codegen/JIT), then one timed pass each
+    val rows = ops.map { case (name, op) =>
+      force(op(docs0, ev0, emb0)); CacheRegistry.unpersistAll()
+      force(op(docsK, evK, embK)); CacheRegistry.unpersistAll()
+      val t1 = time { force(op(docs0, ev0, emb0)) }
+      CacheRegistry.unpersistAll()
+      val tk = time { force(op(docsK, evK, embK)) }
+      CacheRegistry.unpersistAll()
+      val ratio = tk / t1
+      println(f"[scale] $name%-22s 1x=$t1%6.2fs  ${k}x=$tk%6.2fs  ratio=$ratio%5.2f")
+      s""""$name":{"t1":$t1,"tk":$tk,"ratio":$ratio}"""
+    }
+    println(rows.mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
+    spark.stop()
+  }
+}

@@ -113,6 +113,7 @@ object SparkEntry {
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
     "train_split" -> ((s, d) => TextOps.trainSplit(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
+    "dedup_apply" -> ((s, d) => DedupOps.dedupApply(Tables.documents(s, d), 0.7)),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
@@ -787,6 +788,28 @@ object SparkEntry {
         |list_min(list_transform(generate_series(1, len(toks)), i ->
         |  CAST(md5_number_upper(toks[i]) >> 32 AS BIGINT))) AS min_fp
         |FROM t""".stripMargin,
+    // C31: C21's transitive closure filtered to the canonical rows —
+    // the corpus a dedup pass actually keeps
+    "dedup_apply" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS toks
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |    >= 0.7),
+        |e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+        |r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+        |  UNION
+        |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
+        |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id),
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.doc_id, d.source, d.n_chars, s.n_members AS n_merged
+        |FROM c JOIN s USING (component) JOIN documents d USING (doc_id)
+        |WHERE c.doc_id = c.component""".stripMargin,
     // A18/A19 share the hourly-resample head; forward-fill and linear
     // interpolation are window reconstructions over the dense spine
     "q_gap_fill" ->

@@ -496,4 +496,22 @@ object DedupOps {
       .select(col("doc_id"), col("component"), col("n_members"),
         (col("doc_id") === col("component")).as("is_canonical"))
   }
+
+  /** C31: the deduplicated corpus — what a pipeline actually emits
+    * after near-dup clustering: one canonical document per [[dedupGroups]]
+    * component (singletons keep themselves), with `n_merged` recording
+    * how many near-dups each survivor absorbed. The removal-side twin
+    * of C21's audit view; `removed = 1 - rows/|docs|` is the corpus
+    * dedup rate.
+    *
+    * Scale shape: C21's clustering plus one broadcast-side join back
+    * to the (already-shuffled-by-doc_id) corpus — the canonical set is
+    * ≤ |docs| rows of two longs.
+    */
+  def dedupApply(documents: DataFrame, minJaccard: Double = 0.7): DataFrame =
+    dedupGroups(documents, minJaccard)
+      .filter(col("is_canonical"))
+      .join(documents, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_members").as("n_merged"))
 }

@@ -111,4 +111,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(10L)._3 && !r(11L)._3 && !r(12L)._3)
     assert(r(99L) === ((99L, 1L, true)))
   }
+
+  test("dedupApply keeps exactly the canonical docs and conserves counts") {
+    import spark.implicits._
+    def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (10L, toks(1, 10), "s"), (11L, toks(2, 11), "s"),
+      (12L, toks(3, 12), "s"), (99L, "u1 u2 u3 u4 u5", "s")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val kept = DedupOps.dedupApply(docs, 0.7).collect()
+    // one survivor for the 3-chain, one singleton
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(10L, 99L))
+    // absorbed counts add back to the corpus size
+    assert(kept.map(_.getAs[Long]("n_merged")).sum === 4L)
+  }
 }
