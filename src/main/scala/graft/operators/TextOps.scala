@@ -501,16 +501,22 @@ object TextOps {
     import org.apache.spark.sql.types.DecimalType
     val K = lit(2654435761L)
     val M = lit(4294967296L)
-    val th = transform(tokens(col("text")), t => md5Hash32(t))
-    val mixed = transform(th, (h, i) =>
+    // materialize the md5 token-hash array in its own projection:
+    // referencing the raw expression from both `mixed` and `array_min`
+    // would md5 every token twice per row (multi-referenced non-cheap
+    // aliases survive CollapseProject, so the split is kept)
+    val mixed = transform(col("th"), (h, i) =>
       pmod(
         pmod((i + 1).cast("long") * K, M).cast(DecimalType(20, 0))
           * h.cast(DecimalType(20, 0)),
         M.cast(DecimalType(11, 0))).cast("long"))
-    documents.select(
-      col("doc_id"),
-      pmod(aggregate(mixed, lit(0L), (acc, m) => acc + m), M)
-        .as("rolling_fp"),
-      array_min(th).as("min_fp"))
+    documents
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => md5Hash32(t)).as("th"))
+      .select(
+        col("doc_id"),
+        pmod(aggregate(mixed, lit(0L), (acc, m) => acc + m), M)
+          .as("rolling_fp"),
+        array_min(col("th")).as("min_fp"))
   }
 }
