@@ -68,6 +68,7 @@ object SparkEntry {
     "q_salted_sum" -> ((s, d) => ScaleOps.saltedSum(Tables.events(s, d), "event_type", "value")),
     "q_sessionize" -> ((s, d) => StreamOps.sessionizeBatch(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => AsofJoinOps.lastPurchase(Tables.events(s, d))),
+    "q_asof_native" -> ((s, d) => AsofJoinOps.lastPurchaseNative(Tables.events(s, d))),
     "q_histogram" -> ((s, d) => AnalyticsOps.histogram(Tables.events(s, d))),
     "q_stats" -> ((s, d) => AnalyticsOps.dispersionStats(Tables.events(s, d))),
     "q_percentiles" -> ((s, d) => AnalyticsOps.percentiles(Tables.events(s, d))),
@@ -349,6 +350,16 @@ object SparkEntry {
         |CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_value
         |FROM z GROUP BY user_id, session_id""".stripMargin,
     "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |p.purchase_id AS last_purchase_id,
+        |p.purchase_value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS purchase_id,
+        |     round(value, 4) AS purchase_value
+        |   FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // B30 = B12 through the custom Catalyst operator; same oracle
+    "q_asof_native" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |p.purchase_id AS last_purchase_id,
         |p.purchase_value AS last_purchase_value

@@ -69,6 +69,41 @@ object AsofJoinOps {
     carried.select(leftCols.map(col) ++ rightOut: _*)
   }
 
+  /** Native-operator form of [[asofJoin]]: plans graft's custom
+    * Catalyst node ([[org.apache.spark.sql.graftx.AsOfJoinPlan]] →
+    * `AsOfJoinExec` via the injected planner strategy) instead of the
+    * union-window composition. Identical semantics and output schema
+    * (oracle-shared with B12); different physical shape — each side
+    * gets its own key-clustered exchange (elidable when a child is
+    * already partitioned right, e.g. bucketed tables) and the merge
+    * buffers ONE right row instead of windowing the unioned streams.
+    * Requires the session to carry `GraftSparkExtensions`.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightCols: Seq[String], asofPrefix: String = "asof_",
+      tieBreak: String = null): DataFrame = {
+    import org.apache.spark.sql.graftx.{bridge, AsOfJoinPlan}
+    val spark = left.sparkSession
+    // fresh exprIds on the right (self-join safe), minimal projection
+    val rightSel = right.select(
+      col(key).as("__rk") +: col(tsCol).as("__rts") +:
+        (rightCols.map(c => col(c).as(s"__r_$c")) ++
+          Option(tieBreak).map(c => col(c).as("__rtb")).toSeq): _*)
+    val lPlan = bridge.analyzed(left)
+    val rPlan = bridge.analyzed(rightSel)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      leftKeys = Seq(attr(lPlan, key)), rightKeys = Seq(attr(rPlan, "__rk")),
+      leftTs = attr(lPlan, tsCol), rightTs = attr(rPlan, "__rts"),
+      rightTieBreak = Option(tieBreak).toSeq.map(_ => attr(rPlan, "__rtb")))
+    bridge.dataframe(spark, node)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__r_$c").as(s"$asofPrefix$c")): _*)
+  }
+
   /** Query form (B12): every event annotated with the user's most
     * recent purchase at-or-before it.
     */
@@ -78,6 +113,22 @@ object AsofJoinOps {
         col("event_id").as("purchase_id"),
         round(col("value"), 4).as("purchase_value"))
     asofJoin(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      purchases, key = "user_id", tsCol = "ts",
+      rightCols = Seq("purchase_id", "purchase_value"),
+      asofPrefix = "last_", tieBreak = "purchase_id")
+  }
+
+  /** B30: B12 through the native operator — same inputs, same output
+    * schema, same DuckDB ASOF oracle; the physical plan is the custom
+    * merge join instead of the union-window composition.
+    */
+  def lastPurchaseNative(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        round(col("value"), 4).as("purchase_value"))
+    asofJoinNative(
       events.select(col("event_id"), col("user_id"), col("ts")),
       purchases, key = "user_id", tsCol = "ts",
       rightCols = Seq("purchase_id", "purchase_value"),

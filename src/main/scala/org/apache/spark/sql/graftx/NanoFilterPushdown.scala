@@ -88,6 +88,8 @@ case class NanoFilterPushdown(dummy: Boolean = true) extends Rule[LogicalPlan] {
   * or `SparkSession.builder.withExtensions(new GraftSparkExtensions)`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanoFilterPushdown())
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

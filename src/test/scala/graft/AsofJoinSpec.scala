@@ -50,6 +50,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(selfMiss.count() === 0)
   }
 
+  test("native as-of join plans AsOfJoinExec and matches the declarative twin") {
+    val events = Tables.events(spark, sf)
+    val native = AsofJoinOps.lastPurchaseNative(events)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    val declarative = AsofJoinOps.lastPurchase(events)
+    assert(native.count() === events.count())
+    assert(native.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(native).count() === 0)
+  }
+
+  test("native as-of join: same-timestamp match, tiebreak, and miss rows") {
+    import spark.implicits._
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val left = Seq(
+      (1L, 10L, t),
+      (2L, 20L, t),
+      (3L, 10L, Timestamp.valueOf("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // two purchases at the identical instant: highest tiebreak wins
+    val right = Seq(
+      (10L, t, 7L, 9.9), (10L, t, 8L, 1.1))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = AsofJoinOps.asofJoinNative(left, right, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"), "last_", "purchase_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("last_purchase_id")))).toMap
+    assert(out(1L) === Some(8L)) // equal ts matches; tiebreak picks 8
+    assert(out(2L) === None)     // no rows for key 20
+    assert(out(3L) === None)     // purchase is after the event
+  }
+
   test("histogram buckets partition all rows") {
     val events = Tables.events(spark, sf)
     val h = AnalyticsOps.histogram(events)
