@@ -75,6 +75,7 @@ object ScaleSmoke {
       ("q_hourly_mart", (_, e, _) => AgriOps.hourlyMart(e)),
       ("q_window_running", (_, e, _) => AnalyticsOps.runningWindow(e)),
       ("q_asof_join", (_, e, _) => AsofJoinOps.lastPurchase(e)),
+      ("q_asof_native", (_, e, _) => AsofJoinOps.lastPurchaseNative(e)),
       ("q_zscore", (_, e, _) => AnalyticsOps.zscoreFlags(e)),
       ("q_sessionize", (_, e, _) => graft.streaming.StreamOps.sessionizeBatch(e)),
       ("knn_brute", (_, _, m) => SimilarityOps.knnBrute(m)),

@@ -49,6 +49,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native as-of operator equals the declarative twin (randomized)") {
+    // duplicate timestamps are frequent at this density (50 distinct
+    // minutes, 300 rows) — ties exercise the right-side tiebreak and
+    // the equal-ts left-row independence in both implementations
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val ev = randEvents(seed, 300)
+      val native = AsofJoinOps.lastPurchaseNative(ev)
+      val decl = AsofJoinOps.lastPurchase(ev)
+      assert(native.exceptAll(decl).count() === 0, s"seed=$seed native\\decl")
+      assert(decl.exceptAll(native).count() === 0, s"seed=$seed decl\\native")
+    }
+  }
+
   test("top_k aggregate equals sort-and-take on random data") {
     for (seed <- Seq(7L, 8L)) {
       val r = new scala.util.Random(seed)
