@@ -375,14 +375,25 @@ object AnalyticsOps {
     * space, then a broadcast join of the |keys|-row stats back onto
     * the stream — no window, no second shuffle of the fact.
     */
+  /** The per-key co-moment table (n, Σy, Σy²) behind [[zscoreFlags]] —
+    * exposed separately so the streaming scorer (D7) can apply a
+    * batch-built stats table to a live stream.
+    */
+  def zscoreStats(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    def y6(c: Column): Column =
+      (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(y6(col("value"))).as("s1"),
+      sum(y6(col("value")) * y6(col("value"))).as("s2"))
+  }
+
   def zscoreFlags(events: DataFrame, threshold: Double = 2.5): DataFrame = {
     val I = DecimalType(38, 0)
     def y6(c: Column): Column =
       (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
-    val stats = events.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(y6(col("value"))).as("s1"),
-      sum(y6(col("value")) * y6(col("value"))).as("s2"))
+    val stats = zscoreStats(events)
     val n = col("n").cast(I)
     val sd = sqrt((n * col("s2") - col("s1") * col("s1")).cast("double") /
       (n * (n - lit(1).cast(I))).cast("double"))

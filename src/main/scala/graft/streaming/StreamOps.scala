@@ -101,6 +101,36 @@ object StreamOps {
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).
     */
+  /** D7: stream-STATIC scoring join — the online half of B28: a
+    * batch-built stats table (tiny, one row per key) broadcast onto
+    * the live stream, each event scored and flagged as it arrives.
+    * This is the canonical "model built offline, applied online"
+    * deployment shape (the reference scores dashboard series against
+    * mart history the same way); stream-static joins are stateless —
+    * the static side is just re-broadcast per micro-batch, no
+    * watermark, no state store.
+    *
+    * `stats` must carry (event_type, n, s1, s2) from
+    * [[graft.operators.AnalyticsOps]]'s co-moment recipe; the z
+    * arithmetic mirrors B28 exactly (same fixed double-op sequence).
+    */
+  def streamingZscore(events: DataFrame, stats: DataFrame,
+      threshold: Double = 2.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    def y6(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val n = col("n").cast(I)
+    val sd = sqrt((n * col("s2") - col("s1") * col("s1")).cast("double") /
+      (n * (n - lit(1).cast(I))).cast("double"))
+    events
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        ((n * y6(col("value")) - col("s1")).cast("double") /
+          (col("n").cast("double") * sd)).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
+  }
+
   def streamingHourlyMart(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -214,4 +214,30 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows === List((1L, 10.0), (2L, 2.0), (3L, 3.0)))
     } finally check.close()
   }
+
+  test("streamingZscore scores the live stream exactly like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, sf)
+    val stats = graft.operators.AnalyticsOps.zscoreStats(events)
+    // replay a slice of the same events through a stream scored
+    // against the batch-built stats: flags must agree bit-for-bit
+    // with the batch scorer on those rows
+    val slice = events.limit(50).as[Event].collect().toSeq
+    val stream = MemoryStream[Event]
+    stream.addData(slice)
+    val q = StreamOps.streamingZscore(stream.toDF(), stats)
+      .writeStream.format("memory").queryName("zscore_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("zscore_test").select("event_id", "z", "is_anomaly")
+    val batch = graft.operators.AnalyticsOps.zscoreFlags(events)
+      .join(streamed.select(col("event_id").as("eid")),
+        col("event_id") === col("eid"))
+      .select("event_id", "z", "is_anomaly")
+    assert(streamed.count() === 50)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
