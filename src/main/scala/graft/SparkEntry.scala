@@ -127,6 +127,8 @@ object SparkEntry {
     }),
     "pii_redact" -> ((s, d) =>
       TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
+    "lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
+    "q_winsorize" -> ((s, d) => AnalyticsOps.winsorize(Tables.events(s, d))),
     "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
   )
 
@@ -873,6 +875,17 @@ object SparkEntry {
         |  END AS value_interp,
         |  v IS NULL AS is_gap
         |FROM f""".stripMargin,
+    // B31: cutoffs via B15's proven round(quantile,4) construction,
+    // then branch-identical clip comparisons in both engines
+    "q_winsorize" ->
+      """WITH c AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.05), 4) AS c_lo,
+        |  round(quantile_cont(value, 0.95), 4) AS c_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+        |  least(greatest(e.value, c.c_lo), c.c_hi) AS value_winsor,
+        |  (e.value < c.c_lo OR e.value > c.c_hi) AS was_clipped
+        |FROM events e JOIN c USING (event_type)""".stripMargin,
     // B28: co-moments in HUGEINT (exact, = Spark's DECIMAL(38,0));
     // sd and z are the identical double-op sequence as the Spark side
     "q_zscore" ->

@@ -405,6 +405,32 @@ object AnalyticsOps {
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
   }
 
+  /** B31: winsorization — clip each value into its key's
+    * [p_lo, p_hi] percentile band (outlier taming before the mart
+    * aggregates; B28's z-score flags, this repairs). Cutoffs are
+    * interpolated percentiles rounded to 4dp (B15's proven
+    * cross-engine construction), so the clip comparisons run on
+    * identical doubles in both engines and every row takes the same
+    * branch.
+    *
+    * Scale shape: one percentile aggregation over the bounded key
+    * space (percentile sorts per key WITHIN the aggregate, not the
+    * fact), then a broadcast join-back — the fact never reshuffles.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val cuts = events.groupBy("event_type").agg(
+      round(expr(s"percentile(value, $lo)"), 4).as("c_lo"),
+      round(expr(s"percentile(value, $hi)"), 4).as("c_hi"))
+    events.join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        least(greatest(col("value"), col("c_lo")), col("c_hi"))
+          .as("value_winsor"),
+        (col("value") < col("c_lo") || col("value") > col("c_hi"))
+          .as("was_clipped"))
+  }
+
   /** B27: selective fact-to-fact join — the shape Spark's RUNTIME
     * BLOOM FILTER optimization exists for: a filtered orders side
     * too big to broadcast-prune the scan statically, so the optimizer

@@ -459,6 +459,55 @@ object TextOps {
     * reproducible by the DuckDB oracle. The c·h product runs in
     * DECIMAL (ANSI-overflow-safe; everything else stays in long range).
     */
+  /** C32: corpus-trained bigram language-model scoring — the
+    * perplexity-style quality signal real pipelines compute with an
+    * external LM, self-contained: train MLE bigram probabilities
+    * p(w2|w1) = c(w1,w2)/c(w1,·) on the corpus itself, then score
+    * each document by its mean bigram negative log-likelihood (and
+    * perplexity = e^nll). Formulaic filler (repeated frequent
+    * bigrams) scores low; rare-transition text scores high.
+    *
+    * Determinism: each -ln term is quantized to DECIMAL(38,18) before
+    * the per-doc sum, so the aggregate is order-independent (same
+    * result on any partitioning — ln itself is fixed per input in the
+    * JVM). Rows-only at the driver (no cross-engine ln contract);
+    * semantics spec-tested.
+    *
+    * Scale shape: bigram generation is a generator map; counts are two
+    * partial-aggregated groupBys on token keys (high cardinality); the
+    * scoring join hits the counts tables on their keys, AQE broadcasts
+    * when small. No driver-side vocab, no collect.
+    */
+  def lmScore(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.functions.size
+    val bigrams = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // c(w1,·) from the bigram table itself — exactly the MLE
+    // denominator, and every scored bigram is present by construction
+    // (the corpus trains on itself), so no zero-probability guards
+    val uniCounts = biCounts.groupBy("w1").agg(sum("cb").as("cu"))
+    val nll = negate(log(col("cb").cast("double") / col("cu").cast("double")))
+      .cast(DecimalType(38, 18))
+    bigrams
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(nll).cast("double") / count(lit(1))).as("avg_nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        exp(col("avg_nll")).as("ppl"))
+  }
+
   /** C29: PII redaction — the scrub pass every training corpus runs
     * before anything else: emails and phone-number shapes replaced by
     * typed placeholder tokens, with per-doc match counts for the

@@ -105,4 +105,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(z.filter(col("is_anomaly") =!= (abs(col("z")) > 2.5)).count() === 0)
     z.unpersist()
   }
+
+  test("winsorize clips into the percentile band and preserves interior rows") {
+    val events = Tables.events(spark, sf)
+    val w = AnalyticsOps.winsorize(events).cache()
+    assert(w.count() === events.count())
+    // clipped values land exactly on a cutoff; interior rows unchanged
+    assert(w.filter(col("was_clipped")
+      && col("value_winsor") === col("value")).count() === 0)
+    assert(w.filter(!col("was_clipped")
+      && col("value_winsor") =!= col("value")).count() === 0)
+    // ~10% of rows clipped at (0.05, 0.95); allow generous slack
+    val frac = w.filter(col("was_clipped")).count().toDouble / w.count()
+    assert(frac > 0.02 && frac < 0.2, s"clip fraction $frac")
+    // winsorized spread is never wider than the raw spread
+    val spans = w.groupBy("event_type").agg(
+      (max("value_winsor") - min("value_winsor")).as("ws"),
+      (max("value") - min("value")).as("rs"))
+    assert(spans.filter(col("ws") > col("rs")).count() === 0)
+    w.unpersist()
+  }
 }

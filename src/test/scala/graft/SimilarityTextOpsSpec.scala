@@ -252,6 +252,31 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("lmScore ranks majority transitions below minority ones") {
+    import spark.implicits._
+    // after 'a' the corpus goes to 'b' 90% of the time and 'c' 10%:
+    // the doc riding the majority transition must score lower nll
+    // than the minority one (a doc of globally-unique transitions
+    // would be CERTAIN under self-trained MLE — p=1, nll=0 — so
+    // ambiguity, not rarity, is what the test must construct)
+    val docs = ((1 to 9).map(i => (i.toLong, "a b a b a b")) :+
+      (99L, "a c a c a c")).toDF("doc_id", "text")
+    val s = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    assert(s(1L) < s(99L))
+    // p(b|a)=0.9, p(a|b)=1 → avg_nll = 3·(-ln .9)/5 ≈ 0.0632
+    assert(math.abs(s(1L) - 3.0 * -math.log(0.9) / 5.0) < 1e-9)
+    // p(c|a)=0.1 → avg_nll = 3·(-ln .1)/5 ≈ 1.3816
+    assert(math.abs(s(99L) - 3.0 * -math.log(0.1) / 5.0) < 1e-9)
+  }
+
+  test("lmScore is order-independent across partitionings") {
+    val docs = documents
+    val a = TextOps.lmScore(docs)
+    val b = TextOps.lmScore(docs.repartition(7))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("labelCentroids matches the naive mean within quantization error") {
     val c = SimilarityOps.labelCentroids(embeddings).cache()
     val naive = embeddings
