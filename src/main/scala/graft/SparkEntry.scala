@@ -128,6 +128,10 @@ object SparkEntry {
     "pii_redact" -> ((s, d) =>
       TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
     "lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      PipelineOps.curate(docs, docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    }),
     "q_winsorize" -> ((s, d) => AnalyticsOps.winsorize(Tables.events(s, d))),
     "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
   )
@@ -823,6 +827,70 @@ object SparkEntry {
         |SELECT c.doc_id, d.source, d.n_chars, s.n_members AS n_merged
         |FROM c JOIN s USING (component) JOIN documents d USING (doc_id)
         |WHERE c.doc_id = c.component""".stripMargin,
+    // C33: the five-stage curation chain as chained CTEs — quality ∧
+    // repetition → exact dedup → recursive-CTE near-dup closure
+    // (canonical only) → decontamination vs the FULL-corpus eval set
+    // → hash split. Verifies the COMPOSITION, not just each stage.
+    "pipeline_curate" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, text, source, n_chars,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |qk AS (SELECT doc_id FROM t0
+        |  WHERE len(toks) >= 5 AND len(toks) <= 500
+        |    AND len(list_filter(toks, t -> t IN ('the','a','and','of','to')))
+        |      * 1.0 / len(toks) <= 0.5),
+        |rb AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bigrams FROM t0),
+        |rg AS (SELECT doc_id, max(c) AS tb, sum(c) AS nb
+        |  FROM (SELECT doc_id, bg, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bigrams) AS bg FROM rb)
+        |    GROUP BY doc_id, bg)
+        |  GROUP BY doc_id),
+        |rk AS (SELECT b.doc_id FROM rb b LEFT JOIN rg g USING (doc_id)
+        |  WHERE (b.n_tokens - b.n_distinct) * 2 <= b.n_tokens
+        |    AND COALESCE(g.tb, 0) * 10 <= COALESCE(g.nb, 0)),
+        |s1 AS (SELECT t0.* FROM t0
+        |  JOIN qk USING (doc_id) JOIN rk USING (doc_id)),
+        |ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+        |s2 AS (SELECT s1.* FROM s1 JOIN ek USING (doc_id)),
+        |t2 AS (SELECT doc_id, source, list_distinct(toks) AS dt FROM s2),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM t2 a JOIN t2 b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.dt, b.dt)) * 1.0
+        |    / (len(a.dt) + len(b.dt) - len(list_intersect(a.dt, b.dt)))
+        |    >= 0.7),
+        |e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+        |r AS (SELECT doc_id AS id, doc_id AS lbl FROM s2
+        |  UNION
+        |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
+        |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id),
+        |s3 AS (SELECT s2.* FROM s2 JOIN c USING (doc_id)
+        |  WHERE c.doc_id = c.component),
+        |g3 AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [array_to_string(toks, ' ')] END AS grams FROM s3),
+        |d3 AS (SELECT doc_id, unnest(grams) AS gm FROM g3),
+        |bset AS (SELECT DISTINCT gm FROM
+        |  (SELECT CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE [array_to_string(toks, ' ')] END AS grams
+        |   FROM t0 WHERE doc_id % 20 = 0), UNNEST(grams) AS u(gm)),
+        |dk AS (SELECT d3.doc_id FROM d3 LEFT JOIN bset b ON d3.gm = b.gm
+        |  GROUP BY d3.doc_id HAVING count(b.gm) * 1.0 / count(*) <= 0.5),
+        |s4 AS (SELECT s3.* FROM s3 JOIN dk USING (doc_id))
+        |SELECT doc_id, source, n_chars,
+        |CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |       < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+        |     WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |       < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM s4""".stripMargin,
     // A18/A19 share the hourly-resample head; forward-fill and linear
     // interpolation are window reconstructions over the dense spine
     "q_gap_fill" ->

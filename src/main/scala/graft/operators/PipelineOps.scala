@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the C-surface operators composed in
+  * the order a production training-data pipeline runs them, each
+  * stage filtering the previous stage's survivors:
+  *
+  *   1. quality gate (C8) ∧ repetition gate (C19) — row-local filters
+  *      first, they're the cheapest and shrink everything downstream
+  *   2. exact dedup (C1) — keep the min-id copy of identical texts
+  *   3. near-dup clustering (C21/C31) at τ — keep each component's
+  *      canonical doc (clustering runs ON the stage-2 survivors: who
+  *      is canonical legitimately depends on who's still present)
+  *   4. benchmark decontamination (C16) against a FIXED eval set
+  *      drawn from the full corpus (the eval set never shrinks with
+  *      the pipeline — that would hide contamination)
+  *   5. deterministic train/val/test assignment (C27)
+  *
+  * The whole chain is one oracle-gated query: the DuckDB mirror runs
+  * the same five stages as chained CTEs (including the recursive
+  * transitive closure), so the composition itself — not just each
+  * stage — is verified.
+  *
+  * Scale shape: stages 1-2 and 4-5 are map/groupBy-local passes; the
+  * only super-linear machinery is stage 3's prefix-filtered
+  * similarity join + log-round label propagation, both already
+  * audited at 10× in ScaleSmoke. Stages share nothing across rounds,
+  * so the pipeline is a straight-line DAG — no iteration at the top
+  * level, safe to checkpoint between stages at 100 TB.
+  */
+object PipelineOps {
+
+  def curate(documents: DataFrame, benchmark: DataFrame,
+      tau: Double = 0.7, maxOverlap: Double = 0.5): DataFrame = {
+    // 1. row-local gates
+    val qKeep = TextOps.quality(documents)
+      .filter(col("keep")).select("doc_id")
+    val rKeep = TextOps.repetition(documents)
+      .filter(col("keep")).select("doc_id")
+    val s1 = documents.join(qKeep, "doc_id").join(rKeep, "doc_id")
+    // 2. exact dedup among survivors
+    val eKeep = DedupOps.exactDedup(s1)
+      .select(col("keep_id").as("doc_id"))
+    val s2 = s1.join(eKeep, "doc_id")
+    // 3. near-dup canonical election among survivors
+    val canon = DedupOps.dedupApply(s2, tau).select("doc_id")
+    val s3 = s2.join(canon, "doc_id")
+    // 4. decontamination vs the fixed eval set
+    val dKeep = DedupOps.decontaminate(s3, benchmark, maxOverlap)
+      .filter(col("keep")).select("doc_id")
+    val s4 = s3.join(dKeep, "doc_id")
+    // 5. split assignment
+    TextOps.trainSplit(s4)
+      .join(s4.select("doc_id", "n_chars"), "doc_id")
+      .select("doc_id", "source", "n_chars", "split")
+  }
+}

@@ -112,6 +112,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(99L) === ((99L, 1L, true)))
   }
 
+  test("pipeline_curate output is a filtered subset with valid splits") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val out = graft.operators.PipelineOps.curate(docs, bench).cache()
+    val n = out.count()
+    assert(n > 0 && n < docs.count()) // each gate removes something
+    // survivors are real docs with their original source/n_chars
+    assert(out.join(docs, Seq("doc_id", "source", "n_chars")).count() === n)
+    // split labels well-formed and deterministic
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    val again = graft.operators.PipelineOps.curate(docs, bench)
+    assert(out.exceptAll(again).count() === 0)
+    // no two survivors share an identical text (stage-2 invariant
+    // survives the later stages, which only remove rows)
+    val texts = out.join(docs, "doc_id").groupBy(md5(col("text"))).count()
+    assert(texts.filter(col("count") > 1).count() === 0)
+    out.unpersist()
+  }
+
   test("dedupApply keeps exactly the canonical docs and conserves counts") {
     import spark.implicits._
     def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")
