@@ -133,6 +133,7 @@ object SparkEntry {
       PipelineOps.curate(docs, docs.filter(pmod(col("doc_id"), lit(20)) === 0))
     }),
     "q_winsorize" -> ((s, d) => AnalyticsOps.winsorize(Tables.events(s, d))),
+    "q_retention" -> ((s, d) => AnalyticsOps.cohortRetention(Tables.events(s, d))),
     "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
   )
 
@@ -954,6 +955,18 @@ object SparkEntry {
         |  least(greatest(e.value, c.c_lo), c.c_hi) AS value_winsor,
         |  (e.value < c.c_lo OR e.value > c.c_hi) AS was_clipped
         |FROM events e JOIN c USING (event_type)""".stripMargin,
+    // B32: month offsets via date_diff on month-truncated stamps —
+    // exactly months_between's integral value on the Spark side
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('month', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+        |  FROM events)
+        |SELECT f.cohort,
+        |CAST(date_diff('month', f.cohort, a.m) AS BIGINT) AS month_offset,
+        |count(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // B28: co-moments in HUGEINT (exact, = Spark's DECIMAL(38,0));
     // sd and z are the identical double-op sequence as the Spark side
     "q_zscore" ->

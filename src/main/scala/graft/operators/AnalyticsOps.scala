@@ -405,6 +405,29 @@ object AnalyticsOps {
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
   }
 
+  /** B32: cohort retention — the dashboard query behind every
+    * "retention matrix": users bucketed by first-activity month
+    * (cohort), then counted active per (cohort, month offset).
+    *
+    * Scale shape: cohort table is one partial-aggregated groupBy on
+    * user_id; activity is a distinct on (user_id, month) — both
+    * shuffle once on the high-cardinality user key, the join
+    * co-partitions on it, and the final rollup is |cohorts×offsets|
+    * rows. months_between on month-truncated timestamps is exactly
+    * integral, so the offset cast is lossless in both engines.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(date_trunc("month", min("ts")).as("cohort"))
+    val activity = events
+      .select(col("user_id"), date_trunc("month", col("ts")).as("m"))
+      .distinct()
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort"),
+        months_between(col("m"), col("cohort")).cast("long").as("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** B31: winsorization — clip each value into its key's
     * [p_lo, p_hi] percentile band (outlier taming before the mart
     * aggregates; B28's z-score flags, this repairs). Cutoffs are

@@ -106,6 +106,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     z.unpersist()
   }
 
+  test("cohortRetention: offset-0 counts every user exactly once") {
+    val events = Tables.events(spark, sf)
+    val r = AnalyticsOps.cohortRetention(events).cache()
+    // every user is active in their own cohort month
+    val users = events.select(countDistinct("user_id")).head.getLong(0)
+    val atZero = r.filter(col("month_offset") === 0)
+      .agg(sum("n_active")).head.getLong(0)
+    assert(atZero === users)
+    // retention never exceeds the cohort's size and offsets are sane
+    val sizes = r.filter(col("month_offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    assert(r.join(sizes, "cohort")
+      .filter(col("n_active") > col("cohort_size")).count() === 0)
+    assert(r.filter(col("month_offset") < 0).count() === 0)
+    r.unpersist()
+  }
+
   test("winsorize clips into the percentile band and preserves interior rows") {
     val events = Tables.events(spark, sf)
     val w = AnalyticsOps.winsorize(events).cache()
