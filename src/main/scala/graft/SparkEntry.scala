@@ -134,6 +134,7 @@ object SparkEntry {
     }),
     "q_winsorize" -> ((s, d) => AnalyticsOps.winsorize(Tables.events(s, d))),
     "q_retention" -> ((s, d) => AnalyticsOps.cohortRetention(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => AnalyticsOps.funnel(Tables.events(s, d))),
     "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
   )
 
@@ -955,6 +956,27 @@ object SparkEntry {
         |  least(greatest(e.value, c.c_lo), c.c_hi) AS value_winsor,
         |  (e.value < c.c_lo OR e.value > c.c_hi) AS was_clipped
         |FROM events e JOIN c USING (event_type)""".stripMargin,
+    // B33: the same stage-chained min-ts funnel as CTEs
+    "q_funnel" ->
+      """WITH b AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |  event_type, ts FROM events),
+        |v AS (SELECT user_id, day, min(ts) AS v_ts FROM b
+        |  WHERE event_type = 'view' GROUP BY user_id, day),
+        |c AS (SELECT b.user_id, b.day, min(b.ts) AS c_ts FROM b
+        |  JOIN v ON b.user_id = v.user_id AND b.day = v.day
+        |  WHERE b.event_type = 'click' AND b.ts >= v.v_ts
+        |  GROUP BY b.user_id, b.day),
+        |p AS (SELECT b.user_id, b.day, min(b.ts) AS p_ts FROM b
+        |  JOIN c ON b.user_id = c.user_id AND b.day = c.day
+        |  WHERE b.event_type = 'purchase' AND b.ts >= c.c_ts
+        |  GROUP BY b.user_id, b.day)
+        |SELECT v.day, count(*) AS n_view,
+        |count(c.c_ts) AS n_click_after_view,
+        |count(p.p_ts) AS n_purchase_after_click
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id AND v.day = c.day
+        |LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+        |GROUP BY v.day""".stripMargin,
     // B32: month offsets via date_diff on month-truncated stamps —
     // exactly months_between's integral value on the Spark side
     "q_retention" ->

@@ -405,6 +405,40 @@ object AnalyticsOps {
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
   }
 
+  /** B33: ordered funnel conversion — per (user, day): first view,
+    * first click AT-OR-AFTER that view, first purchase at-or-after
+    * that click; daily counts of users reaching each stage. The
+    * strict-ordering chain (each stage's timestamp must not precede
+    * the previous stage's) is what distinguishes a funnel from three
+    * independent counts.
+    *
+    * Scale shape: all three aggregations and both stage joins are
+    * keyed on the same (user_id, day) — after the first exchange the
+    * plan stays co-partitioned, and each stage's input shrinks
+    * monotonically (click stage only sees users who viewed, purchase
+    * stage only users who clicked).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day"), col("event_type"), col("ts"))
+    val v = base.filter(col("event_type") === "view")
+      .groupBy("user_id", "day").agg(min("ts").as("v_ts"))
+    val c = base.filter(col("event_type") === "click")
+      .join(v, Seq("user_id", "day"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id", "day").agg(min("ts").as("c_ts"))
+    val p = base.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id", "day"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id", "day").agg(min("ts").as("p_ts"))
+    v.join(c, Seq("user_id", "day"), "left")
+      .join(p, Seq("user_id", "day"), "left")
+      .groupBy("day").agg(
+        count(lit(1)).as("n_view"),
+        count(col("c_ts")).as("n_click_after_view"),
+        count(col("p_ts")).as("n_purchase_after_click"))
+  }
+
   /** B32: cohort retention — the dashboard query behind every
     * "retention matrix": users bucketed by first-activity month
     * (cohort), then counted active per (cohort, month offset).

@@ -123,6 +123,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("funnel stages are monotonically non-increasing and order-strict") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val f = AnalyticsOps.funnel(events).cache()
+    assert(f.count() > 0)
+    assert(f.filter(col("n_click_after_view") > col("n_view")
+      || col("n_purchase_after_click") > col("n_click_after_view")).count() === 0)
+    // order-strictness on a toy: click BEFORE the first view must not count
+    val toy = Seq(
+      (1L, "2024-01-01 09:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),
+      (3L, "2024-01-01 08:00:00", 2L, "view", 1.0, "{}"),
+      (4L, "2024-01-01 09:30:00", 2L, "click", 1.0, "{}"),
+      (5L, "2024-01-01 09:45:00", 2L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "tstr", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("tstr")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val t = AnalyticsOps.funnel(toy).head()
+    assert(t.getAs[Long]("n_view") === 2)               // both users viewed
+    assert(t.getAs[Long]("n_click_after_view") === 1)    // only user 2
+    assert(t.getAs[Long]("n_purchase_after_click") === 1)
+    f.unpersist()
+  }
+
   test("winsorize clips into the percentile band and preserves interior rows") {
     val events = Tables.events(spark, sf)
     val w = AnalyticsOps.winsorize(events).cache()
