@@ -135,6 +135,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => AnalyticsOps.winsorize(Tables.events(s, d))),
     "q_retention" -> ((s, d) => AnalyticsOps.cohortRetention(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => AnalyticsOps.funnel(Tables.events(s, d))),
+    "q_rolling_active" -> ((s, d) => AnalyticsOps.rollingActive(Tables.events(s, d))),
     "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
   )
 
@@ -956,6 +957,18 @@ object SparkEntry {
         |  least(greatest(e.value, c.c_lo), c.c_hi) AS value_winsor,
         |  (e.value < c.c_lo OR e.value > c.c_hi) AS was_clipped
         |FROM events e JOIN c USING (event_type)""".stripMargin,
+    // B34: bounded 7-day fan-out of the deduped (user, day) table
+    "q_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |fan AS (SELECT user_id,
+        |  unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |    AS w FROM ud),
+        |uw AS (SELECT DISTINCT user_id, w FROM fan),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT uw.w, count(*) AS active_users
+        |FROM uw JOIN days ON uw.w = days.day
+        |GROUP BY uw.w""".stripMargin,
     // B33: the same stage-chained min-ts funnel as CTEs
     "q_funnel" ->
       """WITH b AS (SELECT user_id, date_trunc('day', ts) AS day,

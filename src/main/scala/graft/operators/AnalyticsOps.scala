@@ -405,6 +405,31 @@ object AnalyticsOps {
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
   }
 
+  /** B34: rolling active users — distinct users in the trailing
+    * `windowDays` ending at each observed day (rolling WAU). Rolling
+    * COUNT DISTINCT doesn't decompose into per-day partials, so the
+    * scalable shape is bounded replication: dedup to (user, day)
+    * FIRST (collapses any event volume to ≤ |users|·|days| rows),
+    * fan each row out to the `windowDays` windows it supports, dedup
+    * (user, window), count per window. Blow-up is the fixed window
+    * length — never the event volume.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val ud = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr(s"interval ${windowDays - 1} days"),
+          expr("interval 1 day"))).as("w"))
+      .distinct()
+      .join(days.withColumnRenamed("day", "w"), "w") // only observed days
+      .groupBy("w")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** B33: ordered funnel conversion — per (user, day): first view,
     * first click AT-OR-AFTER that view, first purchase at-or-after
     * that click; daily counts of users reaching each stage. The

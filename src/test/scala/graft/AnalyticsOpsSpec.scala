@@ -123,6 +123,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("rollingActive: window counts dominate daily counts and users bound both") {
+    val events = Tables.events(spark, sf)
+    val r = AnalyticsOps.rollingActive(events).cache()
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("w"))
+      .agg(countDistinct("user_id").as("dau"))
+    // 7-day active ≥ that day's DAU, and ≤ total users
+    val users = events.select(countDistinct("user_id")).head.getLong(0)
+    val j = r.join(daily, "w")
+    assert(j.count() === r.count()) // every observed day present
+    assert(j.filter(col("active_users") < col("dau")).count() === 0)
+    assert(r.filter(col("active_users") > users).count() === 0)
+    // trailing window of size 1 degenerates to exactly DAU
+    val r1 = AnalyticsOps.rollingActive(events, windowDays = 1)
+    assert(r1.join(daily, "w")
+      .filter(col("active_users") =!= col("dau")).count() === 0)
+    r.unpersist()
+  }
+
   test("funnel stages are monotonically non-increasing and order-strict") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
