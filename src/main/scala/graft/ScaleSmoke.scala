@@ -79,7 +79,9 @@ object ScaleSmoke {
       ("q_zscore", (_, e, _) => AnalyticsOps.zscoreFlags(e)),
       ("q_sessionize", (_, e, _) => graft.streaming.StreamOps.sessionizeBatch(e)),
       ("knn_brute", (_, _, m) => SimilarityOps.knnBrute(m)),
-      ("emb_centroid", (_, _, m) => SimilarityOps.labelCentroids(m)))
+      ("emb_centroid", (_, _, m) => SimilarityOps.labelCentroids(m)),
+      ("pipeline_curate", (d, _, _) => PipelineOps.curate(d,
+        d.filter(pmod(col("doc_id"), lit(20)) === 0))))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -55,6 +55,11 @@ class AsofJoinSpec extends SparkSpec {
     val native = AsofJoinOps.lastPurchaseNative(events)
     val plan = native.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    // plan-shape pin: exactly one key-clustered exchange per side —
+    // a third exchange would mean EnsureRequirements stopped accepting
+    // the operator's distribution contract
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"expected 2 exchanges, got $exchanges in:\n$plan")
     val declarative = AsofJoinOps.lastPurchase(events)
     assert(native.count() === events.count())
     assert(native.exceptAll(declarative).count() === 0)
