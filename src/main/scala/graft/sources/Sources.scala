@@ -164,4 +164,34 @@ object Sources {
     missing.write.mode("append")
       .partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** A20: small-file compaction — the operational counterpart of the
+    * incremental writers above: every pipeline cycle appends a few
+    * files per hive partition, and after months a 100 TB mart is
+    * millions of KB-sized files whose open/footer overhead dominates
+    * scans. Rewrites the dataset with each hive partition coalesced
+    * toward `targetBytes` files, preserving the partition layout.
+    *
+    * The repartition is keyed on the partition columns PLUS a bounded
+    * random-ish bucket derived from the target count, so one oversized
+    * hive partition still splits into multiple files instead of one
+    * giant one (repartitioning solely on partition columns would put
+    * each hive partition into a single task/file).
+    *
+    * Writes to a new directory (atomic swap is the caller's move-
+    * into-place) — compaction must never destroy the readable copy.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      partitionCols: Seq[String], targetBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(inPath)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (BigDecimal(totalBytes) / BigDecimal(targetBytes)).toDouble.ceil.toInt)
+    val bucket = pmod(xxhash64(monotonically_increasing_id()), lit(nFiles))
+    val keys = partitionCols.map(col) :+ bucket
+    df.repartition(nFiles, keys: _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
+  }
 }

@@ -196,4 +196,34 @@ class SourcesSpec extends SparkSpec {
     assert(p.filter(col("id1") >= col("id2")).count() === 0)
     assert(p.filter(col("cos_sim") < 0.4).count() === 0)
   }
+
+  test("compactParquet merges a fragmented mart losslessly, keeping the layout") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("frag").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compact").toString + "/out"
+    // fragment: 20 single-row appends into 2 hive partitions
+    (1 to 20).foreach { i =>
+      Seq((s"r${i % 2}", 2024, i.toLong, i * 1.0))
+        .toDF("region", "year", "k", "v")
+        .write.mode("append").partitionBy("region", "year").parquet(inDir)
+    }
+    def partFiles(dir: String): Seq[java.io.File] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.startsWith("part-")) buf += f
+      walk(new java.io.File(dir)); buf.toSeq
+    }
+    assert(partFiles(inDir).size >= 20)
+    Sources.compactParquet(spark, inDir, outDir, Seq("region", "year"))
+    // far fewer files (tiny data → one bucket), identical rows, same layout
+    assert(partFiles(outDir).size <= 4)
+    val before = spark.read.parquet(inDir).select("region", "year", "k", "v")
+    val after = spark.read.parquet(outDir).select("region", "year", "k", "v")
+    assert(after.count() === 20)
+    assert(before.exceptAll(after).count() === 0)
+    assert(after.exceptAll(before).count() === 0)
+    // hive layout preserved
+    assert(new java.io.File(s"$outDir/region=r0/year=2024").isDirectory)
+  }
 }
