@@ -87,6 +87,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3L) === None)     // purchase is after the event
   }
 
+  test("native as-of join with an empty right side yields all-null carries") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 20L, Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq.empty[(Long, Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = AsofJoinOps.asofJoinNative(left, right, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"), "last_", "purchase_id")
+    assert(out.count() === 2)
+    assert(out.filter(col("last_purchase_id").isNotNull).count() === 0)
+  }
+
   test("histogram buckets partition all rows") {
     val events = Tables.events(spark, sf)
     val h = AnalyticsOps.histogram(events)
