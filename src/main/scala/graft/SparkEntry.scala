@@ -128,6 +128,9 @@ object SparkEntry {
     "pii_redact" -> ((s, d) =>
       TextOps.piiRedact(TextOps.withSyntheticPii(Tables.documents(s, d)))),
     "lm_score" -> ((s, d) => TextOps.lmScore(Tables.documents(s, d))),
+    "url_domains" -> ((s, d) =>
+      TextOps.urlDomains(TextOps.withSyntheticUrl(Tables.documents(s, d)))),
+    "source_overlap" -> ((s, d) => DedupOps.sourceOverlap(Tables.documents(s, d))),
     "pipeline_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       PipelineOps.curate(docs, docs.filter(pmod(col("doc_id"), lit(20)) === 0))
@@ -830,6 +833,30 @@ object SparkEntry {
         |SELECT c.doc_id, d.source, d.n_chars, s.n_members AS n_merged
         |FROM c JOIN s USING (component) JOIN documents d USING (doc_id)
         |WHERE c.doc_id = c.component""".stripMargin,
+    // C34: same injected URL, same regex subset; domain = host group
+    "url_domains" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' see https://mirror' || CAST(doc_id % 25 AS VARCHAR)
+        |    || '.example.org/doc/' || doc_id AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |  'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?', 0)) AS url FROM aug)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+        |count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM u GROUP BY 1""".stripMargin,
+    // C35: unordered source pairs sharing a 5-token head; the
+    // doc-level self-join is the oracle's formulation — the Spark
+    // side does the group-list expansion, same multiset of pairs
+    "source_overlap" ->
+      """WITH t AS (SELECT doc_id, source, array_to_string(
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')[1:5], ' ') AS h
+        |  FROM documents)
+        |SELECT least(a.source, b.source) AS source_a,
+        |greatest(a.source, b.source) AS source_b,
+        |count(*) AS n_dup_pairs
+        |FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // C33: the five-stage curation chain as chained CTEs — quality ∧
     // repetition → exact dedup → recursive-CTE near-dup closure
     // (canonical only) → decontamination vs the FULL-corpus eval set

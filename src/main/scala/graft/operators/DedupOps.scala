@@ -508,6 +508,35 @@ object DedupOps {
     * to the (already-shuffled-by-doc_id) corpus — the canonical set is
     * ≤ |docs| rows of two longs.
     */
+  /** C35: cross-source boilerplate matrix — for every source pair
+    * (s1 ≤ s2, diagonal included), how many doc pairs share the same
+    * `headTokens`-token head. The provenance audit run before mixing
+    * corpora: a hot off-diagonal cell means two sources carry the
+    * same templated openings (mirrors, syndication) and their mixing
+    * weights double-count; the diagonal measures within-source
+    * templating. Head keys (not full text) because real cross-source
+    * duplication is rarely byte-identical — shared intros are the
+    * robust tell.
+    *
+    * Scale shape: one hash-groupBy on the head key (each head
+    * collapses to one group map-side); the pair expansion happens on
+    * the per-group source LISTS (bounded by copies-per-head, not
+    * corpus size) — no doc-level self-join ever materializes.
+    */
+  def sourceOverlap(documents: DataFrame, headTokens: Int = 5): DataFrame =
+    documents
+      .groupBy(concat_ws(" ",
+        slice(TextOps.tokens(col("text")), lit(1), lit(headTokens))).as("h"))
+      .agg(collect_list(col("source")).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), b ->
+          |    struct(least(a, b) AS s1, greatest(a, b) AS s2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.s1").as("source_a"), col("p.s2").as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+
   def dedupApply(documents: DataFrame, minJaccard: Double = 0.7): DataFrame =
     dedupGroups(documents, minJaccard)
       .filter(col("is_canonical"))

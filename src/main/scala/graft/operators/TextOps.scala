@@ -508,6 +508,39 @@ object TextOps {
         exp(col("avg_nll")).as("ppl"))
   }
 
+  /** C34: URL extraction + per-domain stats — the audit behind
+    * domain-level corpus curation (allow/deny lists, per-domain
+    * quality priors): pull every URL, normalize to its registrable
+    * host, count docs and URLs per domain. Map + one groupBy on the
+    * domain key; regexes stay in the Java/RE2-common subset so the
+    * oracle replays them.
+    *
+    * Like C29, the synthetic corpus carries no URLs, so the query
+    * entry injects a deterministic doc_id-derived URL per doc first —
+    * the extraction runs against real matches on every row.
+    */
+  def urlDomains(documents: DataFrame): DataFrame = {
+    val urlPat = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+    val hostPat = "https?://([A-Za-z0-9.-]+)"
+    documents
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(text, '$urlPat', 0)")).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), hostPat, 1).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_urls"))
+  }
+
+  /** Deterministic URL augmentation for C34's query entry (same
+    * rationale as [[withSyntheticPii]]).
+    */
+  def withSyntheticUrl(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      concat(col("text"), lit(" see https://mirror"),
+        pmod(col("doc_id"), lit(25)).cast("string"),
+        lit(".example.org/doc/"), col("doc_id").cast("string")))
+
   /** C29: PII redaction — the scrub pass every training corpus runs
     * before anything else: emails and phone-number shapes replaced by
     * typed placeholder tokens, with per-doc match counts for the

@@ -277,6 +277,29 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("urlDomains finds every injected URL under its derived domain") {
+    val d = TextOps.urlDomains(TextOps.withSyntheticUrl(documents)).cache()
+    // 25 mirror domains, each doc contributing exactly one URL
+    assert(d.count() === 25)
+    assert(d.agg(sum("n_urls")).head.getLong(0) === documents.count())
+    assert(d.filter(!col("domain").rlike(
+      "^mirror[0-9]+\\.example\\.org$")).count() === 0)
+    assert(d.filter(col("n_docs") > col("n_urls")).count() === 0)
+    d.unpersist()
+  }
+
+  test("sourceOverlap pair counts match the naive doc-level self-join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e tail1", "s1"), (2L, "a b c d e tail2", "s2"),
+      (3L, "a b c d e tail3", "s2"), (4L, "x y z w v tail4", "s3"))
+      .toDF("doc_id", "text", "source")
+    val m = graft.operators.DedupOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // head "a b c d e" spans {s1, s2, s2}: pairs (s1,s2)×2, (s2,s2)×1
+    assert(m === Map(("s1", "s2") -> 2L, ("s2", "s2") -> 1L))
+  }
+
   test("labelCentroids matches the naive mean within quantization error") {
     val c = SimilarityOps.labelCentroids(embeddings).cache()
     val naive = embeddings
