@@ -36,6 +36,40 @@ class NanoPushdownSpec extends SparkSpec {
     assert(viaRule === reference)
   }
 
+  test("literal-on-left comparisons also reach the scan (ADVICE r1)") {
+    spark.catalog.clearCache()
+    val events = Tables.events(spark, sf)
+    // lit >= ts  ⟺  ts <= lit — the mirrored match the rule must cover
+    val f = events.filter(
+      lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")) >= col("ts"))
+    val pushed = f.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    // floor semantics: ts ≤ lit on the truncated column rewrites to
+    // raw_nanos < lit + 1µs — a strict LessThan on the raw longs
+    assert(pushed.contains("LessThan(ts"), s"got: $pushed")
+    // and semantics unchanged
+    val expected = events.filter(
+      col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))).count()
+    assert(f.count() === expected)
+  }
+
+  test("mart read with a partition predicate prunes to matching partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("prunemart").toString
+    AgriOps.writePartitionedMart(
+      AgriOps.martPipeline(Tables.events(spark, sf)), dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("event_type"),
+      s"expected partition pruning on event_type, got: $pf")
+    assert(read.count() > 0)
+    // pruning is real: only the matching hive directory is listed
+    val scanned = plan.linesIterator
+      .filter(_.contains("event_type=")).mkString
+    assert(!scanned.contains("event_type=error"), s"got: $scanned")
+  }
+
   test("equality on converted timestamp rewrites to a nanos interval") {
     spark.catalog.clearCache() // a cached events relation would absorb the scan
     val events = Tables.events(spark, sf)
