@@ -92,6 +92,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(Tables.embeddings(s, d))),
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
+    "knn_graph" -> ((s, d) => SimilarityOps.knnGraph(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextOps.tokenCount(Tables.documents(s, d))),

@@ -294,6 +294,68 @@ object SimilarityOps {
       .select("q_id", "rank", "c_id", "sim")
   }
 
+  /** C36: approximate k-NN GRAPH over the whole corpus — every vector
+    * gets its top-k approximate neighbors (the structure behind
+    * embedding-space clustering, near-dup sweeps, and
+    * diversity-aware sampling at corpus scale). Candidates are pairs
+    * sharing a sign-LSH bucket in ANY of `numTables` independent
+    * tables; each candidate pair is scored once (id1 < id2) with the
+    * native vec_dot cosine, mirrored to both endpoints, and reduced
+    * to top-k per vector by the bounded-heap `top_k` aggregate — no
+    * per-vector sort, no all-pairs scan.
+    *
+    * Scale shape: bucketing is a pure map ×L; the candidate join is a
+    * bucket equi-join whose fan-in is |bucket|², controlled by
+    * numPlanes (2^planes buckets/table); dedup + scoring shuffle on
+    * the pair key; the final top-k is map-side combinable. The
+    * all-pairs exact graph this approximates is O(n²) — the audit
+    * (C12/dedup_embedding) stays quarantined to small n, THIS is the
+    * production path. Recall vs the exact graph is spec-audited on
+    * the test corpus (near-random embeddings, LSH's hardest case).
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, numPlanes: Int = 4,
+      numTables: Int = 4): DataFrame = {
+    val P = numPlanes
+    // stage projections once (same Catalyst-analysis rationale as C6)
+    val projCols = array((0 until numTables * P).map(i =>
+      planeProj(col("embedding").cast("array<double>"), i)): _*)
+    val e = graft.CacheRegistry.persist(
+      embeddings.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), projCols.as("projs")))
+    def bucketT(t: Int): Column =
+      (0 until P).map { j =>
+        when(element_at(col("projs"), t * P + j + 1) > 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val buckets = e.select(col("vec_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), bucketT(t).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("t", "b"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+    scored
+      .select(col("id1").as("src"), col("id2").as("nbr"), col("sim"))
+      .unionAll(scored.select(col("id2").as("src"), col("id1").as("nbr"),
+        col("sim")))
+      .groupBy("src")
+      .agg(graft.functions.VectorFns.top_k(
+        struct(negate(col("sim")).as("neg"), col("nbr"), col("sim")), k)
+        .as("tk"))
+      .select(col("src"), posexplode(col("tk")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nbr").as("nbr"), round(col("col.sim"), 3).as("sim"))
+  }
+
   /** C30: per-label centroid vectors in long form (label, pos, mean) —
     * the k-means/class-prototype step of embedding-space curation
     * (cluster-balanced sampling, C15's coarse quantizer refresh).

@@ -277,6 +277,31 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("knnGraph recall vs the exact graph clears the floor") {
+    import org.apache.spark.sql.expressions.Window
+    // exact top-k graph truth via the quarantined all-pairs audit path
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val pairs = SimilarityOps.embeddingNearDups(embeddings, -1.0)
+    val truth = pairs
+      .select(col("id1").as("src"), col("id2").as("nbr"), col("cos_sim"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("nbr"),
+        col("cos_sim")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nbr"))))
+      .filter(col("rank") <= 5)
+      .select(col("src"), col("nbr"))
+    // denser buckets than the scale defaults: the synthetic embeddings
+    // are near-random (LSH's hardest case); real corpora cluster
+    val approx = SimilarityOps.knnGraph(embeddings, k = 5,
+      numPlanes = 2, numTables = 6)
+    graft.CacheRegistry.unpersistAll()
+    assert(approx.groupBy("src").count()
+      .filter(col("count") > 5).count() === 0)
+    val hit = truth.join(approx.select("src", "nbr"), Seq("src", "nbr")).count()
+    val recall = hit.toDouble / truth.count()
+    assert(recall >= 0.6, s"knnGraph recall $recall below floor")
+  }
+
   test("urlDomains finds every injected URL under its derived domain") {
     val d = TextOps.urlDomains(TextOps.withSyntheticUrl(documents)).cache()
     // 25 mirror domains, each doc contributing exactly one URL
