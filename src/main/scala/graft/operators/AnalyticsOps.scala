@@ -389,21 +389,27 @@ object AnalyticsOps {
       sum(y6(col("value")) * y6(col("value"))).as("s2"))
   }
 
-  def zscoreFlags(events: DataFrame, threshold: Double = 2.5): DataFrame = {
+  /** The z expression over a row joined to its key's co-moment stats
+    * (`n`, `s1`, `s2` in scope) — ONE definition shared by the batch
+    * flagger and the streaming scorer (D7), whose whole contract is
+    * scoring bit-identically to this; z stays in the 1e6-scaled
+    * domain throughout (the scale cancels in (n·y − Σy)/(n·sd)).
+    */
+  def zscoreExpr(valueCol: Column): Column = {
     val I = DecimalType(38, 0)
-    def y6(c: Column): Column =
-      (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
-    val stats = zscoreStats(events)
+    val y6 = (valueCol.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
     val n = col("n").cast(I)
     val sd = sqrt((n * col("s2") - col("s1") * col("s1")).cast("double") /
       (n * (n - lit(1).cast(I))).cast("double"))
-    events
-      .join(broadcast(stats), "event_type")
-      .select(col("event_id"), col("event_type"), col("value"),
-        ((n * y6(col("value")) - col("s1")).cast("double") /
-          (col("n").cast("double") * sd)).as("z"))
-      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
+    (n * y6 - col("s1")).cast("double") / (col("n").cast("double") * sd)
   }
+
+  def zscoreFlags(events: DataFrame, threshold: Double = 2.5): DataFrame =
+    events
+      .join(broadcast(zscoreStats(events)), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        zscoreExpr(col("value")).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
 
   /** B34: rolling active users — distinct users in the trailing
     * `windowDays` ending at each observed day (rolling WAU). Rolling

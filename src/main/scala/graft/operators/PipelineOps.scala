@@ -44,8 +44,11 @@ object PipelineOps {
     val eKeep = DedupOps.exactDedup(s1)
       .select(col("keep_id").as("doc_id"))
     val s2 = s1.join(eKeep, "doc_id")
-    // 3. near-dup canonical election among survivors
-    val canon = DedupOps.dedupApply(s2, tau).select("doc_id")
+    // 3. near-dup canonical election among survivors (dedupGroups
+    // directly: dedupApply's join-back against the corpus would be
+    // paid only to project everything but doc_id away again)
+    val canon = DedupOps.dedupGroups(s2, tau)
+      .filter(col("is_canonical")).select("doc_id")
     val s3 = s2.join(canon, "doc_id")
     // 4. decontamination vs the fixed eval set
     val dKeep = DedupOps.decontaminate(s3, benchmark, maxOverlap)

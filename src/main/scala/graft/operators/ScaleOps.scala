@@ -28,8 +28,13 @@ object ScaleOps {
     // bit-identical result of a plain groupBy, whatever the salt
     // spread — that equality is oracle-checked
     import org.apache.spark.sql.types.DecimalType
+    // salt from ROW CONTENT, not monotonically_increasing_id: mid
+    // depends on partition layout, so a stage retry after a fetch
+    // failure would re-salt recomputed rows into different reducers
+    // (the SPARK-23207 duplicate/drop class). Content-hash salts are
+    // stable under any recomputation.
     df.withColumn("__salt",
-        pmod(hash(col(valueCol), monotonically_increasing_id()), lit(saltBuckets)))
+        pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol).cast(DecimalType(20, 6))).as("__psum"),
         count(lit(1)).as("__pcnt"))
@@ -54,10 +59,12 @@ object ScaleOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int = 16): DataFrame = {
     val dimExp = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(saltBuckets - 1))))
+      explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
+    // content-hash salt (see saltedSum): deterministic under stage
+    // retries, unlike monotonically_increasing_id
     fact
       .withColumn("__salt",
-        pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+        pmod(xxhash64(fact.columns.map(col): _*), lit(saltBuckets)))
       .join(dimExp, Seq(key, "__salt"))
       .drop("__salt")
   }

@@ -302,7 +302,9 @@ object SimilarityOps {
     * tables; each candidate pair is scored once (id1 < id2) with the
     * native vec_dot cosine, mirrored to both endpoints, and reduced
     * to top-k per vector by the bounded-heap `top_k` aggregate — no
-    * per-vector sort, no all-pairs scan.
+    * per-vector sort, no all-pairs scan. Vectors with no bucket-mate
+    * anywhere emit a rank-0 null-neighbor sentinel row (filter
+    * `rank > 0` for edges only).
     *
     * Scale shape: bucketing is a pure map ×L; the candidate join is a
     * bucket equi-join whose fan-in is |bucket|², controlled by
@@ -343,7 +345,7 @@ object SimilarityOps {
         col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
-    scored
+    val edges = scored
       .select(col("id1").as("src"), col("id2").as("nbr"), col("sim"))
       .unionAll(scored.select(col("id2").as("src"), col("id1").as("nbr"),
         col("sim")))
@@ -354,6 +356,15 @@ object SimilarityOps {
       .select(col("src"), posexplode(col("tk")))
       .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
         col("col.nbr").as("nbr"), round(col("col.sim"), 3).as("sim"))
+    // EVERY vector appears: one whose buckets are singletons in all L
+    // tables has no candidates (on outlier-heavy corpora that is the
+    // interesting population) — surface it as an explicit rank-0
+    // sentinel row instead of silently omitting it from "the graph"
+    val isolated = e.select(col("vec_id").as("src"))
+      .join(edges.select("src").distinct(), Seq("src"), "left_anti")
+      .select(col("src"), lit(0L).as("rank"),
+        lit(null).cast("long").as("nbr"), lit(null).cast("double").as("sim"))
+    edges.unionByName(isolated)
   }
 
   /** C30: per-label centroid vectors in long form (label, pos, mean) —

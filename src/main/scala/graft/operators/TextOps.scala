@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens, lowercased, empties dropped. */
+  /** Adjacent-token pairs from a MATERIALIZED token-array column,
+    * combined by `f` — the one sanctioned construction for bigrams.
+    * zip_with over two slices, NOT transform + element_at(toks, i):
+    * sub-expressions inside a higher-order-function lambda re-evaluate
+    * per ELEMENT (and the optimizer inlines generator-inferred filters
+    * the same way), so an element_at over the un-materialized token
+    * split re-runs the whole-document regex split per position —
+    * O(doc²), measured at 2.6×–9× whole-query wall time before the
+    * three call sites were converged on this helper.
+    */
+  def adjacentPairs(toks: Column, f: (Column, Column) => Column): Column = {
+    import org.apache.spark.sql.functions.size
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        f))
+  }
+
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
@@ -102,18 +121,12 @@ object TextOps {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        // zip_with over two slices, NOT transform+element_at: the
-        // optimizer infers a size>0 filter from the downstream explode
-        // and pushes it below this projection, INLINING the bigram
-        // expression into the filter condition — with element_at on
-        // the un-materialized token split that inlined copy re-splits
-        // the document per position, O(doc²) (measured 11.9 s → 0.4 s
-        // at sf0.1). zip_with keeps every inlined copy O(doc).
-        when(size(col("toks")) >= 2,
-          zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => concat_ws(" ", a, b)))
+        // adjacentPairs rationale: the optimizer infers a size>0
+        // filter from the downstream explode and pushes it below this
+        // projection, inlining the bigram expression — the helper's
+        // zip_with form keeps every inlined copy O(doc) (a
+        // transform+element_at form here measured 11.9 s → 0.4 s)
+        adjacentPairs(col("toks"), (a, b) => concat_ws(" ", a, b))
           .otherwise(array().cast("array<string>")).as("bigrams"))
     val bigramStats = base
       .select(col("doc_id"), explode(col("bigrams")).as("bg"))
@@ -383,26 +396,16 @@ object TextOps {
     * are distinct pairs — high cardinality, spreadable), then
     * orderBy.limit(k) plans as TakeOrderedAndProject (per-task k-row
     * heaps, no global sort); the rank window runs over k rows only.
-    *
-    * The bigram build is zip_with over two slices of the token array —
-    * NOT transform + element_at(toks, i): sub-expressions inside a
-    * higher-order-function lambda are re-evaluated per ELEMENT, so an
-    * element_at on the un-materialized `tokens()` expression re-runs
-    * the regex split of the whole document for every position —
-    * O(doc²) work (measured: 2.6× the whole-query wall time at sf0.1).
-    * zip_with evaluates its array arguments once per row.
+    * Bigrams via [[adjacentPairs]] (see its O(doc²) rationale; the
+    * transform+element_at form measured 2.6× whole-query wall here).
     */
   def bpePairs(documents: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.size
     val head = documents
       .select(tokens(col("text")).as("toks"))
-      .select(explode(when(size(col("toks")) >= 2,
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat_ws(" ", a, b)))
-        .otherwise(array().cast("array<string>"))).as("pair"))
+      .select(explode(
+        adjacentPairs(col("toks"), (a, b) => concat_ws(" ", a, b))
+          .otherwise(array().cast("array<string>"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
@@ -483,12 +486,9 @@ object TextOps {
     import org.apache.spark.sql.functions.size
     val bigrams = documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+      .select(col("doc_id"), explode(
+        adjacentPairs(col("toks"), (a, b) => struct(a.as("w1"), b.as("w2")))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
@@ -498,13 +498,21 @@ object TextOps {
     val uniCounts = biCounts.groupBy("w1").agg(sum("cb").as("cu"))
     val nll = negate(log(col("cb").cast("double") / col("cu").cast("double")))
       .cast(DecimalType(38, 18))
-    bigrams
+    val scored = bigrams
       .join(biCounts, Seq("w1", "w2"))
       .join(uniCounts, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(nll).cast("double") / count(lit(1))).as("avg_nll"))
-      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+    // EVERY document appears: a doc with < 2 tokens has no bigrams
+    // (explode emits nothing for it), but "score each document" means
+    // the caller must see it — with n_bigrams = 0 and null nll/ppl,
+    // not silently missing from a filter join downstream
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"),
         exp(col("avg_nll")).as("ppl"))
   }
 

@@ -184,12 +184,27 @@ object Sources {
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       partitionCols: Seq[String], targetBytes: Long = 128L << 20): Unit = {
     val df = spark.read.parquet(inPath)
-    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = math.max(1,
-      (BigDecimal(totalBytes) / BigDecimal(targetBytes)).toDouble.ceil.toInt)
-    val bucket = pmod(xxhash64(monotonically_increasing_id()), lit(nFiles))
-    val keys = partitionCols.map(col) :+ bucket
-    df.repartition(nFiles, keys: _*)
+    val totalBytes =
+      BigDecimal(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    // PER-HIVE-PARTITION bucket counts, not one global modulus: a
+    // global `hash % nFiles` scatters every hive partition across all
+    // nFiles reducers, so each reducer writes a sliver into nearly
+    // every partition directory — |partitions|×nFiles small files,
+    // i.e. the fragmentation this function exists to undo. Sizing
+    // each partition by its row share (uniform bytes/row estimate)
+    // coalesces it toward its own ceil(size/target) files.
+    val counts = df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__rows"))
+    val totalRows = math.max(1L,
+      counts.agg(sum("__rows")).head.getLong(0))
+    val bytesPerRow = (totalBytes / totalRows).toDouble
+    val sized = counts.withColumn("__nf",
+      greatest(lit(1L), ceil(col("__rows") * bytesPerRow / targetBytes)))
+    df.join(broadcast(sized), partitionCols)
+      .withColumn("__bucket",
+        pmod(xxhash64(monotonically_increasing_id()), col("__nf")))
+      .repartition((partitionCols.map(col) :+ col("__bucket")): _*)
+      .drop("__rows", "__nf", "__bucket")
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(outPath)

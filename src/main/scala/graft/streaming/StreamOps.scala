@@ -115,21 +115,14 @@ object StreamOps {
     * arithmetic mirrors B28 exactly (same fixed double-op sequence).
     */
   def streamingZscore(events: DataFrame, stats: DataFrame,
-      threshold: Double = 2.5): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val I = DecimalType(38, 0)
-    def y6(c: org.apache.spark.sql.Column) =
-      (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
-    val n = col("n").cast(I)
-    val sd = sqrt((n * col("s2") - col("s1") * col("s1")).cast("double") /
-      (n * (n - lit(1).cast(I))).cast("double"))
+      threshold: Double = 2.5): DataFrame =
     events
       .join(broadcast(stats), "event_type")
       .select(col("event_id"), col("event_type"), col("ts"), col("value"),
-        ((n * y6(col("value")) - col("s1")).cast("double") /
-          (col("n").cast("double") * sd)).as("z"))
+        // the ONE shared z definition — batch/stream bit-equality is
+        // structural, not a convention two copies must uphold
+        graft.operators.AnalyticsOps.zscoreExpr(col("value")).as("z"))
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
-  }
 
   def streamingHourlyMart(events: DataFrame): DataFrame =
     events

@@ -55,7 +55,7 @@ class ScaleOpsSpec extends SparkSpec {
     // bucket of a hot key should get some rows (16 buckets, ~hundreds
     // of rows per key at sf0.001)
     val salted = events.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(16)))
+      pmod(xxhash64(events.columns.map(col): _*), lit(16)))
     val buckets = salted.groupBy("event_type").agg(
       countDistinct(col("__salt")).as("n_buckets"),
       count(lit(1)).as("n"))

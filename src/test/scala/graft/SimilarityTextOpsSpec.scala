@@ -260,8 +260,12 @@ class SimilarityTextOpsSpec extends SparkSpec {
     // would be CERTAIN under self-trained MLE — p=1, nll=0 — so
     // ambiguity, not rarity, is what the test must construct)
     val docs = ((1 to 9).map(i => (i.toLong, "a b a b a b")) :+
-      (99L, "a c a c a c")).toDF("doc_id", "text")
-    val s = TextOps.lmScore(docs).collect()
+      (99L, "a c a c a c") :+ (100L, "solo")).toDF("doc_id", "text")
+    val all = TextOps.lmScore(docs).collect()
+    // the bigram-less doc still appears, with explicit zero/null score
+    val solo = all.find(_.getLong(0) == 100L).get
+    assert(solo.getAs[Long]("n_bigrams") === 0L && solo.isNullAt(2))
+    val s = all.filter(!_.isNullAt(2))
       .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
     assert(s(1L) < s(99L))
     // p(b|a)=0.9, p(a|b)=1 → avg_nll = 3·(-ln .9)/5 ≈ 0.0632
