@@ -141,6 +141,14 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => AnalyticsOps.funnel(Tables.events(s, d))),
     "q_rolling_active" -> ((s, d) => AnalyticsOps.rollingActive(Tables.events(s, d))),
     "emb_centroid" -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
+    "q_range_join" -> ((s, d) => ScaleOps.rangeJoin(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_profile" -> ((s, d) => AnalyticsOps.profile(Tables.lineitem(s, d))),
+    "sample_balance" -> ((s, d) => SimilarityOps.sampleBalance(Tables.embeddings(s, d))),
+    "oov_rate" -> ((s, d) => TextOps.oovRate(Tables.documents(s, d))),
+    "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
+    "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
+    "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -1083,5 +1091,125 @@ object SparkEntry {
         |    AS DOUBLE) / (count(*) * 1048576.0) AS centroid,
         |  count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+    // B35: the oracle states the range join declaratively (DuckDB
+    // plans it as an IEJoin); Spark side must produce the identical
+    // aggregate through the bucketized equi-join reformulation
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderpriority AS priority,
+        |  date_trunc('quarter', o_orderdate) AS q_start,
+        |  min(o_orderdate) AS lo, max(o_orderdate) AS hi
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT iv.priority, iv.q_start, count(*) AS n_items,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE)
+        |  AS sum_qty
+        |FROM lineitem JOIN iv
+        |  ON l_shipdate >= iv.lo AND l_shipdate <= iv.hi
+        |GROUP BY iv.priority, iv.q_start""".stripMargin,
+    // B36: per-column profile; string columns profile min/max LENGTH
+    // so the long schema stays numeric (no cross-engine double/ts
+    // string formatting in the hash)
+    "q_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(l_quantity) AS n_null,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  round(min(l_quantity), 4) AS min_v,
+        |  round(max(l_quantity), 4) AS max_v FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |  count(DISTINCT l_extendedprice),
+        |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*), count(*) - count(l_discount),
+        |  count(DISTINCT l_discount),
+        |  round(min(l_discount), 4), round(max(l_discount), 4) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(length(l_returnflag)) AS DOUBLE),
+        |  CAST(max(length(l_returnflag)) AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |  count(DISTINCT l_linestatus),
+        |  CAST(min(length(l_linestatus)) AS DOUBLE),
+        |  CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""".stripMargin,
+    // C37: same Knuth-ring remainder election; every class lands on
+    // exactly n_max rows
+    "sample_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n_label
+        |  FROM embeddings GROUP BY label),
+        |m AS (SELECT max(n_label) AS n_max FROM c),
+        |r AS (SELECT e.label, e.vec_id, c.n_label, m.n_max,
+        |  row_number() OVER (PARTITION BY e.label
+        |    ORDER BY (CAST(e.vec_id AS HUGEINT) * 2654435761) % 4294967296,
+        |      e.vec_id) AS rk
+        |  FROM embeddings e JOIN c USING (label) CROSS JOIN m),
+        |x AS (SELECT label, vec_id,
+        |  CAST(n_max // n_label
+        |    + CASE WHEN rk <= n_max % n_label THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_copies FROM r)
+        |SELECT label, vec_id, n_copies,
+        |CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+        |FROM x""".stripMargin,
+    // C38: occurrences (not types) against the C23 vocab head
+    "oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, sum(tf) AS cf FROM (
+        |  SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok)
+        |  GROUP BY tok),
+        |head AS (SELECT tok FROM v ORDER BY cf DESC, tok LIMIT 100)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |count(*) - count(h.tok) AS n_oov,
+        |round(CAST(count(*) - count(h.tok) AS DOUBLE) / count(*), 4)
+        |  AS oov_rate
+        |FROM t LEFT JOIN head h ON t.tok = h.tok
+        |GROUP BY t.doc_id""".stripMargin,
+    // B37: both medians via the proven round(quantile_cont,4)
+    // construction; the per-row score is the identical double-op
+    // sequence in both engines; MAD=0 keys yield null, not Inf
+    "q_mad" ->
+      """WITH med AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT e.event_type, m.med,
+        |  round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+        |CASE WHEN st.mad <> 0
+        |  THEN (e.value - st.med) / (1.4826 * st.mad) END AS robust_z,
+        |CASE WHEN st.mad <> 0
+        |  THEN abs((e.value - st.med) / (1.4826 * st.mad)) > 3.0 END
+        |  AS is_outlier
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
+    // A21: DuckDB rebuilds the connector's deterministic grid from
+    // generate_series — same integer formula, same exact-decimal mean.
+    // Day 2 of regions r0,r1 → dayIdx=1, ridx∈{0,1}
+    "q_grid_source" ->
+      """WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1)) t(region, ridx)),
+        |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
+        |la AS (SELECT unnest(generate_series(0, 7)) AS lat),
+        |lo AS (SELECT unnest(generate_series(0, 7)) AS lon),
+        |g AS (SELECT region,
+        |  TIMESTAMP '2024-01-02 00:00:00' + to_hours(hr) AS ts,
+        |  CAST(253150 + ((lat*31 + lon*17 + hr*13 + 1*11 + ridx*7) % 400)
+        |    * 100 AS DOUBLE) / 1000.0 AS t2m
+        |  FROM r, h, la, lo)
+        |SELECT region, ts,
+        |(CAST(sum(CAST(t2m AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+        |  AS t2m_avg,
+        |count(*) AS n_cells
+        |FROM g GROUP BY region, ts""".stripMargin,
+    // B38: integer counts; share/skew are one double division each
+    "q_skew_audit" ->
+      """WITH k AS (SELECT event_type, count(*) AS n
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM k)
+        |SELECT k.event_type, k.n,
+        |CAST(k.n AS DOUBLE) / t.total AS share,
+        |CAST(k.n AS DOUBLE) * t.n_keys / t.total AS skew_factor
+        |FROM k CROSS JOIN t""".stripMargin,
   )
 }

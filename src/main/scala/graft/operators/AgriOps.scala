@@ -224,4 +224,20 @@ object AgriOps {
   /** Read a hive-partitioned mart back (partition columns recovered). */
   def readPartitionedMart(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** A21: the EXTRACT→hourly-mart chain driven end-to-end through the
+    * custom DSv2 grid connector (graft.sources.grid.GridSource): read
+    * the synthetic lat×lon×time grid, slice two regions and one day
+    * (exercising the connector's partition pruning on BOTH axes —
+    * 2 of 9 (region, day) splits survive planning), then the A1
+    * spatial mean over the grid cells at each hourly stamp.
+    */
+  def gridSourceMart(spark: SparkSession): DataFrame =
+    spark.read.format("graft-grid").load()
+      .filter(col("region").isin("r0", "r1")
+        && col("ts") >= to_timestamp(lit("2024-01-02 00:00:00"))
+        && col("ts") < to_timestamp(lit("2024-01-03 00:00:00")))
+      .groupBy("region", "ts")
+      .agg(Exact.avgD(col("t2m")).as("t2m_avg"),
+        count(lit(1)).as("n_cells"))
 }

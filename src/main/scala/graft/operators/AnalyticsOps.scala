@@ -538,4 +538,85 @@ object AnalyticsOps {
       .groupBy("o_orderpriority")
       .agg(cents(sum(revenueExpr)).as("revenue"),
         count(lit(1)).as("n_items"))
+
+  /** B37: robust outlier flags via median absolute deviation — the
+    * heavy-tail-safe twin of B28's z-score: median and MAD don't move
+    * when the outliers they're hunting contaminate the estimate
+    * (mean/stddev do — one 1000× spike inflates sigma and hides
+    * every other anomaly). robust_z = (x − med) / (1.4826·MAD), the
+    * normal-consistent scaling.
+    *
+    * Cross-engine exactness: both medians run as the EXACT
+    * interpolated percentile (B15's proven construction) rounded in
+    * decimal; the per-row score is then a fixed sequence of double
+    * ops on identical inputs — bit-identical by IEEE. A degenerate
+    * key (MAD = 0: >50% of rows share one value) yields null score —
+    * flagged by a predicate, not a division blow-up.
+    *
+    * Scale shape: two percentile aggregations on the key (the second
+    * over |rows| deviations — same shuffle shape as B15) and one
+    * broadcast join-back of |keys| stats rows; the fact never
+    * shuffles for scoring. The exact percentile sorts per key; at
+    * 100 TB swap it for approx_percentile and keep the identical
+    * downstream score (documented trade, same as B20).
+    */
+  def madFlags(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val stats = events.join(broadcast(med), "event_type")
+      .groupBy("event_type", "med")
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+    val z = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
+    events.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        when(col("mad") =!= 0.0, z).as("robust_z"),
+        when(col("mad") =!= 0.0, abs(z) > lit(k)).as("is_outlier"))
+  }
+
+  /** B36: one-pass column profiler — per-column presence, null count,
+    * exact distinct count, min/max — the data-quality summary every
+    * ingest step should emit before a mart build (the reference
+    * eyeballs this in the dashboard's KPI row; here it's an operator).
+    *
+    * All metrics for all columns compute in ONE Aggregate over ONE
+    * scan: the wide single-row result is then unpivoted client-free
+    * with `stack` into a (col_name, metrics…) long table. The n
+    * count-distincts make Catalyst plan an Expand (each row replicated
+    * n+1 ways, tagged per distinct set) feeding one shuffled partial
+    * aggregate — the standard multi-distinct plan: one shuffle of
+    * n+1× the input's PROJECTED columns, not n separate scans of the
+    * table. At 100 TB swap countDistinct for approx_count_distinct
+    * and the Expand disappears (kept exact here for the oracle).
+    *
+    * Uniform output schema across column types: string columns
+    * profile min/max of LENGTH (numeric like everything else), so no
+    * cross-engine double-formatting of heterogeneous casts is needed.
+    */
+  def profile(lineitem: DataFrame): DataFrame = {
+    val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val stringCols = Seq("l_returnflag", "l_linestatus")
+    val aggs = numericCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(max(col(c)), 4).as(s"${c}__max"))
+    } ++ stringCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(length(col(c))).cast("double").as(s"${c}__min"),
+        max(length(col(c))).cast("double").as(s"${c}__max"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = lineitem.agg(aggs.head, aggs.tail: _*)
+    val cols = numericCols ++ stringCols
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__cnt, ${c}__nd, ${c}__min, ${c}__max")
+      .mkString(", ")
+    wide
+      .selectExpr("n_rows", s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_present, n_distinct, min_v, max_v)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_present")).as("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
 }

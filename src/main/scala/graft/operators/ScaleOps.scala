@@ -69,6 +69,83 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** B35: pure range (interval) join with NO equi key, made
+    * scale-safe by bucketizing the range dimension.
+    *
+    * Shape: probe rows carry a point (l_shipdate); the build side is
+    * a set of [lo, hi] intervals (per-priority quarterly activity
+    * spans derived from orders — overlapping across priorities, so no
+    * equi column exists). A naive plan is a BroadcastNestedLoopJoin:
+    * every probe row compares against every interval — O(|probe|·|iv|)
+    * compares, and a non-broadcastable build side degenerates to a
+    * cartesian product. The bucket trick re-expresses the range
+    * predicate as an equi-join: each interval explodes into the month
+    * buckets it covers, each probe point maps to exactly ONE bucket
+    * (its own month), and the join runs hash-on-bucket with the
+    * BETWEEN as a residual filter. Each (probe, interval) pair meets
+    * at most once — at the probe's month — so no post-join dedup is
+    * needed. Per-row work drops from O(|iv|) comparisons to a hash
+    * probe of the intervals sharing the month.
+    *
+    * At 100 TB: the interval side stays dimension-sized (it's an
+    * aggregate of the calendar), so its month-exploded form is
+    * broadcast and the FACT SIDE NEVER SHUFFLES before the final
+    * partial-agg'd groupBy. Bucket granularity (month here) tunes the
+    * residual false-positive rate; a fact-sized interval side would
+    * shuffle both sides on the bucket instead — same plan, still no
+    * cross product.
+    *
+    * Reference analog: the dashboard's time-range slicing
+    * (/root/reference/dashboards/app.py:118-142 filters marts to a
+    * user-picked [start, end]) done for ALL windows at once.
+    */
+  def rangeJoin(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val iv = orders.groupBy(
+        col("o_orderpriority").as("priority"),
+        date_trunc("quarter", col("o_orderdate")).as("q_start"))
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    val ivMonths = iv.withColumn("bucket",
+      explode(sequence(
+        date_trunc("month", col("lo")),
+        date_trunc("month", col("hi")),
+        expr("interval 1 month"))))
+    val probe = lineitem
+      .select(col("l_shipdate"), col("l_quantity"))
+      .withColumn("bucket", date_trunc("month", col("l_shipdate")))
+    probe.join(broadcast(ivMonths),
+        probe("bucket") === ivMonths("bucket") &&
+          col("l_shipdate") >= col("lo") && col("l_shipdate") <= col("hi"))
+      .groupBy("priority", "q_start")
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumD(col("l_quantity"), 2).as("sum_qty"))
+  }
+
+  /** B38: key-skew audit — the measurement that decides when the
+    * salting patterns above are worth their replication cost. Per
+    * key: row count, share of total, and skew factor n/(total/|keys|)
+    * (1.0 = perfectly uniform; AQE's skew-join threshold thinks in
+    * the same ratio). Run it on a join/groupBy key BEFORE burning a
+    * day on an OOM'd 100-TB shuffle.
+    *
+    * Exactness: counts are integers; share and skew are one double
+    * division each on identical integer inputs — IEEE bit-identical.
+    *
+    * Scale shape: one partial-agg'd groupBy down to |keys| rows, a
+    * single-row total/|keys| aggregate cross-joined back (broadcast
+    * of 1 row). Output is |keys| rows — audit-sized, never
+    * fact-sized.
+    */
+  def skewAudit(df: DataFrame, key: String): DataFrame = {
+    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val totals = perKey.agg(
+      sum("n").as("total"), count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .select(col(key), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("n").cast("double") * col("n_keys") / col("total"))
+          .as("skew_factor"))
+  }
+
   /** Write both sides of a recurring join bucketed on the join key so
     * the join plans with zero Exchange (co-located, shuffle-free).
     * Bucketed layout is the static twin of what AQE does dynamically —

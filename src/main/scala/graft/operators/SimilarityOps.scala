@@ -395,4 +395,49 @@ object SimilarityOps {
           .as("centroid"),
         count(lit(1)).as("n"))
   }
+
+  /** C37: exact class-balanced oversampling — every label class is
+    * brought to exactly n_max rows (the largest class's count) by
+    * deterministic replication: each row gets ⌊n_max/n_label⌋ copies,
+    * and the first (n_max mod n_label) rows in a per-label
+    * hash-priority order get one extra. Output is exactly
+    * |labels| × n_max rows, rerun-stable (the priority is the Knuth
+    * multiplicative ring on vec_id — same oracle-reproducible ring as
+    * C13/C18/C27, computed in decimal so ANSI mode can't overflow).
+    *
+    * The standard fix for class imbalance before training a probe /
+    * classifier head; downstream shuffles see a uniform label
+    * distribution instead of the raw skew.
+    *
+    * Scale shape: per-label counts are a partial-agg'd groupBy down
+    * to |labels| rows, broadcast back (fact never shuffles); the
+    * rank for the remainder is one window over label — the only
+    * per-row shuffle — and replication is a generator explode, sized
+    * by n_max/n_label (bounded by the class ratio, never by corpus
+    * size). For a pathological ratio, cap the factor and sample the
+    * majority down instead (C18) rather than exploding the minority.
+    */
+  def sampleBalance(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = embeddings.groupBy("label")
+      .agg(count(lit(1)).as("n_label"))
+    val withMax = counts.crossJoin(
+      counts.agg(max("n_label").as("n_max")))
+    val priority = pmod(
+      col("vec_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      lit(4294967296L).cast(DecimalType(11, 0))).cast("long")
+    embeddings
+      .select(col("label"), col("vec_id"))
+      .join(broadcast(withMax), Seq("label"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("label").orderBy(priority, col("vec_id"))))
+      .withColumn("n_copies",
+        (expr("n_max div n_label") +
+          when(col("rk") <= pmod(col("n_max"), col("n_label")), 1L)
+            .otherwise(0L)).cast("long"))
+      .select(col("label"), col("vec_id"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+  }
 }

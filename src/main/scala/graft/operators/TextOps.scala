@@ -209,6 +209,35 @@ object TextOps {
       .select("rank", "tok", "cf", "df")
   }
 
+  /** C38: per-document out-of-vocabulary rate against the corpus'
+    * own top-k vocabulary head (C23) — the tokenizer-coverage signal
+    * that decides whether a corpus slice needs vocab extension or a
+    * different tokenizer before training; also a cheap quality proxy
+    * (high OOV ≈ boilerplate, noise, or an unexpected language).
+    *
+    * Counted over token OCCURRENCES (not distinct types): the rate
+    * answers "what fraction of the training stream falls outside the
+    * vocab", which is the quantity that prices <unk> exposure.
+    *
+    * Scale shape: the vocab head is k rows — broadcast membership
+    * join, so the exploded token stream NEVER shuffles for the
+    * lookup; the only per-row shuffle is the final groupBy(doc_id).
+    * The head itself reuses C23's aggregation (token-keyed partial
+    * aggs + TakeOrderedAndProject — no global sort).
+    */
+  def oovRate(documents: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = vocabTopK(documents, k)
+      .select(col("tok")).withColumn("in_vocab", lit(1L))
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** C24: per-document keyword extraction — top-k terms ranked by the
     * TF-IDF ordering (term frequency high, document frequency low)
     * realized as a pure INTEGER sort key `(tf desc, df asc, tok)`:

@@ -1,0 +1,223 @@
+package graft.sources.grid
+
+import java.time.{LocalDate, ZoneOffset}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A21: the EXTRACT stage as a first-class Spark DataSource V2
+  * connector — the analog of the reference's per-(region, month) grid
+  * pulls (/root/reference/dask_jobs/extract_era5.py:49-76 requests
+  * one lat×lon×time NetCDF per region-month;
+  * flows/download_era5_land.py skips already-materialized months).
+  *
+  * The container has no NetCDF codec (SURVEY §2 scoped decode out),
+  * so the source SYNTHESIZES the grid deterministically: every cell
+  * value is a pure integer formula of (region, day, hour, lat, lon)
+  * — which makes even the custom connector end-to-end ORACLE-GATABLE
+  * (DuckDB rebuilds the identical grid from generate_series; see
+  * `q_grid_source`). Swapping the synthetic reader for a real codec
+  * touches ONLY `GridPartitionReader.get` — the planning, pruning,
+  * and pushdown machinery is exactly what a production NetCDF/Zarr
+  * connector needs.
+  *
+  * Scale design: one InputPartition per (region, day) — the natural
+  * download/file granularity — so a year × 100 regions plans 36 500
+  * independent splits, no driver-side data. The ScanBuilder
+  * implements BOTH DSv2 pushdown surfaces:
+  *  - SupportsPushDownRequiredColumns: a `select(region, t2m)` reads
+  *    2 of 5 columns — the reader never materializes the rest (the
+  *    DSv2 equivalent of parquet column pruning);
+  *  - SupportsPushDownFilters: region equality/IN and ts range
+  *    bounds prune whole (region, day) partitions at PLAN time (the
+  *    hive-partition-pruning analog). Every filter is also returned
+  *    as post-scan residual, so pruning can only ever skip
+  *    provably-empty splits — over-inclusion is corrected by row
+  *    filtering, under-inclusion cannot happen.
+  */
+object GridSource {
+  val schema: StructType = StructType(Seq(
+    StructField("region", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("lat", IntegerType, nullable = false),
+    StructField("lon", IntegerType, nullable = false),
+    StructField("t2m", DoubleType, nullable = false)))
+
+  /** Deterministic cell value: integer mix mod 400 mapped onto
+    * [253.15, 293.05) K in 0.1 steps. Integer numerator + one double
+    * division → bit-identical in any engine (the §5 protocol).
+    */
+  def cellValue(rIdx: Int, dayIdx: Int, hour: Int, lat: Int, lon: Int): Double = {
+    val m = (lat * 31 + lon * 17 + hour * 13 + dayIdx * 11 + rIdx * 7) % 400
+    (253150L + m * 100L).toDouble / 1000.0
+  }
+
+  val MicrosPerSec = 1000000L
+  val SecsPerDay = 86400L
+}
+
+class GridSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-grid"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GridSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GridTable(new CaseInsensitiveStringMap(properties))
+}
+
+class GridTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_grid"
+  override def schema(): StructType = GridSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GridScanBuilder(options)
+}
+
+class GridScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val regions: Seq[String] =
+    options.getOrDefault("regions", "r0,r1,r2").split(",").toSeq
+  private val nDays = options.getInt("days", 3)
+  private val nLat = options.getInt("nlat", 8)
+  private val nLon = options.getInt("nlon", 8)
+  private val startEpochSec = LocalDate
+    .parse(options.getOrDefault("start", "2024-01-01"))
+    .atStartOfDay(ZoneOffset.UTC).toEpochSecond
+
+  private var requiredSchema: StructType = GridSource.schema
+  private var accepted: Array[Filter] = Array.empty
+  private var keepRegions: Set[String] = regions.toSet
+  // inclusive micros bounds a row's ts must satisfy (for pruning only)
+  private var tsLo: Long = Long.MinValue
+  private var tsHi: Long = Long.MaxValue
+
+  private def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L + t.getNanos / 1000 % 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * GridSource.MicrosPerSec + i.getNano / 1000)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val used = filters.filter {
+      case EqualTo("region", v: String) =>
+        keepRegions = keepRegions.intersect(Set(v)); true
+      case In("region", vs) =>
+        keepRegions = keepRegions
+          .intersect(vs.collect { case s: String => s }.toSet)
+        true
+      case GreaterThanOrEqual("ts", v) =>
+        toMicros(v).exists { m => tsLo = math.max(tsLo, m); true }
+      case GreaterThan("ts", v) =>
+        // exclusive > m prunes like >= m+1µs
+        toMicros(v).exists { m => tsLo = math.max(tsLo, m + 1); true }
+      case LessThanOrEqual("ts", v) =>
+        toMicros(v).exists { m => tsHi = math.min(tsHi, m); true }
+      case LessThan("ts", v) =>
+        toMicros(v).exists { m => tsHi = math.min(tsHi, m - 1); true }
+      case EqualTo("ts", v) =>
+        toMicros(v).exists { m =>
+          tsLo = math.max(tsLo, m); tsHi = math.min(tsHi, m); true
+        }
+      case _ => false
+    }
+    accepted = used
+    // every filter stays a post-scan residual: pruning is a pure
+    // optimization, never the correctness mechanism
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(schema: StructType): Unit =
+    requiredSchema = schema
+
+  override def build(): Scan = new GridScan(requiredSchema, regions,
+    keepRegions, nDays, nLat, nLon, startEpochSec, tsLo, tsHi)
+}
+
+class GridScan(requiredSchema: StructType, allRegions: Seq[String],
+    keepRegions: Set[String], nDays: Int, nLat: Int, nLon: Int,
+    startEpochSec: Long, tsLo: Long, tsHi: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val kept = allRegions.filter(keepRegions)
+    s"graft-grid regions=${kept.mkString(",")} days=$nDays grid=${nLat}x$nLon"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = for {
+      (region, rIdx) <- allRegions.zipWithIndex if keepRegions(region)
+      d <- 0 until nDays
+      dayStart = (startEpochSec + d * GridSource.SecsPerDay) *
+        GridSource.MicrosPerSec
+      dayEnd = dayStart + GridSource.SecsPerDay * GridSource.MicrosPerSec
+      // keep the (region, day) split unless provably outside bounds
+      if dayEnd > tsLo && dayStart <= tsHi
+    } yield GridInputPartition(rIdx, region, d): InputPartition
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec)
+}
+
+case class GridInputPartition(rIdx: Int, region: String, dayIdx: Int)
+  extends InputPartition
+
+case class GridReaderFactory(fields: Array[String], nLat: Int, nLon: Int,
+    startEpochSec: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GridInputPartition]
+    new GridPartitionReader(gp, fields, nLat, nLon, startEpochSec)
+  }
+}
+
+class GridPartitionReader(p: GridInputPartition, fields: Array[String],
+    nLat: Int, nLon: Int, startEpochSec: Long)
+    extends PartitionReader[InternalRow] {
+
+  private val regionU = UTF8String.fromString(p.region)
+  private val cellsPerHour = nLat * nLon
+  private val total = 24 * cellsPerHour
+  private var i = -1
+
+  // one extractor per REQUIRED column (pruned columns never compute)
+  private val getters: Array[(Int, Int, Int) => Any] = fields.map {
+    case "region" => (_, _, _) => regionU
+    case "ts" => (h, _, _) =>
+      (startEpochSec + p.dayIdx * GridSource.SecsPerDay + h * 3600L) *
+        GridSource.MicrosPerSec
+    case "lat" => (_, la, _) => la
+    case "lon" => (_, _, lo) => lo
+    case "t2m" => (h, la, lo) =>
+      GridSource.cellValue(p.rIdx, p.dayIdx, h, la, lo)
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def next(): Boolean = { i += 1; i < total }
+
+  override def get(): InternalRow = {
+    val h = i / cellsPerHour
+    val rem = i % cellsPerHour
+    val la = rem / nLon
+    val lo = rem % nLon
+    InternalRow.fromSeq(getters.toIndexedSeq.map(g => g(h, la, lo)))
+  }
+
+  override def close(): Unit = ()
+}

@@ -185,4 +185,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(spans.filter(col("ws") > col("rs")).count() === 0)
     w.unpersist()
   }
+
+  test("madFlags: flags match |z|>3 exactly and survive a contaminating spike") {
+    val ev = Tables.events(spark, sf)
+    val m = AnalyticsOps.madFlags(ev).cache()
+    assert(m.count() === ev.count())
+    // flag is definitionally |robust_z| > 3 (no drift between columns)
+    assert(m.filter(col("is_outlier") =!= (abs(col("robust_z")) > 3.0))
+      .count() === 0)
+    // robustness: one 1e9 spike must NOT change flags on the rest —
+    // median/MAD move at most one rank (mean/stddev would collapse
+    // every other flag)
+    val spike = ev.limit(1)
+      .withColumn("event_id", lit(-1L)).withColumn("value", lit(1e9))
+    val contaminated = AnalyticsOps.madFlags(ev.unionByName(spike))
+      .filter(col("event_id") =!= -1L)
+      .select(col("event_id"), col("is_outlier").as("flag2"))
+    val changed = m.join(contaminated, "event_id")
+      .filter(col("is_outlier") =!= col("flag2")).count()
+    assert(changed <= ev.count() / 20, s"$changed flags flipped")
+    m.unpersist()
+  }
+
+  test("profile emits one row per column with metrics matching direct aggs") {
+    val byCol = AnalyticsOps.profile(lineitem)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol.size === 5)
+    val n = lineitem.count()
+    val q = byCol("l_quantity")
+    assert(q.getLong(1) === n)      // n_rows
+    assert(q.getLong(2) === 0L)     // n_null: synthetic data has none
+    assert(q.getLong(3) ===
+      lineitem.select(countDistinct(col("l_quantity"))).head.getLong(0))
+    assert(q.getDouble(4) ===
+      lineitem.select(round(min("l_quantity"), 4)).head.getDouble(0))
+    // string columns profile min/max LENGTH — returnflag is 1 char
+    val rf = byCol("l_returnflag")
+    assert(rf.getDouble(4) === 1.0 && rf.getDouble(5) === 1.0)
+  }
 }

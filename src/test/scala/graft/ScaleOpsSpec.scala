@@ -62,4 +62,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(buckets.filter(col("n") > 100 && col("n_buckets") < 8).count() === 0)
     assert(dim.count() > 0)
   }
+
+  test("skewAudit: counts partition the table, shares and skew normalize to 1") {
+    val events = Tables.events(spark, sf)
+    val audit = ScaleOps.skewAudit(events, "event_type").collect()
+    assert(audit.map(_.getLong(1)).sum === events.count())
+    assert(math.abs(audit.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(math.abs(audit.map(_.getDouble(3)).sum / audit.length - 1.0) < 1e-9)
+  }
+
+  test("rangeJoin matches the naive BETWEEN join and plans no nested loop") {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val bucketed = ScaleOps.rangeJoin(orders, lineitem).cache()
+    // the declarative pure-range formulation Spark plans as a
+    // BroadcastNestedLoopJoin — the semantics rangeJoin must preserve
+    val iv = orders.groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("quarter", col("o_orderdate")).as("q_start"))
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    val naive = lineitem
+      .join(iv, col("l_shipdate") >= col("lo") && col("l_shipdate") <= col("hi"))
+      .groupBy("priority", "q_start")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast(DecimalType(20, 6))), 2)
+          .cast("double").as("sum_qty"))
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketized range join must hash-join on the month bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    bucketed.unpersist()
+  }
 }

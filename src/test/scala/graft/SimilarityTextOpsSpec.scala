@@ -344,4 +344,35 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(j.filter(col("n") =!= col("n2")).count() === 0)
     c.unpersist()
   }
+
+  test("sampleBalance brings every class to exactly n_max rows") {
+    val out = SimilarityOps.sampleBalance(embeddings).cache()
+    val nMax = embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    val perLabel = out.groupBy("label").agg(count(lit(1)).as("n")).collect()
+    assert(perLabel.nonEmpty && perLabel.forall(_.getLong(1) === nMax))
+    // oversampling only: every original row survives with >= 1 copy,
+    // and copy_ids are dense 1..n_copies per row
+    assert(out.select("vec_id").distinct().count() === embeddings.count())
+    val dense = out.groupBy("label", "vec_id")
+      .agg(count(lit(1)).as("c"), max("copy_id").as("m"), max("n_copies").as("k"))
+    assert(dense.filter(col("c") =!= col("m") || col("c") =!= col("k")).count() === 0)
+    out.unpersist()
+  }
+
+  test("oovRate is bounded, consistent with tokenCount, and vocab-covered docs score 0") {
+    val out = TextOps.oovRate(documents).cache()
+    assert(out.filter(col("n_oov") < 0 || col("n_oov") > col("n_tokens")
+      || col("oov_rate") < 0 || col("oov_rate") > 1).count() === 0)
+    // token occurrences must agree with tokenCount's whitespace count
+    val j = out.join(TextOps.tokenCount(documents), "doc_id")
+    assert(j.filter(col("n_tokens") =!= col("ws_tokens")).count() === 0)
+    // a tiny vocab head (k=1: the single most frequent token) must
+    // leave strictly more OOV than the default head
+    val small = TextOps.oovRate(documents, k = 1)
+      .select(col("doc_id"), col("n_oov").as("n_oov_small"))
+    assert(out.join(small, "doc_id")
+      .filter(col("n_oov_small") < col("n_oov")).count() === 0)
+    out.unpersist()
+  }
 }
