@@ -136,7 +136,12 @@ object ScaleOps {
     * fact-sized.
     */
   def skewAudit(df: DataFrame, key: String): DataFrame = {
-    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // persist the |keys|-row aggregate: totals re-derives from it, and
+    // without the barrier Spark would scan + aggregate the full input
+    // TWICE (no common-subplan dedup) — on the very table this audit
+    // is supposed to measure before paying for
+    val perKey = graft.CacheRegistry.persist(
+      df.groupBy(col(key)).agg(count(lit(1)).as("n")))
     val totals = perKey.agg(
       sum("n").as("total"), count(lit(1)).as("n_keys"))
     perKey.crossJoin(broadcast(totals))

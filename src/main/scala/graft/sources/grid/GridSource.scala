@@ -77,8 +77,10 @@ class GridTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
   override def schema(): StructType = GridSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  // per-scan options take precedence (catalog path can hand a scan
+  // different options from the table-construction properties)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new GridScanBuilder(options)
+    new GridScanBuilder(if (o.isEmpty) options else o)
 }
 
 class GridScanBuilder(options: CaseInsensitiveStringMap)
@@ -87,7 +89,8 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
     with SupportsPushDownRequiredColumns {
 
   private val regions: Seq[String] =
-    options.getOrDefault("regions", "r0,r1,r2").split(",").toSeq
+    options.getOrDefault("regions", "r0,r1,r2")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
   private val nDays = options.getInt("days", 3)
   private val nLat = options.getInt("nlat", 8)
   private val nLon = options.getInt("nlon", 8)
@@ -216,7 +219,15 @@ class GridPartitionReader(p: GridInputPartition, fields: Array[String],
     val rem = i % cellsPerHour
     val la = rem / nLon
     val lo = rem % nLon
-    InternalRow.fromSeq(getters.toIndexedSeq.map(g => g(h, la, lo)))
+    // fresh array per row (the exec may buffer rows), but no per-row
+    // collection conversions in the scan hot path
+    val values = new Array[Any](getters.length)
+    var j = 0
+    while (j < getters.length) {
+      values(j) = getters(j)(h, la, lo)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = ()

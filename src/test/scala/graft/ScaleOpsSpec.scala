@@ -85,8 +85,7 @@ class ScaleOpsSpec extends SparkSpec {
       .join(iv, col("l_shipdate") >= col("lo") && col("l_shipdate") <= col("hi"))
       .groupBy("priority", "q_start")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_quantity").cast(DecimalType(20, 6))), 2)
-          .cast("double").as("sum_qty"))
+        graft.operators.Exact.sumD(col("l_quantity"), 2).as("sum_qty"))
     assert(bucketed.exceptAll(naive).count() === 0)
     assert(naive.exceptAll(bucketed).count() === 0)
     val plan = bucketed.queryExecution.executedPlan.toString
