@@ -80,6 +80,9 @@ object ScaleSmoke {
       ("q_sessionize", (_, e, _) => graft.streaming.StreamOps.sessionizeBatch(e)),
       ("knn_brute", (_, _, m) => SimilarityOps.knnBrute(m)),
       ("emb_centroid", (_, _, m) => SimilarityOps.labelCentroids(m)),
+      ("q_mad", (_, e, _) => AnalyticsOps.madFlags(e)),
+      ("oov_rate", (d, _, _) => TextOps.oovRate(d)),
+      ("sample_balance", (_, _, m) => SimilarityOps.sampleBalance(m)),
       ("pipeline_curate", (d, _, _) => PipelineOps.curate(d,
         d.filter(pmod(col("doc_id"), lit(20)) === 0))))
 
