@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,7 +77,8 @@ class GridTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
   override def name(): String = "graft_grid"
   override def schema(): StructType = GridSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   // per-scan options take precedence (catalog path can hand a scan
   // different options from the table-construction properties)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
@@ -162,10 +164,10 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     s"graft-grid regions=${kept.mkString(",")} days=$nDays grid=${nLat}x$nLon"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def partitionsForDays(fromDay: Int, untilDay: Int): Array[InputPartition] = {
     val parts = for {
       (region, rIdx) <- allRegions.zipWithIndex if keepRegions(region)
-      d <- 0 until nDays
+      d <- fromDay until untilDay
       dayStart = (startEpochSec + d * GridSource.SecsPerDay) *
         GridSource.MicrosPerSec
       dayEnd = dayStart + GridSource.SecsPerDay * GridSource.MicrosPerSec
@@ -175,8 +177,40 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     parts.toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionsForDays(0, nDays)
+
   override def createReaderFactory(): PartitionReaderFactory =
     GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec)
+
+  /** D8: the EXTRACT connector as a STREAMING source — offsets are
+    * day indices, so each micro-batch drains whole (region, day)
+    * splits and the checkpoint makes backfill exactly-once at the
+    * same granularity the reference's month-skip idempotency works
+    * at (flows/download_era5_land.py:81). A rerun against the same
+    * checkpoint drains zero new days; new days appended to the range
+    * stream incrementally. Pruning state (regions, ts bounds) carries
+    * into every batch.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      override def initialOffset(): Offset = GridOffset(0)
+      override def latestOffset(): Offset = GridOffset(nDays)
+      override def deserializeOffset(json: String): Offset =
+        GridOffset(json.trim.toInt)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        partitionsForDays(start.asInstanceOf[GridOffset].day,
+          end.asInstanceOf[GridOffset].day)
+      override def createReaderFactory(): PartitionReaderFactory =
+        GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec)
+    }
+}
+
+/** Streaming offset: the next unread day index (checkpoint-serialized). */
+case class GridOffset(day: Int) extends Offset {
+  override def json(): String = day.toString
 }
 
 case class GridInputPartition(rIdx: Int, region: String, dayIdx: Int)

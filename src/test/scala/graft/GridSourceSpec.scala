@@ -54,4 +54,22 @@ class GridSourceSpec extends SparkSpec {
     assert(scanOf(none).planInputPartitions().isEmpty)
     assert(none.count() === 0)
   }
+
+  test("streaming read drains day offsets once; checkpointed rerun is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("grid_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("grid_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-grid").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 3L * 3 * 24 * 8 * 8)
+    // same checkpoint → all day offsets already committed → no new rows
+    drain()
+    assert(spark.read.parquet(out).count() === 3L * 3 * 24 * 8 * 8)
+  }
 }
