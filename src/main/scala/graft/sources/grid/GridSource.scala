@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,6 +96,7 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
   private val nDays = options.getInt("days", 3)
   private val nLat = options.getInt("nlat", 8)
   private val nLon = options.getInt("nlon", 8)
+  private val daysPerBatch = options.getInt("daysPerBatch", 1)
   private val startEpochSec = LocalDate
     .parse(options.getOrDefault("start", "2024-01-01"))
     .atStartOfDay(ZoneOffset.UTC).toEpochSecond
@@ -149,12 +150,13 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
     requiredSchema = schema
 
   override def build(): Scan = new GridScan(requiredSchema, regions,
-    keepRegions, nDays, nLat, nLon, startEpochSec, tsLo, tsHi)
+    keepRegions, nDays, nLat, nLon, startEpochSec, tsLo, tsHi,
+    daysPerBatch)
 }
 
 class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     keepRegions: Set[String], nDays: Int, nLat: Int, nLon: Int,
-    startEpochSec: Long, tsLo: Long, tsHi: Long)
+    startEpochSec: Long, tsLo: Long, tsHi: Long, daysPerBatch: Int = 1)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -184,18 +186,38 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec)
 
   /** D8: the EXTRACT connector as a STREAMING source — offsets are
-    * day indices, so each micro-batch drains whole (region, day)
-    * splits and the checkpoint makes backfill exactly-once at the
-    * same granularity the reference's month-skip idempotency works
-    * at (flows/download_era5_land.py:81). A rerun against the same
-    * checkpoint drains zero new days; new days appended to the range
-    * stream incrementally. Pruning state (regions, ts bounds) carries
-    * into every batch.
+    * day indices and admission control caps each micro-batch at
+    * `daysPerBatch` days (default 1), so EVERY day commits its own
+    * checkpoint entry: a backfill that dies mid-run resumes from the
+    * last drained day, not from zero — the same granularity the
+    * reference's month-skip idempotency works at
+    * (flows/download_era5_land.py:81). A rerun against a complete
+    * checkpoint drains nothing. Region/day/grid OPTIONS carry into
+    * every batch; note pushed FILTERS do not (Spark applies DSv2
+    * filter pushdown to batch scans only — streaming filters run as
+    * row-level residuals, which stays correct, just unpruned).
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream with SupportsAdmissionControl
+        with SupportsTriggerAvailableNow {
+      // without this interface Trigger.AvailableNow freezes the FIRST
+      // latestOffset(start, limit) as the terminal target and stops
+      // after one daysPerBatch step; with it the engine keeps
+      // triggering until latestOffset stops advancing (= nDays).
+      // The grid's extent is fixed by options, so there is no
+      // end-of-data snapshot to take here.
+      override def prepareForTriggerAvailableNow(): Unit = ()
       override def initialOffset(): Offset = GridOffset(0)
-      override def latestOffset(): Offset = GridOffset(nDays)
+      // admission-controlled sources report progress via
+      // latestOffset(start, limit); the no-arg form must not be used
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "latestOffset(Offset, ReadLimit) drives this source")
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+        GridOffset(math.min(nDays,
+          start.asInstanceOf[GridOffset].day + daysPerBatch))
+      override def reportLatestOffset(): Offset = GridOffset(nDays)
       override def deserializeOffset(json: String): Offset =
         GridOffset(json.trim.toInt)
       override def commit(end: Offset): Unit = ()
@@ -204,7 +226,7 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
         partitionsForDays(start.asInstanceOf[GridOffset].day,
           end.asInstanceOf[GridOffset].day)
       override def createReaderFactory(): PartitionReaderFactory =
-        GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec)
+        GridScan.this.createReaderFactory()
     }
 }
 

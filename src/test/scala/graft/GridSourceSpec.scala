@@ -68,6 +68,11 @@ class GridSourceSpec extends SparkSpec {
     }
     drain()
     assert(spark.read.parquet(out).count() === 3L * 3 * 24 * 8 * 8)
+    // admission control (daysPerBatch=1) must commit ONE batch per
+    // day — a mid-run failure resumes from the last drained day
+    val batches = new java.io.File(s"$ckpt/offsets")
+      .list().count(!_.startsWith("."))
+    assert(batches === 3, s"expected 3 day-granular batches, got $batches")
     // same checkpoint → all day offsets already committed → no new rows
     drain()
     assert(spark.read.parquet(out).count() === 3L * 3 * 24 * 8 * 8)
