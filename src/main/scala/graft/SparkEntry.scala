@@ -149,6 +149,7 @@ object SparkEntry {
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
+    "q_percent_rank" -> ((s, d) => AnalyticsOps.percentRanks(Tables.events(s, d))),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -1202,6 +1203,15 @@ object SparkEntry {
         |  AS t2m_avg,
         |count(*) AS n_cells
         |FROM g GROUP BY region, ts""".stripMargin,
+    // B39: the unique (value, event_id) order key makes both
+    // functions tie-free — one double division each, no rounding
+    "q_percent_rank" ->
+      """SELECT event_id, event_type, round(value, 4) AS value,
+        |percent_rank() OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) AS pct_rank,
+        |cume_dist() OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) AS cume_dist
+        |FROM events""".stripMargin,
     // B38: integer counts; share/skew are one double division each
     "q_skew_audit" ->
       """WITH k AS (SELECT event_type, count(*) AS n

@@ -257,6 +257,23 @@ object AnalyticsOps {
       ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** B39: relative standing within a key — percent_rank (share of
+    * rows strictly below) and cume_dist (share at-or-below) per
+    * event over (value, event_id). The unique sort key makes both
+    * tie-free, so each is ONE double division of identical integers
+    * in any engine — bit-identical without rounding.
+    *
+    * Scale shape: same single key-partitioned window shuffle as
+    * B7/B15; both functions are O(1)/row over the sorted run.
+    */
+  def percentRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    events.select(col("event_id"), col("event_type"),
+      round(col("value"), 4).as("value"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume_dist"))
+  }
+
   /** B16: correlation between two measures per key (single-pass
     * co-moment aggregation; partial-aggregated like any algebraic agg).
     */

@@ -207,6 +207,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("percentRanks spans [0,1] per key and orders with value") {
+    val ev = Tables.events(spark, sf)
+    val p = AnalyticsOps.percentRanks(ev).cache()
+    assert(p.filter(col("pct_rank") < 0 || col("pct_rank") > 1
+      || col("cume_dist") <= 0 || col("cume_dist") > 1).count() === 0)
+    // exactly one min (0.0) and one max (1.0) pct_rank per key
+    val ends = p.groupBy("event_type").agg(
+      sum(when(col("pct_rank") === 0.0, 1).otherwise(0)).as("n_zero"),
+      sum(when(col("pct_rank") === 1.0, 1).otherwise(0)).as("n_one"))
+    assert(ends.filter(col("n_zero") =!= 1 || col("n_one") =!= 1).count() === 0)
+    // cume_dist never below pct_rank (at-or-below ⊇ strictly-below)
+    assert(p.filter(col("cume_dist") < col("pct_rank")).count() === 0)
+    p.unpersist()
+  }
+
   test("profile emits one row per column with metrics matching direct aggs") {
     val byCol = AnalyticsOps.profile(lineitem)
       .collect().map(r => r.getString(0) -> r).toMap
