@@ -46,34 +46,49 @@ object Bench {
     // and times as ~0 regardless of its real cost. The noop writer
     // consumes every row fully materialized, so the timing includes
     // the actual projection work while still writing nothing.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // A failure is RECORDED, never swallowed: a query that fails to
+    // plan would otherwise time as ~0 and pollute the medians.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case t: Throwable =>
+        Some(t.getClass.getSimpleName + ": " +
+          Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+      }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.foreach { case (name, fn) =>
       // warmup pass: compiles generated code and JITs kernels (one-time
       // per-JVM costs, not engine throughput); caches dropped after so
-      // every timed pass re-does all data work
-      run(fn)
+      // every timed pass re-does all data work. A warmup failure
+      // excludes the query from timing entirely.
+      val warm = run(fn)
       clearAll()
-      val passes = (1 to TimedPasses).map { _ =>
-        val s0 = drainedExecMs()
-        val t0 = System.nanoTime()
-        run(fn)
-        val wall = (System.nanoTime() - t0) / 1e9
-        val stage = (drainedExecMs() - s0).toDouble
-        clearAll()
-        (wall, stage)
+      warm match {
+        case Some(err) => errors(name) = err
+        case None =>
+          val passes = (1 to TimedPasses).map { _ =>
+            val s0 = drainedExecMs()
+            val t0 = System.nanoTime()
+            run(fn).foreach(err => errors(name) = err)
+            val wall = (System.nanoTime() - t0) / 1e9
+            val stage = (drainedExecMs() - s0).toDouble
+            clearAll()
+            (wall, stage)
+          }
+          if (!errors.contains(name))
+            timings(name) = (median(passes.map(_._1)), median(passes.map(_._2)))
       }
-      name -> (median(passes.map(_._1)), median(passes.map(_._2)))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val st = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+    val st = timings.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$st,"passes":$TimedPasses,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (timings.nonEmpty) timings.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$st,"errors":$es,"passes":$TimedPasses,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

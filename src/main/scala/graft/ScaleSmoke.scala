@@ -83,6 +83,13 @@ object ScaleSmoke {
       ("q_mad", (_, e, _) => AnalyticsOps.madFlags(e)),
       ("oov_rate", (d, _, _) => TextOps.oovRate(d)),
       ("sample_balance", (_, _, m) => SimilarityOps.sampleBalance(m)),
+      // hot-head stress: EVERY doc shares one 5-token head, so the old
+      // collect_list(source) formulation would build an |docs|-element
+      // list and |docs|² struct pairs inside one row; the count-product
+      // rewrite must stay flat (ratio ≈ k)
+      ("source_overlap_hot", (d, _, _) => DedupOps.sourceOverlap(
+        d.withColumn("text",
+          concat(lit("shared viral boilerplate head intro "), col("text"))))),
       ("pipeline_curate", (d, _, _) => PipelineOps.curate(d,
         d.filter(pmod(col("doc_id"), lit(20)) === 0))))
 

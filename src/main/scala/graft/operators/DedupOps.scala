@@ -518,24 +518,38 @@ object DedupOps {
     * duplication is rarely byte-identical — shared intros are the
     * robust tell.
     *
-    * Scale shape: one hash-groupBy on the head key (each head
-    * collapses to one group map-side); the pair expansion happens on
-    * the per-group source LISTS (bounded by copies-per-head, not
-    * corpus size) — no doc-level self-join ever materializes.
+    * Scale shape: two hash-groupBys. The first collapses to
+    * (head, source, cnt) — map-side combinable, so a viral head shared
+    * by 10M docs reaches the reducer as one row per source, never as a
+    * 10M-element list. The second groups those count rows per head
+    * (state = |sources-with-head|, a corpus-constant handful) and
+    * emits pair counts by count arithmetic: cnt_a·cnt_b off-diagonal,
+    * cnt·(cnt−1)/2 diagonal — identical multiset to the doc-level
+    * self-join the oracle runs, with per-head state independent of how
+    * many documents share the head.
     */
   def sourceOverlap(documents: DataFrame, headTokens: Int = 5): DataFrame =
     documents
+      // collect_list in the previous formulation skipped null sources;
+      // groupBy would keep them as a key — drop them explicitly
+      .filter(col("source").isNotNull)
       .groupBy(concat_ws(" ",
-        slice(TextOps.tokens(col("text")), lit(1), lit(headTokens))).as("h"))
-      .agg(collect_list(col("source")).as("srcs"))
-      .filter(size(col("srcs")) >= 2)
+        slice(TextOps.tokens(col("text")), lit(1), lit(headTokens))).as("h"),
+        col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("source"), col("cnt"))).as("srcs"))
       .select(explode(expr(
-        """flatten(transform(srcs, (a, i) ->
+        """flatten(transform(srcs, (a, i) -> concat(
+          |  filter(array(struct(a.source AS s1, a.source AS s2,
+          |    a.cnt * (a.cnt - 1) div 2 AS np)), x -> x.np > 0),
           |  transform(slice(srcs, i + 2, size(srcs)), b ->
-          |    struct(least(a, b) AS s1, greatest(a, b) AS s2))))""".stripMargin))
+          |    struct(least(a.source, b.source) AS s1,
+          |      greatest(a.source, b.source) AS s2,
+          |      a.cnt * b.cnt AS np)))))""".stripMargin))
         .as("p"))
       .groupBy(col("p.s1").as("source_a"), col("p.s2").as("source_b"))
-      .agg(count(lit(1)).as("n_dup_pairs"))
+      .agg(sum(col("p.np")).as("n_dup_pairs"))
 
   def dedupApply(documents: DataFrame, minJaccard: Double = 0.7): DataFrame =
     dedupGroups(documents, minJaccard)

@@ -195,18 +195,35 @@ object Sources {
     // coalesces it toward its own ceil(size/target) files.
     val counts = df.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("__rows"))
-    val totalRows = math.max(1L,
-      counts.agg(sum("__rows")).head.getLong(0))
-    val bytesPerRow = (totalBytes / totalRows).toDouble
+    val totalRowsRow = counts.agg(sum("__rows")).head
+    val totalRows = if (totalRowsRow.isNullAt(0)) 0L else totalRowsRow.getLong(0)
+    val bytesPerRow = (totalBytes / math.max(1L, totalRows)).toDouble
     val sized = counts.withColumn("__nf",
       greatest(lit(1L), ceil(col("__rows") * bytesPerRow / targetBytes)))
-    df.join(broadcast(sized), partitionCols)
-      .withColumn("__bucket",
-        pmod(xxhash64(monotonically_increasing_id()), col("__nf")))
+    // null-safe join on the partition columns: the hive default
+    // partition (__HIVE_DEFAULT_PARTITION__ = null values) must survive
+    // compaction too — a plain equi-join would silently drop those rows
+    // from a rewrite whose contract is lossless. Renamed right-side
+    // keys avoid the ambiguous-self-join trap (sized derives from df).
+    val sizedR = sized.select(
+      (partitionCols.map(c => col(c).as(s"__p_$c")) :+ col("__nf")): _*)
+    val joinCond = partitionCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+    val dataCols = df.columns.toSeq.map(col)
+    // bucket from a CONTENT hash of the row, never from
+    // monotonically_increasing_id: a non-deterministic repartition key
+    // re-rolls on stage retry and can duplicate or drop rows
+    // (SPARK-23207) — the same class eliminated from the salted ops
+    df.join(broadcast(sizedR), joinCond)
+      .withColumn("__bucket", pmod(xxhash64(dataCols: _*), col("__nf")))
       .repartition((partitionCols.map(col) :+ col("__bucket")): _*)
-      .drop("__rows", "__nf", "__bucket")
+      .select(dataCols: _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(outPath)
+    if (totalRows > 0L) {
+      val written = spark.read.parquet(outPath).count()
+      require(written == totalRows,
+        s"compactParquet row-count mismatch: in=$totalRows out=$written")
+    }
   }
 }

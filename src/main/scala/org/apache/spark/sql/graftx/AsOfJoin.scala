@@ -23,7 +23,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * right.ts <= left.ts (ties on right.ts broken by `rightTieBreak`
   * ascending — last in sort order wins); no match → nulls. Like the
   * window formulation (which partitions null keys into their own
-  * group), null keys match null keys.
+  * group), null keys match null keys — a deliberate divergence from
+  * SQL equi-join semantics, pinned native-vs-twin by AsofJoinSpec's
+  * null-key case. The registered DuckDB oracle (plain equality, where
+  * null never matches) is only run on data with non-null keys; an
+  * oracle over nullable keys would need IS NOT DISTINCT FROM.
   *
   * Scale shape — this is the point: EnsureRequirements co-partitions
   * both sides on the key (ONE hash shuffle each, or zero if a child

@@ -87,6 +87,59 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3L) === None)     // purchase is after the event
   }
 
+  test("native as-of join: null keys match null keys, like the declarative twin") {
+    import spark.implicits._
+    // documented divergence from SQL join semantics (where null never
+    // equals null): both graft formulations treat null as an ordinary
+    // key value — this pins native ≡ declarative on exactly that rule
+    val left = Seq(
+      (1L, Option(10L), Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Option.empty[Long], Timestamp.valueOf("2024-01-01 12:00:00")),
+      (3L, Option.empty[Long], Timestamp.valueOf("2024-01-01 08:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(10L), Timestamp.valueOf("2024-01-01 09:00:00"), 100L, 1.0),
+      (Option.empty[Long], Timestamp.valueOf("2024-01-01 11:00:00"), 200L, 2.0))
+      .toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val native = AsofJoinOps.asofJoinNative(left, right, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"), "last_", "purchase_id")
+    val twin = AsofJoinOps.asofJoin(left, right, "user_id", "ts",
+      Seq("purchase_id", "purchase_value"), "last_", "purchase_id")
+    val nm = native.collect().map(r => r.getLong(0) ->
+      Option(r.get(r.fieldIndex("last_purchase_id")))).toMap
+    assert(nm(1L) === Some(100L))
+    assert(nm(2L) === Some(200L)) // null key carries the null-key right row
+    assert(nm(3L) === None)       // ...but only at-or-before its ts
+    assert(native.exceptAll(twin).count() === 0)
+    assert(twin.exceptAll(native).count() === 0)
+  }
+
+  test("native as-of join elides both exchanges over bucketed children") {
+    // the scale claim in AsOfJoin.scala's doc: children already
+    // hash-partitioned on the key (bucketed tables) satisfy
+    // ClusteredDistribution, so EnsureRequirements inserts ZERO
+    // shuffles — only partition-local sorts
+    val events = Tables.events(spark, sf)
+    val leftSel = events.select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        round(col("value"), 4).as("purchase_value"))
+    graft.operators.ScaleOps.writeBucketed(leftSel, "asof_left_b", "user_id")
+    graft.operators.ScaleOps.writeBucketed(purchases, "asof_right_b", "user_id")
+    val out = AsofJoinOps.asofJoinNative(
+      spark.table("asof_left_b"), spark.table("asof_right_b"),
+      "user_id", "ts", Seq("purchase_id", "purchase_value"),
+      "last_", "purchase_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected zero exchanges in:\n$plan")
+    // and the shuffle-free plan still computes the same answer
+    val ref = AsofJoinOps.lastPurchaseNative(events)
+    assert(out.count() === events.count())
+    assert(out.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(out).count() === 0)
+  }
+
   test("native as-of join with an empty right side yields all-null carries") {
     import spark.implicits._
     val left = Seq(

@@ -226,4 +226,21 @@ class SourcesSpec extends SparkSpec {
     // hive layout preserved
     assert(new java.io.File(s"$outDir/region=r0/year=2024").isDirectory)
   }
+
+  test("compactParquet keeps hive default (null) partition rows") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("fragnull").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compactnull").toString + "/out"
+    // null partition values land in __HIVE_DEFAULT_PARTITION__; a plain
+    // equi-join against the file-count table would drop them
+    Seq((Option("r0"), 1L), (Option.empty[String], 2L), (Option.empty[String], 3L))
+      .toDF("region", "k")
+      .write.mode("overwrite").partitionBy("region").parquet(inDir)
+    Sources.compactParquet(spark, inDir, outDir, Seq("region"))
+    val after = spark.read.parquet(outDir)
+    assert(after.count() === 3)
+    assert(after.filter(col("region").isNull).count() === 2)
+    assert(after.filter(col("region").isNull)
+      .select("k").as[Long].collect().sorted === Array(2L, 3L))
+  }
 }
