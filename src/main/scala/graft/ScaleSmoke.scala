@@ -79,6 +79,10 @@ object ScaleSmoke {
       ("q_zscore", (_, e, _) => AnalyticsOps.zscoreFlags(e)),
       ("q_sessionize", (_, e, _) => graft.streaming.StreamOps.sessionizeBatch(e)),
       ("knn_brute", (_, _, m) => SimilarityOps.knnBrute(m)),
+      // auto-derived planes must keep per-table candidate fan-in
+      // ≈ n·targetBucketSize — at a FIXED plane count this op is
+      // quadratic in n and the ratio would blow past k
+      ("knn_graph", (_, _, m) => SimilarityOps.knnGraph(m)),
       ("emb_centroid", (_, _, m) => SimilarityOps.labelCentroids(m)),
       ("q_mad", (_, e, _) => AnalyticsOps.madFlags(e)),
       ("oov_rate", (d, _, _) => TextOps.oovRate(d)),

@@ -549,6 +549,33 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |  ORDER BY sim DESC, c_id) AS rank FROM s)
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
+    // C15: deterministic seeds (vec_id < 16), argmax assignment with
+    // the (d DESC, list_id ASC) tiebreak, top-4 probe cells per query,
+    // exact cosine inside probed cells. Unrounded cosine ordering
+    // between DISTINCT seeds is stable cross-engine (gaps are O(0.1),
+    // ulp noise is 1e-15); the published sim uses the round-3 protocol
+    "knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS list_id, emb AS semb FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, s.list_id,
+        |  list_cosine_similarity(e.emb, s.semb) AS d FROM e, s),
+        |asg AS (SELECT vec_id AS c_id, list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d DESC, list_id) AS rn FROM d) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d DESC, list_id) AS rn FROM d WHERE vec_id < 10)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.c_id FROM probes p
+        |  JOIN asg a USING (list_id) WHERE p.q_id <> a.c_id),
+        |sc AS (SELECT c.q_id, c.c_id,
+        |  round(list_cosine_similarity(eq.emb, ec.emb), 3) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+        |  JOIN e ec ON ec.vec_id = c.c_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY sim DESC, c_id) AS rank FROM sc)
+        |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)
@@ -804,6 +831,33 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
         |  AS rank, pair, n
         |FROM g ORDER BY rank LIMIT 50""".stripMargin,
+    // C32: corpus-trained bigram MLE NLL. Per-term -ln quantized to
+    // DECIMAL(38,18) (order-independent sums in both engines); the
+    // published mean + ppl use the q_corr round-4 protocol, and ppl
+    // exponentiates the ROUNDED mean so exp sees identical inputs
+    "lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bl AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+        |  THEN list_transform(generate_series(1, len(toks) - 1),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))
+        |  ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END AS bgs FROM t),
+        |bu AS (SELECT doc_id, unnest(bgs) AS p FROM bl),
+        |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bu),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+        |terms AS (SELECT doc_id,
+        |  CAST(-ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE))
+        |    AS DECIMAL(38,18)) AS q
+        |  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(q) AS DOUBLE) / count(*) AS avg_nll
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |round(sc.avg_nll, 4) AS avg_nll,
+        |round(exp(round(sc.avg_nll, 4)), 4) AS ppl
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
     // positional fingerprint: md5-derived 32-bit token hash
     // (md5_number_upper reads the first 8 digest bytes little-endian —
     // the Spark side byte-swaps hex chars 9..16 to match) MULTIPLIED

@@ -314,10 +314,24 @@ object SimilarityOps {
     * (C12/dedup_embedding) stays quarantined to small n, THIS is the
     * production path. Recall vs the exact graph is spec-audited on
     * the test corpus (near-random embeddings, LSH's hardest case).
+    *
+    * Bucket count MUST grow with the corpus: at any fixed plane count
+    * the per-table fan-in Σ|bucket|² ≈ n²/2^planes is quadratic in n.
+    * `numPlanes <= 0` (the default) therefore derives planes from a
+    * target mean bucket occupancy — planes = ⌈log2(n/targetBucketSize)⌉
+    * — costing one count() job; per-table fan-in then stays
+    * ≈ n·targetBucketSize, linear in n. Pass an explicit numPlanes to
+    * skip the count when the corpus size is known.
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 5, numPlanes: Int = 4,
-      numTables: Int = 4): DataFrame = {
-    val P = numPlanes
+  def knnGraph(embeddings: DataFrame, k: Int = 5, numPlanes: Int = 0,
+      numTables: Int = 4, targetBucketSize: Int = 64): DataFrame = {
+    val P =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = math.max(1L, embeddings.count())
+        math.max(1, math.min(24, math.ceil(
+          math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt))
+      }
     // stage projections once (same Catalyst-analysis rationale as C6)
     val projCols = array((0 until numTables * P).map(i =>
       planeProj(col("embedding").cast("array<double>"), i)): _*)

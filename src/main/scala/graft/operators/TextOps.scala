@@ -501,9 +501,13 @@ object TextOps {
     *
     * Determinism: each -ln term is quantized to DECIMAL(38,18) before
     * the per-doc sum, so the aggregate is order-independent (same
-    * result on any partitioning — ln itself is fixed per input in the
-    * JVM). Rows-only at the driver (no cross-engine ln contract);
-    * semantics spec-tested.
+    * result on any partitioning). Cross-engine: ln is not a correctly-
+    * rounded IEEE op, so per-term doubles can differ from the oracle's
+    * at the last ulp — but a 1-ulp term wiggle moves the per-doc MEAN
+    * by ≲1e-16, and the published avg_nll/ppl are rounded to 4
+    * decimals (the q_corr protocol), which absorbs it. ppl
+    * re-exponentiates the ROUNDED mean so both engines feed exp the
+    * bit-identical input.
     *
     * Scale shape: bigram generation is a generator map; counts are two
     * partial-aggregated groupBys on token keys (high cardinality); the
@@ -541,8 +545,8 @@ object TextOps {
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_nll"),
-        exp(col("avg_nll")).as("ppl"))
+        round(col("avg_nll"), 4).as("avg_nll"),
+        round(exp(round(col("avg_nll"), 4)), 4).as("ppl"))
   }
 
   /** C34: URL extraction + per-domain stats — the audit behind
