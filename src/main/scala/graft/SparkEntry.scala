@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, pmod, to_timestamp}
+import org.apache.spark.sql.functions.{abs, col, count, lit, pmod, to_timestamp}
 import graft.operators._
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -144,6 +144,19 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => ScaleOps.rangeJoin(
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_profile" -> ((s, d) => AnalyticsOps.profile(Tables.lineitem(s, d))),
+    // B36 approx form: HLL estimates join back to the exact profile;
+    // the oracle asserts the 10% error-bound predicate (B10 pattern)
+    "q_profile_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = AnalyticsOps.profile(li)
+        .select(col("col_name"), col("n_distinct").as("exact_nd"))
+      AnalyticsOps.profile(li, approxDistinct = true)
+        .join(exact, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("min_v"), col("max_v"), col("exact_nd"),
+          (abs(col("n_distinct") - col("exact_nd"))
+            <= col("exact_nd").cast("double") * lit(0.1)).as("approx_ok"))
+    }),
     "sample_balance" -> ((s, d) => SimilarityOps.sampleBalance(Tables.embeddings(s, d))),
     "oov_rate" -> ((s, d) => TextOps.oovRate(Tables.documents(s, d))),
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
@@ -163,6 +176,34 @@ object SparkEntry {
       |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
       |  AS avg_value, count(*) AS n_obs
       |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
+
+  // shared by q_profile (verbatim) and q_profile_approx (wrapped with
+  // exact_nd + the always-true error-bound column)
+  private val profileSql =
+    """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+      |  count(*) - count(l_quantity) AS n_null,
+      |  count(DISTINCT l_quantity) AS n_distinct,
+      |  round(min(l_quantity), 4) AS min_v,
+      |  round(max(l_quantity), 4) AS max_v FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+      |  count(DISTINCT l_extendedprice),
+      |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+      |  FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount', count(*), count(*) - count(l_discount),
+      |  count(DISTINCT l_discount),
+      |  round(min(l_discount), 4), round(max(l_discount), 4) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+      |  count(DISTINCT l_returnflag),
+      |  CAST(min(length(l_returnflag)) AS DOUBLE),
+      |  CAST(max(length(l_returnflag)) AS DOUBLE) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+      |  count(DISTINCT l_linestatus),
+      |  CAST(min(length(l_linestatus)) AS DOUBLE),
+      |  CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // avg/sum of doubles mirror graft.operators.Exact: exact decimal
@@ -1163,31 +1204,13 @@ object SparkEntry {
     // B36: per-column profile; string columns profile min/max LENGTH
     // so the long schema stays numeric (no cross-engine double/ts
     // string formatting in the hash)
-    "q_profile" ->
-      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
-        |  count(*) - count(l_quantity) AS n_null,
-        |  count(DISTINCT l_quantity) AS n_distinct,
-        |  round(min(l_quantity), 4) AS min_v,
-        |  round(max(l_quantity), 4) AS max_v FROM lineitem
-        |UNION ALL
-        |SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
-        |  count(DISTINCT l_extendedprice),
-        |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
-        |  FROM lineitem
-        |UNION ALL
-        |SELECT 'l_discount', count(*), count(*) - count(l_discount),
-        |  count(DISTINCT l_discount),
-        |  round(min(l_discount), 4), round(max(l_discount), 4) FROM lineitem
-        |UNION ALL
-        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
-        |  count(DISTINCT l_returnflag),
-        |  CAST(min(length(l_returnflag)) AS DOUBLE),
-        |  CAST(max(length(l_returnflag)) AS DOUBLE) FROM lineitem
-        |UNION ALL
-        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
-        |  count(DISTINCT l_linestatus),
-        |  CAST(min(length(l_linestatus)) AS DOUBLE),
-        |  CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""".stripMargin,
+    "q_profile" -> profileSql,
+    // B36 approx: exact mirror + TRUE literal — the hash fails if any
+    // HLL estimate drifts past the 10% bound
+    "q_profile_approx" ->
+      s"""WITH p AS ($profileSql)
+         |SELECT col_name, n_rows, n_null, min_v, max_v,
+         |n_distinct AS exact_nd, TRUE AS approx_ok FROM p""".stripMargin,
     // C37: same Knuth-ring remainder election; every class lands on
     // exactly n_max rows
     "sample_balance" ->

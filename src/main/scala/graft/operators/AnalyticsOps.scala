@@ -603,24 +603,31 @@ object AnalyticsOps {
     * n+1 ways, tagged per distinct set) feeding one shuffled partial
     * aggregate — the standard multi-distinct plan: one shuffle of
     * n+1× the input's PROJECTED columns, not n separate scans of the
-    * table. At 100 TB swap countDistinct for approx_count_distinct
-    * and the Expand disappears (kept exact here for the oracle).
+    * table. `approxDistinct = true` is the 100-TB trade: HLL sketches
+    * (rsd 2%) replace the exact count-distincts, the Expand disappears
+    * (spec-asserted), and the scan aggregates in a single pass with
+    * one 1-row partial per task. The estimates are gated like B10 —
+    * q_profile_approx joins them against the exact profile and the
+    * oracle asserts the 10% error-bound predicate.
     *
     * Uniform output schema across column types: string columns
     * profile min/max of LENGTH (numeric like everything else), so no
     * cross-engine double-formatting of heterogeneous casts is needed.
     */
-  def profile(lineitem: DataFrame): DataFrame = {
+  def profile(lineitem: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val stringCols = Seq("l_returnflag", "l_linestatus")
+    def nd(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c), 0.02)
+      else countDistinct(col(c))
     val aggs = numericCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__cnt"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        nd(c).as(s"${c}__nd"),
         round(min(col(c)), 4).as(s"${c}__min"),
         round(max(col(c)), 4).as(s"${c}__max"))
     } ++ stringCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__cnt"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        nd(c).as(s"${c}__nd"),
         min(length(col(c))).cast("double").as(s"${c}__min"),
         max(length(col(c))).cast("double").as(s"${c}__max"))
     } :+ count(lit(1)).as("n_rows")

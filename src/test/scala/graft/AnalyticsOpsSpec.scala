@@ -10,6 +10,24 @@ class AnalyticsOpsSpec extends SparkSpec {
   lazy val orders = Tables.orders(spark, sf)
   lazy val supplier = Tables.supplier(spark, sf)
 
+  test("profile(approxDistinct) drops the multi-distinct Expand and stays in bound") {
+    val exactPlan = AnalyticsOps.profile(lineitem)
+      .queryExecution.executedPlan.toString
+    val approxPlan = AnalyticsOps.profile(lineitem, approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    // exact: n count-distincts plan the n+1-way Expand; approx: HLL
+    // sketches aggregate in one pass, no row replication
+    assert(exactPlan.contains("Expand"), s"expected Expand in exact plan:\n$exactPlan")
+    assert(!approxPlan.contains("Expand"), s"unexpected Expand in approx plan:\n$approxPlan")
+    val joined = AnalyticsOps.profile(lineitem, approxDistinct = true)
+      .select(col("col_name"), col("n_distinct").as("approx_nd"))
+      .join(AnalyticsOps.profile(lineitem)
+        .select(col("col_name"), col("n_distinct").as("exact_nd")), "col_name")
+    assert(joined.filter(
+      abs(col("approx_nd") - col("exact_nd"))
+        > col("exact_nd").cast("double") * 0.1).count() === 0)
+  }
+
   test("pricingSummary covers every filtered row exactly once") {
     val q1 = AnalyticsOps.pricingSummary(lineitem)
     val total = q1.agg(sum("count_order")).head.getLong(0)
