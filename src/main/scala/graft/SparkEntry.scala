@@ -161,6 +161,7 @@ object SparkEntry {
     "oov_rate" -> ((s, d) => TextOps.oovRate(Tables.documents(s, d))),
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
+    "q_grid_pipeline" -> ((s, _) => AgriOps.gridPipeline(s)),
     "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
     "q_percent_rank" -> ((s, d) => AnalyticsOps.percentRanks(Tables.events(s, d))),
   )
@@ -205,7 +206,50 @@ object SparkEntry {
       |  CAST(min(length(l_linestatus)) AS DOUBLE),
       |  CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""".stripMargin
 
+  // A21 full chain: DuckDB rebuilds the 7-var grid from
+  // generate_series with the SAME (salt, mod, base, step) constants
+  // the connector publishes (graft.sources.grid.GridSource.varSpecs
+  // — one source of truth for both engines), then mirrors the
+  // spatial-mean → convert_units → daily AGG_SPECS chain step by
+  // step under the decimal protocol.
+  private val gridPipelineSql: String = {
+    val mix = "lat*31 + lon*17 + hr*13 + day*11 + ridx*7"
+    val varExprs = graft.sources.grid.GridSource.varSpecs.map {
+      case (v, (salt, mod, base, step)) =>
+        s"CAST($base + (($mix + $salt) % $mod) * $step AS DOUBLE) / 1000.0 AS $v"
+    }.mkString(",\n  ")
+    def mean(c: String) =
+      s"CAST(sum(CAST($c AS DECIMAL(20,6))) AS DOUBLE) / count(*)"
+    val rawMeans = graft.sources.grid.GridSource.varSpecs
+      .map { case (v, _) => s"${mean(v)} AS ${v}_raw" }.mkString(",\n  ")
+    s"""WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1), ('r2', 2)) t(region, ridx)),
+       |dd AS (SELECT unnest(generate_series(0, 2)) AS day),
+       |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
+       |la AS (SELECT unnest(generate_series(0, 7)) AS lat),
+       |lo AS (SELECT unnest(generate_series(0, 7)) AS lon),
+       |g AS (SELECT region,
+       |  TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(day AS INTEGER)) + to_hours(hr) AS ts,
+       |  $varExprs
+       |  FROM r, dd, h, la, lo),
+       |hm AS (SELECT region, ts, $rawMeans FROM g GROUP BY region, ts),
+       |hc AS (SELECT region, ts,
+       |  t2m_raw - 273.15 AS t2m, d2m_raw - 273.15 AS d2m,
+       |  tp_raw * 1000.0 AS tp,
+       |  sqrt(u10_raw*u10_raw + v10_raw*v10_raw) AS wind_speed_10m,
+       |  swvl1_raw AS swvl1, swvl2_raw AS swvl2 FROM hm)
+       |SELECT region, date_trunc('day', ts) AS day,
+       |  ${mean("t2m")} AS t2m_mean,
+       |  min(t2m) AS t2m_min, max(t2m) AS t2m_max,
+       |  ${mean("d2m")} AS d2m_mean,
+       |  CAST(round(sum(CAST(tp AS DECIMAL(20,6))), 4) AS DOUBLE) AS tp_sum,
+       |  ${mean("swvl1")} AS swvl1_mean,
+       |  ${mean("swvl2")} AS swvl2_mean,
+       |  ${mean("wind_speed_10m")} AS wind_speed_10m_mean
+       |FROM hc GROUP BY region, date_trunc('day', ts)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_grid_pipeline" -> gridPipelineSql,
     // avg/sum of doubles mirror graft.operators.Exact: exact decimal
     // sum (order-independent), then one double op — a plain double
     // avg's last ulp differs between engines and flips round(.,4)

@@ -240,4 +240,62 @@ object AgriOps {
       .groupBy("region", "ts")
       .agg(Exact.avgD(col("t2m")).as("t2m_avg"),
         count(lit(1)).as("n_cells"))
+
+  /** A21 composed end-to-end: the reference's EXTRACT→hourly chain on
+    * the FULL 7-variable grid, straight from the DSv2 connector.
+    * Mirrors /root/reference/dask_jobs/aggregate_hourly.py exactly:
+    * spatial mean over lat×lon per (region, hour) FIRST (:70-76),
+    * THEN convert_units on the means (:15-30 — t2m/d2m K→°C, tp
+    * m→mm, wind_speed_10m = sqrt(u10²+v10²) of the MEAN components;
+    * the reference derives wind from the spatially-averaged u10/v10,
+    * not per cell, and so do we).
+    *
+    * Exactness protocol: spatial means via [[Exact.avgD]] (exact
+    * decimal sum / cell count — one double division), then each
+    * conversion is the same short IEEE chain in Spark and DuckDB, so
+    * every output double is bit-identical by construction. Scale: one
+    * partial-agg'd groupBy over (region, hour) — the shuffle carries
+    * one 7-var decimal row per group per task, never the grid cells.
+    */
+  def gridHourly(spark: SparkSession): DataFrame = {
+    import graft.sources.grid.GridSource
+    val vars = GridSource.varSpecs.map(_._1)
+    val means = vars.map(v => Exact.avgD(col(v)).as(s"${v}_raw"))
+    spark.read.format("graft-grid").load()
+      .groupBy(col("region"), col("ts"))
+      .agg(means.head, means.tail: _*)
+      .select(
+        col("region"), col("ts"),
+        (col("t2m_raw") - lit(273.15)).as("t2m"),
+        (col("d2m_raw") - lit(273.15)).as("d2m"),
+        (col("tp_raw") * lit(1000.0)).as("tp"),
+        sqrt(col("u10_raw") * col("u10_raw")
+          + col("v10_raw") * col("v10_raw")).as("wind_speed_10m"),
+        col("swvl1_raw").as("swvl1"),
+        col("swvl2_raw").as("swvl2"))
+  }
+
+  /** A21 composed further: hourly mart → daily mart with the
+    * reference's per-column AGG_SPECS
+    * (/root/reference/dask_jobs/aggregate_daily.py:9-18 — t2m
+    * mean/min/max, d2m mean, tp sum, swvl1/swvl2 mean,
+    * wind_speed_10m mean; flattened `{base}_{fn}` names :33-43).
+    * Daily means/sums re-quantize the hourly doubles through the
+    * decimal protocol (order-independent); min/max need no
+    * protocol. This is the whole EXTRACT→TRANSFORM reference
+    * pipeline as ONE declarative plan — connector scan, two
+    * partial-agg'd shuffles, nothing else.
+    */
+  def gridPipeline(spark: SparkSession): DataFrame =
+    gridHourly(spark)
+      .groupBy(col("region"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        Exact.avgD(col("t2m")).as("t2m_mean"),
+        min(col("t2m")).as("t2m_min"),
+        max(col("t2m")).as("t2m_max"),
+        Exact.avgD(col("d2m")).as("d2m_mean"),
+        Exact.sumD(col("tp")).as("tp_sum"),
+        Exact.avgD(col("swvl1")).as("swvl1_mean"),
+        Exact.avgD(col("swvl2")).as("swvl2_mean"),
+        Exact.avgD(col("wind_speed_10m")).as("wind_speed_10m_mean"))
 }

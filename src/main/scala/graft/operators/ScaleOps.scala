@@ -158,12 +158,23 @@ object ScaleOps {
     * at 100 TB (pay the shuffle once at write time).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a table registered in a PREVIOUS metastore leaves its warehouse
+    // directory behind after the metastore is recreated; creation then
+    // throws LOCATION_ALREADY_EXISTS even under overwrite mode
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — with matching
     * bucket counts Catalyst plans a SortMergeJoin with no Exchange on

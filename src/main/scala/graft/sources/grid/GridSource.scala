@@ -34,8 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * independent splits, no driver-side data. The ScanBuilder
   * implements BOTH DSv2 pushdown surfaces:
   *  - SupportsPushDownRequiredColumns: a `select(region, t2m)` reads
-  *    2 of 5 columns — the reader never materializes the rest (the
-  *    DSv2 equivalent of parquet column pruning);
+  *    2 of 11 columns — the reader never computes the other six
+  *    weather variables at all (the DSv2 equivalent of parquet
+  *    column pruning, and the reason a one-variable mart over the
+  *    7-var grid costs one variable, not seven);
   *  - SupportsPushDownFilters: region equality/IN and ts range
   *    bounds prune whole (region, day) partitions at PLAN time (the
   *    hive-partition-pruning analog). Every filter is also returned
@@ -44,21 +46,50 @@ import org.apache.spark.unsafe.types.UTF8String
   *    filtering, under-inclusion cannot happen.
   */
 object GridSource {
-  val schema: StructType = StructType(Seq(
-    StructField("region", StringType, nullable = false),
-    StructField("ts", TimestampType, nullable = false),
-    StructField("lat", IntegerType, nullable = false),
-    StructField("lon", IntegerType, nullable = false),
-    StructField("t2m", DoubleType, nullable = false)))
-
-  /** Deterministic cell value: integer mix mod 400 mapped onto
-    * [253.15, 293.05) K in 0.1 steps. Integer numerator + one double
-    * division → bit-identical in any engine (the §5 protocol).
+  /** The reference's full 7-variable download list
+    * (/root/reference/dask_jobs/extract_era5.py:14-16): 2 m air +
+    * dew-point temperature [K], total precipitation [m], 10 m wind
+    * components [m/s], and two soil-water layers [m³/m³]. Per var:
+    * (salt, modulus, base, step) of the deterministic integer mix —
+    * value = (base + m*step) / 1000.0 with
+    * m = (lat*31 + lon*17 + hour*13 + day*11 + rIdx*7 + salt) % mod.
+    * Integer numerator + ONE double division → bit-identical in any
+    * engine (the §5 protocol); each var gets its own salt and a
+    * physically plausible range. t2m keeps the round-2 constants so
+    * every existing oracle/spec value is unchanged.
     */
-  def cellValue(rIdx: Int, dayIdx: Int, hour: Int, lat: Int, lon: Int): Double = {
-    val m = (lat * 31 + lon * 17 + hour * 13 + dayIdx * 11 + rIdx * 7) % 400
-    (253150L + m * 100L).toDouble / 1000.0
+  val varSpecs: Seq[(String, (Int, Int, Long, Long))] = Seq(
+    "t2m" -> (0, 400, 253150L, 100L), // [253.15, 293.05) K
+    "d2m" -> (101, 400, 248150L, 100L), // dew point, below t2m range
+    "tp" -> (59, 8, 0L, 1L), // [0, 0.007] m of precipitation
+    "u10" -> (163, 400, -20000L, 100L), // [-20.0, 19.9] m/s
+    "v10" -> (211, 400, -20000L, 100L),
+    "swvl1" -> (37, 400, 50L, 1L), // [0.05, 0.449] m³/m³
+    "swvl2" -> (83, 400, 50L, 1L))
+
+  val schema: StructType = StructType(
+    Seq(
+      StructField("region", StringType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("lat", IntegerType, nullable = false),
+      StructField("lon", IntegerType, nullable = false)) ++
+      varSpecs.map { case (v, _) => StructField(v, DoubleType, nullable = false) })
+
+  /** Deterministic value of one weather variable at one grid cell. */
+  def varValue(name: String, rIdx: Int, dayIdx: Int, hour: Int, lat: Int,
+      lon: Int): Double = {
+    val (salt, mod, base, step) = varSpecs.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown grid var $name"))
+      ._2
+    val m = (lat * 31 + lon * 17 + hour * 13 + dayIdx * 11 + rIdx * 7 + salt) % mod
+    (base + m * step).toDouble / 1000.0
   }
+
+  /** Round-2 t2m formula, kept as the named special case the existing
+    * oracles and specs pin.
+    */
+  def cellValue(rIdx: Int, dayIdx: Int, hour: Int, lat: Int, lon: Int): Double =
+    varValue("t2m", rIdx, dayIdx, hour, lat, lon)
 
   val MicrosPerSec = 1000000L
   val SecsPerDay = 86400L
@@ -263,8 +294,8 @@ class GridPartitionReader(p: GridInputPartition, fields: Array[String],
         GridSource.MicrosPerSec
     case "lat" => (_, la, _) => la
     case "lon" => (_, _, lo) => lo
-    case "t2m" => (h, la, lo) =>
-      GridSource.cellValue(p.rIdx, p.dayIdx, h, la, lo)
+    case v if GridSource.varSpecs.exists(_._1 == v) => (h, la, lo) =>
+      GridSource.varValue(v, p.rIdx, p.dayIdx, h, la, lo)
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 

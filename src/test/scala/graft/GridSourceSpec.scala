@@ -49,6 +49,48 @@ class GridSourceSpec extends SparkSpec {
     assert(row.head.getDouble(0) === GridSource.cellValue(2, 2, 7, 3, 5))
   }
 
+  test("multi-var pruning computes only the requested weather variables") {
+    val thin = grid.select("region", "u10", "v10")
+    assert(scanOf(thin).readSchema().fieldNames.toSeq === Seq("region", "u10", "v10"))
+    // the full pipeline's own scan never reads lat/lon — the spatial
+    // mean keys on (region, ts) only (AQE wraps the aggregate's
+    // physical scan, so assert on the optimized logical plan)
+    val hourly = graft.operators.AgriOps.gridHourly(spark)
+    val pipelineRead = hourly.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSeq
+    }.getOrElse(fail("no DSv2 scan in optimized plan"))
+    assert(pipelineRead === Seq("region", "ts") ++ GridSource.varSpecs.map(_._1))
+  }
+
+  test("each weather variable follows its own deterministic formula") {
+    val row = grid.filter(col("region") === "r1" && col("lat") === 2
+        && col("lon") === 6
+        && col("ts") === to_timestamp(lit("2024-01-02 05:00:00")))
+      .select(GridSource.varSpecs.map(v => col(v._1)): _*).collect()
+    assert(row.length === 1)
+    GridSource.varSpecs.map(_._1).zipWithIndex.foreach { case (v, i) =>
+      assert(row.head.getDouble(i) === GridSource.varValue(v, 1, 1, 5, 2, 6),
+        s"variable $v diverged from its formula")
+    }
+  }
+
+  test("grid pipeline lands one AGG_SPECS row per (region, day)") {
+    val daily = graft.operators.AgriOps.gridPipeline(spark)
+    assert(daily.columns.toSeq === Seq("region", "day", "t2m_mean",
+      "t2m_min", "t2m_max", "d2m_mean", "tp_sum", "swvl1_mean",
+      "swvl2_mean", "wind_speed_10m_mean"))
+    val rows = daily.collect()
+    assert(rows.length === 9) // 3 regions x 3 days
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean && mean <= mx)
+      // °C range sanity after the K→°C conversion
+      assert(mn > -30.0 && mx < 30.0)
+      assert(r.getDouble(9) >= 0.0) // wind speed is a magnitude
+    }
+  }
+
   test("an over-narrowed region filter yields zero partitions, not wrong rows") {
     val none = grid.filter(col("region") === "nope")
     assert(scanOf(none).planInputPartitions().isEmpty)
