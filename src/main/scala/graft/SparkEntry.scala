@@ -162,6 +162,7 @@ object SparkEntry {
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_pipeline" -> ((s, _) => AgriOps.gridPipeline(s)),
+    "pipeline_mart" -> ((s, d) => PipelineOps.martPipeline(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
     "q_percent_rank" -> ((s, d) => AnalyticsOps.percentRanks(Tables.events(s, d))),
   )
@@ -248,8 +249,31 @@ object SparkEntry {
        |FROM hc GROUP BY region, date_trunc('day', ts)""".stripMargin
   }
 
+  // A-surface ETL composition: hourly CTE (A1's own oracle verbatim)
+  // → daily sums → conditional-sum pivot + balance, chained exactly
+  // like the Spark plan
+  private val martPipelineSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val sums = types.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN value_sum END) AS ${t}_sum")
+      .mkString(",\n  ")
+    s"""WITH hourly AS ($hourlyMartSql),
+       |daily AS (SELECT event_type, date_trunc('day', hour_ts) AS day,
+       |  CAST(round(sum(CAST(avg_value AS DECIMAL(20,6))), 4) AS DOUBLE)
+       |    AS value_sum,
+       |  CAST(sum(n_obs) AS BIGINT) AS n_obs
+       |  FROM hourly GROUP BY event_type, date_trunc('day', hour_ts))
+       |SELECT day, $sums,
+       |  CAST(sum(n_obs) AS BIGINT) AS n_obs,
+       |  sum(CASE WHEN event_type = 'purchase' THEN value_sum END)
+       |    - sum(CASE WHEN event_type = 'error' THEN value_sum END)
+       |    AS water_balance
+       |FROM daily GROUP BY day""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_grid_pipeline" -> gridPipelineSql,
+    "pipeline_mart" -> martPipelineSql,
     // avg/sum of doubles mirror graft.operators.Exact: exact decimal
     // sum (order-independent), then one double op — a plain double
     // avg's last ulp differs between engines and flips round(.,4)

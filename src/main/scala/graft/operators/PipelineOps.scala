@@ -59,4 +59,43 @@ object PipelineOps {
       .join(s4.select("doc_id", "n_chars"), "doc_id")
       .select("doc_id", "source", "n_chars", "split")
   }
+
+  /** The A-surface composed end-to-end: the reference's whole
+    * ETL cycle — extract (hourly spatial means,
+    * dask_jobs/aggregate_hourly.py) → daily rollup
+    * (aggregate_daily.py AGG_SPECS) → wide per-day mart with a
+    * derived balance column (the tp_sum − pev_mm_sum water_balance
+    * branch, aggregate_daily.py:47-49, as inflow − outflow of the
+    * two flow-like series) — as ONE declarative plan over the events
+    * analog. The LOAD stage (staged-MERGE upsert into the serving
+    * store, flows/load_hourly_parquet_to_postgres.py) is exercised by
+    * the idempotency spec: two writeJdbcUpsert runs of this mart into
+    * Derby leave the table exactly equal to the mart.
+    *
+    * Exactness: hourly means via [[Exact.avgD]]; daily sums via
+    * [[Exact.sumD]] over the hourly doubles; the pivot's conditional
+    * sums see exactly one non-null value per (day, type) so no double
+    * summation order exists; the balance is one double subtraction.
+    *
+    * Scale shape: two partial-agg'd shuffles (hour keys, then day
+    * keys — each strictly coarser than the last) and a final
+    * conditional-agg pivot on the already-tiny daily mart. No joins,
+    * no windows, nothing driver-side; the same plan at 100 TB is
+    * bounded by the first groupBy, which map-side combines to one row
+    * per (type, hour) per task.
+    */
+  def martPipeline(events: DataFrame,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"))
+      : DataFrame = {
+    val daily = AgriOps.hourlyMart(events)
+      .groupBy(col("event_type"), date_trunc("day", col("hour_ts")).as("day"))
+      .agg(Exact.sumD(col("avg_value")).as("value_sum"),
+        sum(col("n_obs")).as("n_obs"))
+    val sums = types.map(t =>
+      sum(when(col("event_type") === t, col("value_sum"))).as(s"${t}_sum"))
+    val aggs = sums.tail :+ sum(col("n_obs")).as("n_obs")
+    daily.groupBy(col("day"))
+      .agg(sums.head, aggs: _*)
+      .withColumn("water_balance", col("purchase_sum") - col("error_sum"))
+  }
 }

@@ -104,6 +104,34 @@ class SourcesSpec extends SparkSpec {
     } finally check.close()
   }
 
+  test("pipeline_mart LOAD: two staged-MERGE runs leave Derby equal to the mart") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    // uppercase names so the staged MERGE's unquoted identifiers
+    // resolve against Derby's normalized catalog; DAY is reserved
+    val mart = graft.operators.PipelineOps.martPipeline(events)
+      .toDF("MART_DAY", "CLICK_SUM", "ERROR_SUM", "PURCHASE_SUM",
+        "SIGNUP_SUM", "VIEW_SUM", "N_OBS", "WATER_BALANCE")
+    val url = "jdbc:derby:memory:graftmartpipe;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE MART_DAILY (MART_DAY TIMESTAMP NOT NULL,
+          |CLICK_SUM DOUBLE, ERROR_SUM DOUBLE, PURCHASE_SUM DOUBLE,
+          |SIGNUP_SUM DOUBLE, VIEW_SUM DOUBLE, N_OBS BIGINT,
+          |WATER_BALANCE DOUBLE, PRIMARY KEY (MART_DAY))""".stripMargin)
+      st.close()
+    } finally conn.close()
+    // the reference reruns its load every cycle — the serving table
+    // must converge, not accumulate
+    Sources.writeJdbcUpsert(mart, url, "MART_DAILY", Seq("MART_DAY"))
+    Sources.writeJdbcUpsert(mart, url, "MART_DAILY", Seq("MART_DAY"))
+    val back = spark.read.jdbc(url, "MART_DAILY", new java.util.Properties())
+    assert(back.count() === mart.count())
+    assert(back.exceptAll(mart).count() === 0)
+    assert(mart.exceptAll(back).count() === 0)
+  }
+
   test("appendMissingPartitions: second run over same input writes zero new files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("backfill").toString
