@@ -40,8 +40,27 @@ object SimilarityOps {
     * the query side is broadcast so the corpus is scanned exactly once
     * with no shuffle before the top-k window.
     */
+  /** Guard for the exact O(n²) audit paths: refuse to run above a
+    * configurable corpus size so an audit can never silently become
+    * the production path at scale (the failure mode: someone wires
+    * the exact variant into a pipeline that later grows 1000×, and
+    * the first symptom is an executor OOM three hours in). The count
+    * is one column-pruned job — noise next to the all-pairs work it
+    * gates. Raise `maxExactRows` EXPLICITLY to accept the quadratic
+    * cost on a corpus you've sized.
+    */
+  private def requireAuditSized(df: DataFrame, limit: Long,
+      op: String, alternative: String): Unit = {
+    val n = df.count()
+    require(n <= limit,
+      s"$op is an exact O(n^2) audit quarantined to <= $limit rows, got $n; " +
+        s"use $alternative at this scale, or raise maxExactRows explicitly")
+  }
+
   def knnBrute(embeddings: DataFrame, nQueries: Int = 10,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxExactRows: Long = 100000L): DataFrame = {
+    requireAuditSized(embeddings, maxExactRows, "knnBrute (C5)",
+      "knnLsh/knnIvf/knnGraph")
     // Norms are computed once per side BEFORE the pair join (they sit
     // below the join in the plan), so each of the |queries|×|corpus|
     // pairs evaluates a single dot product instead of three.
@@ -207,7 +226,9 @@ object SimilarityOps {
     * buckets instead (same scoring, candidate generation via buckets).
     */
   def embeddingNearDups(embeddings: DataFrame,
-      minCosine: Double = 0.4): DataFrame = {
+      minCosine: Double = 0.4, maxExactRows: Long = 100000L): DataFrame = {
+    requireAuditSized(embeddings, maxExactRows, "embeddingNearDups (C12)",
+      "the LSH-bucketed candidate path (knnLsh buckets + the same scorer)")
     val side = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val a = side.select(col("vec_id").as("id1"), col("embedding").as("e1"),

@@ -97,6 +97,37 @@ class GridSourceSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  test("a region-scoped stream plans only that region's splits per batch") {
+    import graft.sources.grid.{GridOffset, GridTable}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def streamSplits(opts: java.util.Map[String, String]): Int = {
+      val m = new CaseInsensitiveStringMap(opts)
+      val stream = new GridTable(m).newScanBuilder(m).build()
+        .toMicroBatchStream(
+          java.nio.file.Files.createTempDirectory("grid_plan").toString)
+      stream.planInputPartitions(GridOffset(0), GridOffset(3)).length
+    }
+    // pushed batch FILTERS don't reach streaming scans (Spark applies
+    // DSv2 pushdown to batch only), but the `regions` OPTION does —
+    // a scoped backfill reads one region's splits, not everyone's
+    assert(streamSplits(java.util.Collections.emptyMap()) === 9)
+    assert(streamSplits(java.util.Map.of("regions", "r1")) === 3)
+    // end-to-end: the scoped stream drains exactly one region's rows
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("grid_r1_out").toString
+    val q = spark.readStream.format("graft-grid").option("regions", "r1")
+      .load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("grid_r1_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3L * 24 * 8 * 8)
+    assert(rows.select("region").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("r1"))
+  }
+
   test("streaming read drains day offsets once; checkpointed rerun is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("grid_ckpt").toString

@@ -8,6 +8,21 @@ class SimilarityTextOpsSpec extends SparkSpec {
   lazy val embeddings = Tables.embeddings(spark, sf).cache()
   lazy val documents = Tables.documents(spark, sf).cache()
 
+  test("exact O(n^2) audits refuse corpora above their quarantine size") {
+    val eBrute = intercept[IllegalArgumentException] {
+      SimilarityOps.knnBrute(embeddings, maxExactRows = 3L).count()
+    }
+    assert(eBrute.getMessage.contains("O(n^2)"))
+    val eDedup = intercept[IllegalArgumentException] {
+      SimilarityOps.embeddingNearDups(embeddings, maxExactRows = 3L).count()
+    }
+    assert(eDedup.getMessage.contains("quarantined"))
+    // at or under the limit the audit still runs
+    val small = embeddings.filter(col("vec_id") < 3)
+    assert(SimilarityOps.embeddingNearDups(small, -1.0, maxExactRows = 3L)
+      .count() === 3L) // 3 choose 2
+  }
+
   test("knnBrute: k results per query, sims in [-1,1], rank ordered") {
     val k = SimilarityOps.knnBrute(embeddings, nQueries = 5, k = 3)
     val perQ = k.groupBy("q_id").count().collect()
