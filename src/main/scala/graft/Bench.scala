@@ -88,7 +88,13 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$st,"errors":$es,"passes":$TimedPasses,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$st,"errors":$es,"passes":$TimedPasses,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stored tail truncated round 2's wall-time map; keep
+    // the full line on disk so no consumer has to reconstruct it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

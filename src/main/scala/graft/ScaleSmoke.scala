@@ -78,7 +78,10 @@ object ScaleSmoke {
       ("q_asof_native", (_, e, _) => AsofJoinOps.lastPurchaseNative(e)),
       ("q_zscore", (_, e, _) => AnalyticsOps.zscoreFlags(e)),
       ("q_sessionize", (_, e, _) => graft.streaming.StreamOps.sessionizeBatch(e)),
-      ("knn_brute", (_, _, m) => SimilarityOps.knnBrute(m)),
+      // deliberate audit at scale: opt out of the quarantine guard —
+      // measuring the exact path's growth is this harness's job
+      ("knn_brute", (_, _, m) =>
+        SimilarityOps.knnBrute(m, maxExactRows = Long.MaxValue)),
       // auto-derived planes must keep per-table candidate fan-in
       // ≈ n·targetBucketSize — at a FIXED plane count this op is
       // quadratic in n and the ratio would blow past k
@@ -95,7 +98,8 @@ object ScaleSmoke {
         d.withColumn("text",
           concat(lit("shared viral boilerplate head intro "), col("text"))))),
       ("pipeline_curate", (d, _, _) => PipelineOps.curate(d,
-        d.filter(pmod(col("doc_id"), lit(20)) === 0))))
+        d.filter(pmod(col("doc_id"), lit(20)) === 0))),
+      ("pipeline_mart", (_, e, _) => PipelineOps.martPipeline(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
