@@ -257,11 +257,20 @@ object AgriOps {
     * partial-agg'd groupBy over (region, hour) — the shuffle carries
     * one 7-var decimal row per group per task, never the grid cells.
     */
-  def gridHourly(spark: SparkSession): DataFrame = {
+  def gridHourly(spark: SparkSession): DataFrame =
+    hourlyFromGrid(spark.read.format("graft-grid").load())
+
+  /** The hourly transformation itself, over any 7-var grid frame —
+    * batch (`spark.read`) and streaming (`spark.readStream`, see
+    * StreamOps.gridHourlyStream) run this SAME plan: Spark's unified
+    * API means mart parity between the two is by construction, and
+    * the D-surface spec asserts it empirically.
+    */
+  def hourlyFromGrid(grid: DataFrame): DataFrame = {
     import graft.sources.grid.GridSource
     val vars = GridSource.varSpecs.map(_._1)
     val means = vars.map(v => Exact.avgD(col(v)).as(s"${v}_raw"))
-    spark.read.format("graft-grid").load()
+    grid
       .groupBy(col("region"), col("ts"))
       .agg(means.head, means.tail: _*)
       .select(

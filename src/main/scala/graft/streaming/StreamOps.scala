@@ -124,6 +124,21 @@ object StreamOps {
         graft.operators.AnalyticsOps.zscoreExpr(col("value")).as("z"))
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
 
+  /** D9: the 7-variable grid hourly mart (A22's first two stages) as
+    * a STREAM over the DSv2 connector — readStream on graft-grid,
+    * then the IDENTICAL transformation object the batch mart runs
+    * ([[graft.operators.AgriOps.hourlyFromGrid]]): spatial decimal
+    * means per (region, hour), unit conversions on the means. Batch/
+    * stream parity is therefore structural — one plan, two sources —
+    * and the spec drains an AvailableNow run into a complete-mode
+    * sink and asserts row-set equality with the batch mart. At
+    * backfill scale this is D8's day-granular checkpointed resume
+    * carrying the full transform, not just the extract.
+    */
+  def gridHourlyStream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.operators.AgriOps.hourlyFromGrid(
+      spark.readStream.format("graft-grid").load())
+
   def streamingHourlyMart(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")

@@ -128,6 +128,23 @@ class GridSourceSpec extends SparkSpec {
       .toSeq === Seq("r1"))
   }
 
+  test("streaming grid hourly mart equals the batch mart bit-for-bit") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = graft.streaming.StreamOps.gridHourlyStream(spark)
+      .writeStream.format("memory").queryName("grid_hourly_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val streamed = spark.table("grid_hourly_stream")
+    val batch = graft.operators.AgriOps.gridHourly(spark)
+    assert(streamed.count() === 3L * 3 * 24)
+    // exceptAll compares the raw doubles: decimal-sum associativity +
+    // identical IEEE conversion chains make batch and stream equal
+    // exactly, not approximately
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming read drains day offsets once; checkpointed rerun is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("grid_ckpt").toString
