@@ -114,6 +114,8 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => TextOps.docChunks(Tables.documents(s, d))),
     "chunk_dedup" -> ((s, d) => TextOps.chunkDedup(Tables.documents(s, d))),
     "train_split" -> ((s, d) => TextOps.trainSplit(Tables.documents(s, d))),
+    "train_split_grouped" -> ((s, d) =>
+      TextOps.trainSplitGrouped(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
     "dedup_apply" -> ((s, d) => DedupOps.dedupApply(Tables.documents(s, d), 0.7)),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
@@ -270,6 +272,25 @@ object SparkEntry {
        |    AS water_balance
        |FROM daily GROUP BY day""".stripMargin
   }
+
+  // shared by dedup_groups (C21) and train_split_grouped (C39): the
+  // token-Jaccard edge set and its recursive transitive closure down
+  // to per-doc min-label components
+  private val closureCteSql =
+    """WITH RECURSIVE t AS (SELECT doc_id, source,
+      |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '')) AS toks
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+      |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |    >= 0.7),
+      |e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+      |r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
+      |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_grid_pipeline" -> gridPipelineSql,
@@ -842,26 +863,24 @@ object SparkEntry {
         |  < f.threshold""".stripMargin,
     // transitive closure by recursive CTE mirrors Spark's min-label
     // propagation exactly: both compute min reachable doc_id
-    "dedup_groups" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, source,
-        |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
-        |    x -> x <> '')) AS toks
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
-        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-        |    >= 0.7),
-        |e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
-        |r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
-        |  UNION
-        |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
-        |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id),
+    "dedup_groups" -> (closureCteSql +
+      """,
         |s AS (SELECT component, count(*) AS n_members FROM c
         |  GROUP BY component)
         |SELECT c.doc_id, c.component, s.n_members,
         |c.doc_id = c.component AS is_canonical
-        |FROM c JOIN s USING (component)""".stripMargin,
+        |FROM c JOIN s USING (component)""".stripMargin),
+    // C39: the SAME closure, split elected on the component label —
+    // identical CASE thresholds to train_split, keyed one level up
+    "train_split_grouped" -> (closureCteSql +
+      """
+        |SELECT c.doc_id, d.source, c.component,
+        |CASE WHEN (CAST(c.component AS HUGEINT) * 2654435761) % 4294967296
+        |       < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+        |     WHEN (CAST(c.component AS HUGEINT) * 2654435761) % 4294967296
+        |       < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM c JOIN documents d USING (doc_id)""".stripMargin),
     // exact quartiles gated by equality; the approx_percentile median
     // is gated by the in-row bracket predicate (oracle emits TRUE):
     // rank error 1/1000 keeps the sketch far inside [p25, p75]

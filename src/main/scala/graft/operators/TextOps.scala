@@ -402,17 +402,50 @@ object TextOps {
   def trainSplit(documents: DataFrame, trainFrac: Double = 0.8,
       valFrac: Double = 0.1): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
+    documents.select(col("doc_id"), col("source"),
+      ringSplitExpr(col("doc_id"), trainFrac, valFrac).as("split"))
+  }
+
+  /** The Knuth-ring split election shared by C27 (keyed by doc) and
+    * C39 (keyed by near-dup component): multiplicative hash onto the
+    * 2^32 ring, thresholds floored identically in both engines.
+    */
+  private[operators] def ringSplitExpr(key: Column, trainFrac: Double,
+      valFrac: Double): Column = {
     import org.apache.spark.sql.types.DecimalType
     val ring = lit(4294967296L)
     val priority = pmod(
-      col("doc_id").cast(DecimalType(20, 0)) *
+      key.cast(DecimalType(20, 0)) *
         lit(2654435761L).cast(DecimalType(10, 0)),
       ring.cast(DecimalType(11, 0))).cast("long")
-    documents.select(col("doc_id"), col("source"),
-      when(priority < lit((trainFrac * 4294967296.0).toLong), "train")
-        .when(priority < lit(((trainFrac + valFrac) * 4294967296.0).toLong),
-          "val")
-        .otherwise("test").as("split"))
+    when(priority < lit((trainFrac * 4294967296.0).toLong), "train")
+      .when(priority < lit(((trainFrac + valFrac) * 4294967296.0).toLong),
+        "val")
+      .otherwise("test")
+  }
+
+  /** C39: LEAKAGE-SAFE split — C27's deterministic hash election keyed
+    * by the near-dup COMPONENT ([[DedupOps.dedupGroups]] label), so a
+    * document and all its near-duplicates land in the SAME split by
+    * construction. A doc-keyed split quietly leaks: two 0.9-Jaccard
+    * copies of one page split train/test and the eval measures
+    * memorization. Singleton docs (their own component) get exactly
+    * C27's assignment.
+    *
+    * Scale shape: the clustering is C21's audited machinery; the
+    * election itself adds one equi-join of the corpus against the
+    * (doc_id, component) labels — key-partitioned, no new skew (the
+    * labels frame is one row per doc).
+    */
+  def trainSplitGrouped(documents: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1, tau: Double = 0.7): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
+    val comp = DedupOps.dedupGroups(documents, tau)
+      .select(col("doc_id"), col("component"))
+    documents.select(col("doc_id"), col("source"))
+      .join(comp, "doc_id")
+      .select(col("doc_id"), col("source"), col("component"),
+        ringSplitExpr(col("component"), trainFrac, valFrac).as("split"))
   }
 
   /** C28: adjacent-pair statistics — the first iteration of BPE merge

@@ -62,6 +62,23 @@ class ChunkOpsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("trainSplitGrouped never separates near-duplicates across splits") {
+    val g = TextOps.trainSplitGrouped(documents).cache()
+    assert(g.count() === documents.count())
+    // the leakage property: one split per component, always
+    val straddling = g.groupBy("component")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(straddling.count() === 0)
+    // component roots (incl. every singleton) hash on their own id,
+    // so they must get exactly C27's assignment
+    val c27 = TextOps.trainSplit(documents)
+      .select(col("doc_id"), col("split").as("doc_split"))
+    val moved = g.filter(col("component") === col("doc_id"))
+      .join(c27, "doc_id").filter(col("split") =!= col("doc_split"))
+    assert(moved.count() === 0)
+    g.unpersist()
+  }
+
   test("trainSplit is append-stable: a subset keeps its assignments") {
     val full = TextOps.trainSplit(documents)
     val subset = TextOps.trainSplit(documents.filter(col("doc_id") < 100))
