@@ -99,6 +99,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalizeText(Tables.documents(s, d))),
     "sample_fraction" -> ((s, d) => TextOps.sampleFraction(Tables.documents(s, d), 0.25)),
+    "train_order" -> ((s, d) => TextOps.trainOrder(Tables.documents(s, d))),
+    "sample_mix" -> ((s, d) => TextOps.sampleMix(Tables.documents(s, d),
+      Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.0))),
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       DedupOps.decontaminate(docs,
@@ -759,6 +762,24 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
         |  < CAST(0.25 * 4294967296 AS BIGINT)""".stripMargin,
+    // C40: seeded md5 permutation key + 32-bit-hash shard
+    // (md5_number_upper >> 32 is the C10-established mirror of the
+    // Spark side's byte-swapped conv)
+    "train_order" ->
+      """SELECT doc_id, source,
+        |md5('graft:' || CAST(doc_id AS VARCHAR)) AS ord,
+        |CAST(md5_number_upper('graft:' || CAST(doc_id AS VARCHAR)) >> 32
+        |  AS BIGINT) % 8 AS shard
+        |FROM documents""".stripMargin,
+    // C41: per-source ring thresholds; unlisted sources keep all rows
+    "sample_mix" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |  < CASE source
+        |      WHEN 'src0' THEN CAST(0.5 * 4294967296 AS BIGINT)
+        |      WHEN 'src1' THEN CAST(0.2 * 4294967296 AS BIGINT)
+        |      WHEN 'src2' THEN 0
+        |      ELSE 4294967296 END""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |trim(regexp_replace(regexp_replace(lower(text),

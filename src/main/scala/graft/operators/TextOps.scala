@@ -508,6 +508,62 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** C40: reproducible training-order shard layout — the "global
+    * shuffle" a training run needs, without RNG state and without a
+    * global rank: each doc gets a seeded md5 ORDER key (a uniform
+    * pseudo-random permutation; a new seed is a fresh epoch order)
+    * and a 32-bit-hash shard id, and the emitted frame is hash-
+    * partitioned by shard and sorted by ord within shards — exactly
+    * the layout a sharded training-data writer puts on disk, where
+    * readers consuming shards in (shard, ord) order see the full
+    * permutation without ordinals ever being materialized.
+    *
+    * Scale: map-side projection + ONE exchange on shard. Deliberately
+    * NO global row_number: an unpartitioned rank window funnels the
+    * corpus through one task (the WindowExec single-partition trap) —
+    * the (shard, ord) sort IS the total order.
+    */
+  def trainOrder(documents: DataFrame, nShards: Int = 8,
+      seed: String = "graft"): DataFrame = {
+    require(nShards > 0)
+    val key = concat(lit(seed), lit(":"), col("doc_id").cast("string"))
+    documents
+      .select(col("doc_id"), col("source"), md5(key).as("ord"),
+        pmod(md5Hash32(key), lit(nShards.toLong)).as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+  }
+
+  /** C41: domain-mix rebalancing — downsample each source to a caller
+    * target fraction (upweight code, cut web boilerplate: the
+    * standard pre-training mixture dial). Same deterministic Knuth
+    * ring as C18, with a per-source threshold: a doc survives iff its
+    * priority falls under frac(source)·2^32; sources without a target
+    * keep everything. Map-only, rerun/append-stable, and the kept set
+    * for frac f is a SUBSET of the kept set for f' > f (nested
+    * samples — shrinking a mix never resamples it).
+    */
+  def sampleMix(documents: DataFrame,
+      fracs: Map[String, Double]): DataFrame = {
+    require(fracs.nonEmpty && fracs.values.forall(f => f >= 0.0 && f <= 1.0))
+    import org.apache.spark.sql.types.DecimalType
+    val priority = pmod(
+      col("doc_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      lit(4294967296L).cast(DecimalType(11, 0))).cast("long")
+    val fs = fracs.toSeq
+    val threshold = fs.tail
+      .foldLeft(when(col("source") === fs.head._1,
+        lit((fs.head._2 * 4294967296.0).toLong))) {
+        case (w, (src, f)) =>
+          w.when(col("source") === src, lit((f * 4294967296.0).toLong))
+      }
+      .otherwise(lit(4294967296L))
+    documents
+      .filter(priority < threshold)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** C10: document fingerprint — ORDER-SENSITIVE positional
     * fingerprint plus an order-insensitive min-hash, two cheap
     * fingerprints per document, all map-side (no shuffle).

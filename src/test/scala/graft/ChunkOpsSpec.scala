@@ -79,6 +79,44 @@ class ChunkOpsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("trainOrder is a reproducible permutation in shard layout, no Window") {
+    val o1 = TextOps.trainOrder(documents).cache()
+    assert(o1.count() === documents.count())
+    assert(o1.select("doc_id").distinct().count() === documents.count())
+    assert(o1.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    // same seed reruns identically; a new seed is a different epoch order
+    val o2 = TextOps.trainOrder(documents)
+    assert(o1.exceptAll(o2).count() === 0)
+    val e2 = TextOps.trainOrder(documents, seed = "epoch2")
+    assert(o1.join(e2, "doc_id")
+      .filter(o1("ord") === e2("ord")).count() === 0)
+    // the total order comes from the (shard, ord) sort, never from a
+    // single-partition rank window
+    val plan = TextOps.trainOrder(documents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(plan.contains("Sort"), s"expected within-shard sort in:\n$plan")
+    o1.unpersist()
+  }
+
+  test("sampleMix rebalances per source with nested deterministic samples") {
+    val mixed = TextOps.sampleMix(documents,
+      Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.0)).cache()
+    val by = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!by.contains("src2"))
+    assert(by("src0") < full("src0") && by("src0") > 0)
+    // unlisted sources keep every row
+    assert(by("src5") === full("src5"))
+    // nesting: the 0.2 sample of src0 is a subset of the 0.5 sample
+    val tighter = TextOps.sampleMix(documents, Map("src0" -> 0.2))
+      .filter(col("source") === "src0")
+    assert(tighter.join(mixed.filter(col("source") === "src0"),
+      Seq("doc_id"), "left_anti").count() === 0)
+    mixed.unpersist()
+  }
+
   test("trainSplit is append-stable: a subset keeps its assignments") {
     val full = TextOps.trainSplit(documents)
     val subset = TextOps.trainSplit(documents.filter(col("doc_id") < 100))
