@@ -294,8 +294,15 @@ class GridPartitionReader(p: GridInputPartition, fields: Array[String],
         GridSource.MicrosPerSec
     case "lat" => (_, la, _) => la
     case "lon" => (_, _, lo) => lo
-    case v if GridSource.varSpecs.exists(_._1 == v) => (h, la, lo) =>
-      GridSource.varValue(v, p.rIdx, p.dayIdx, h, la, lo)
+    case v if GridSource.varSpecs.exists(_._1 == v) =>
+      // resolve the var's constants ONCE per reader, not per cell —
+      // the closure below is the scan's per-row hot path
+      val (salt, mod, base, step) = GridSource.varSpecs.find(_._1 == v).get._2
+      val dayTerm = p.dayIdx * 11 + p.rIdx * 7 + salt
+      (h, la, lo) => {
+        val m = (la * 31 + lo * 17 + h * 13 + dayTerm) % mod
+        (base + m * step).toDouble / 1000.0
+      }
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
