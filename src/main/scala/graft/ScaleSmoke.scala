@@ -99,7 +99,9 @@ object ScaleSmoke {
           concat(lit("shared viral boilerplate head intro "), col("text"))))),
       ("pipeline_curate", (d, _, _) => PipelineOps.curate(d,
         d.filter(pmod(col("doc_id"), lit(20)) === 0))),
-      ("pipeline_mart", (_, e, _) => PipelineOps.martPipeline(e)))
+      ("pipeline_mart", (_, e, _) => PipelineOps.martPipeline(e)),
+      ("train_order", (d, _, _) => TextOps.trainOrder(d)),
+      ("emb_quantize", (_, _, m) => SimilarityOps.embQuantize(m)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

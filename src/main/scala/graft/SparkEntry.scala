@@ -92,6 +92,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(Tables.embeddings(s, d))),
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
+    "emb_quantize" -> ((s, d) => SimilarityOps.embQuantize(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => SimilarityOps.knnGraph(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -762,6 +763,26 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
         |  < CAST(0.25 * 4294967296 AS BIGINT)""".stripMargin,
+    // C42: int8 symmetric quantization recomputed end-to-end; the
+    // int8 payload is gated through its sum/L1 summaries and the
+    // dequant-MSE bound column (B10 pattern: oracle emits TRUE, so
+    // every Spark-side bound must hold)
+    "emb_quantize" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+        |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |    / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(x, v -> CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(least(greatest(round(v / scale), -127), 127) AS BIGINT)
+        |    END) AS q
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+        |TRUE AS quant_ok
+        |FROM q""".stripMargin,
     // C40: seeded md5 permutation key + 32-bit-hash shard
     // (md5_number_upper >> 32 is the C10-established mirror of the
     // Spark side's byte-swapped conv)

@@ -242,6 +242,38 @@ object SimilarityOps {
       .filter(col("cos_sim") >= minCosine)
   }
 
+  /** C42: symmetric int8 vector quantization — the memory dial for
+    * billion-vector ANN: per vector, scale = max|x|/127 and
+    * q_i = clamp(round(x_i/scale), ±127), cutting the store 4× (the
+    * standard faiss/SQ8 trade). Map-only, no shuffle. The output
+    * carries a SELF-AUDIT per vector: the dequantization MSE must sit
+    * under the theoretical bound (scale/2)² — a wrong scale or
+    * rounding rule fails the gate immediately, and the DuckDB oracle
+    * recomputes the same quantization and asserts the same bound, so
+    * the whole codec is rows+schema+hash gated without hashing the
+    * int8 payload itself (summarized as sum / L1 instead).
+    */
+  def embQuantize(embeddings: DataFrame): DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    val withScale = embeddings.select(col("vec_id"), x.as("x"),
+      (aggregate(x, lit(0.0), (a, v) => greatest(a, abs(v)))
+        / lit(127.0)).as("scale"))
+    val q = transform(col("x"), v =>
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(least(greatest(round(v / col("scale")), lit(-127.0)),
+          lit(127.0)).cast("long")))
+    withScale.select(col("vec_id"), col("scale"), q.as("q"), col("x"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, v) => a + abs(v)).as("q_l1"),
+        (aggregate(zip_with(col("x"), col("q"),
+          (xv, qv) => (xv - qv.cast("double") * col("scale"))
+            * (xv - qv.cast("double") * col("scale"))),
+          lit(0.0), _ + _) / size(col("x"))
+          <= col("scale") * col("scale") / lit(4.0) + lit(1e-12))
+          .as("quant_ok"))
+  }
+
   /** Centroid-style coarse quantization (IVF flavor): assign each
     * vector to the nearest of `nLists` deterministic seed vectors
     * (the corpus rows with the lowest vec_ids serve as seeds — a

@@ -8,6 +8,21 @@ class SimilarityTextOpsSpec extends SparkSpec {
   lazy val embeddings = Tables.embeddings(spark, sf).cache()
   lazy val documents = Tables.documents(spark, sf).cache()
 
+  test("embQuantize keeps dequantization error inside the int8 bound") {
+    val q = SimilarityOps.embQuantize(embeddings).cache()
+    assert(q.count() === embeddings.count())
+    assert(q.filter(!col("quant_ok")).count() === 0)
+    // L1 of an int8 vector is bounded by 127 * dims
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    assert(q.filter(col("q_l1") > 127L * dims).count() === 0)
+    // scale reconstructs max|x|: scale * 127 must dominate every |x_i|
+    val bad = embeddings.join(q, "vec_id")
+      .filter(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (a, v) => greatest(a, abs(v))) > col("scale") * 127.0 + 1e-9)
+    assert(bad.count() === 0)
+    q.unpersist()
+  }
+
   test("exact O(n^2) audits refuse corpora above their quarantine size") {
     val eBrute = intercept[IllegalArgumentException] {
       SimilarityOps.knnBrute(embeddings, maxExactRows = 3L).count()
