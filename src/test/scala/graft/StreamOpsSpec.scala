@@ -240,4 +240,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("row-local text gates run unchanged on a document stream") {
+    // D10: the curation pipeline's stage-1 filters (C8 quality, C19
+    // repetition) are stateless projections, so the SAME operator
+    // object streams as-is — no watermark, no state store; this is
+    // the streaming-ingest form of the quality gate a live corpus
+    // feed runs before anything stateful
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Schemas.Document
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val slice = docs.as[Document].collect().toSeq
+    val stream = MemoryStream[Document]
+    stream.addData(slice)
+    val q = graft.operators.TextOps.quality(stream.toDF())
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("quality_stream")
+    val batch = graft.operators.TextOps.quality(docs)
+    assert(streamed.count() === docs.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
