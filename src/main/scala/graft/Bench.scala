@@ -1,20 +1,51 @@
 package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
 import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
 
 /** Per-round benchmark: every SparkEntry query, warmup + MEDIAN OF 3
   * timed cold-cache passes (a single pass on a noisy shared host
   * charged round 1 twenty seconds for a query that runs in 0.77 s),
   * plus per-query stage-time attribution (executor run time, ms) so
   * wall-clock noise from the host is distinguishable from real work.
+  *
+  * Heap hygiene (VERDICT r3 #3): a 100-query run in one JVM
+  * accumulates heap state, and an allocation-heavy plan late in the
+  * run can drown in GC caused by everything before it — r3's driver
+  * run charged two queries 38 s that ran in 1 s isolated. So the
+  * bench now (a) forces a full GC between queries, putting every
+  * query at the same heap baseline; (b) records per-query GC time and
+  * retained-heap delta (ManagementFactory beans) into the JSON, so a
+  * wall regression is attributable to GC vs real work from the
+  * artifact alone; (c) offers SPARK_GRAFT_BENCH_FORK=1 — each query
+  * in a fresh child JVM (classpath = /opt/spark/jars + compiled
+  * classes) for fully isolated attribution runs, and
+  * SPARK_GRAFT_BENCH_ONLY=a,b,c to subset.
   */
 object Bench {
   private val TimedPasses = 3
 
+  private def gcMsNow(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
+  /** Retained heap after a forced full GC (MB). */
+  private def settledHeapMb(): Double = {
+    System.gc()
+    ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / 1e6
+  }
+
+  private def jsonSanitize(s: String): String =
+    s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1")) { forkMain(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graftx.GraftSparkExtensions)
       .master(s"local[$cpus]")
@@ -52,49 +83,123 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
       catch { case t: Throwable =>
         Some(t.getClass.getSimpleName + ": " +
-          Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+          jsonSanitize(Option(t.getMessage).getOrElse("")))
       }
 
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // (wall s, stage ms, gc ms, retained-heap delta MB)
+    val timings = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double, Double)]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // warmup pass: compiles generated code and JITs kernels (one-time
-      // per-JVM costs, not engine throughput); caches dropped after so
-      // every timed pass re-does all data work. A warmup failure
-      // excludes the query from timing entirely.
-      val warm = run(fn)
-      clearAll()
-      warm match {
-        case Some(err) => errors(name) = err
-        case None =>
-          val passes = (1 to TimedPasses).map { _ =>
-            val s0 = drainedExecMs()
-            val t0 = System.nanoTime()
-            run(fn).foreach(err => errors(name) = err)
-            val wall = (System.nanoTime() - t0) / 1e9
-            val stage = (drainedExecMs() - s0).toDouble
-            clearAll()
-            (wall, stage)
-          }
-          if (!errors.contains(name))
-            timings(name) = (median(passes.map(_._1)), median(passes.map(_._2)))
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        // warmup pass: compiles generated code and JITs kernels (one-time
+        // per-JVM costs, not engine throughput); caches dropped after so
+        // every timed pass re-does all data work. A warmup failure
+        // excludes the query from timing entirely.
+        val warm = run(fn)
+        clearAll()
+        warm match {
+          case Some(err) => errors(name) = err
+          case None =>
+            val passes = (1 to TimedPasses).map { _ =>
+              // settle the heap first: every query starts from the same
+              // baseline instead of inheriting the previous 40 queries'
+              // garbage (the r3 bimodality)
+              val h0 = settledHeapMb()
+              val g0 = gcMsNow()
+              val s0 = drainedExecMs()
+              val t0 = System.nanoTime()
+              run(fn).foreach(err => errors(name) = err)
+              val wall = (System.nanoTime() - t0) / 1e9
+              val stage = (drainedExecMs() - s0).toDouble
+              val gc = (gcMsNow() - g0).toDouble
+              clearAll()
+              val dh = settledHeapMb() - h0
+              (wall, stage, gc, dh)
+            }
+            if (!errors.contains(name))
+              timings(name) = (median(passes.map(_._1)), median(passes.map(_._2)),
+                median(passes.map(_._3)), median(passes.map(_._4)))
+        }
       }
-    }
 
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val st = timings.map { case (k, v) => "\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
+    emit(timings, errors, sfDir, forked = false)
+    spark.stop()
+  }
+
+  private def emit(
+      timings: collection.Map[String, (Double, Double, Double, Double)],
+      errors: collection.Map[String, String], sfDir: String,
+      forked: Boolean): Unit = {
+    def map1(f: ((Double, Double, Double, Double)) => Double): String =
+      timings.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$st,"errors":$es,"passes":$TimedPasses,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":${map1(_._1)},"stage_ms":${map1(_._2)}""" +
+      s""","gc_ms":${map1(_._3)},"heap_delta_mb":${map1(v => math.rint(v._4))}""" +
+      s""","errors":$es,"passes":$TimedPasses,"forked":$forked,"sf":"$sfDir"}"""
     println(line)
     // the driver's stored tail truncated round 2's wall-time map; keep
     // the full line on disk so no consumer has to reconstruct it
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
+  }
+
+  /** Attribution mode: each query in its OWN JVM, so one query's heap
+    * state cannot taint another's timing. The child is this same main
+    * with fork mode off and SPARK_GRAFT_BENCH_ONLY pinned to one
+    * query; its JSON is parsed back by field regex (values are bare
+    * numbers by construction).
+    */
+  private def forkMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    // sbt's runMain classpath is the launcher jar; rebuild the real one
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val sparkJars = "/opt/spark/jars/*"
+    val timings = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double, Double)]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def field(json: String, obj: String, name: String): Option[Double] = {
+      val p = ("\"" + obj + "\":\\{[^}]*\"" + java.util.regex.Pattern.quote(name) +
+        "\":(-?[0-9.eE+-]+)").r
+      p.findFirstMatchIn(json).map(_.group(1).toDouble)
+    }
+    names.foreach { name =>
+      val out = java.nio.file.Files.createTempFile("bench_fork_", ".json")
+      val pb = new ProcessBuilder(javaBin, "-cp", s"$classes:$sparkJars",
+        "-Xmx8g", "graft.Bench")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(
+        new java.io.File("/dev/null")))
+      val code = pb.start().waitFor()
+      val json = try new String(java.nio.file.Files.readAllBytes(out)) catch {
+        case _: Throwable => ""
+      }
+      java.nio.file.Files.deleteIfExists(out)
+      (field(json, "queries", name), field(json, "stage_ms", name),
+        field(json, "gc_ms", name), field(json, "heap_delta_mb", name)) match {
+        case (Some(w), Some(s), g, h) =>
+          timings(name) = (w, s, g.getOrElse(0.0), h.getOrElse(0.0))
+        case _ =>
+          errors(name) = jsonSanitize(
+            s"fork exit=$code ${json.take(120)}")
+      }
+    }
+    emit(timings, errors, sfDir, forked = true)
   }
 }

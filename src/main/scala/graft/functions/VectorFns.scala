@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, SortedIntersectCount, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, Md5Hash32, SortedIntersectCount, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -22,6 +22,12 @@ object VectorFns {
     */
   def sorted_intersect_count(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
+
+  /** 32-bit md5-derived hash (DuckDB `md5_number_upper >> 32`
+    * semantics) with zero string allocation — see graftx.Md5Hash32.
+    */
+  def md5_hash32(s: Column): Column =
+    bridge.column(Md5Hash32(bridge.expression(s)))
 
   /** Aggregate: ascending-sorted array of the k SMALLEST values of `e`
     * (negate the sort field for top-by-descending). Map-side

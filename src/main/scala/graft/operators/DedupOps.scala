@@ -551,8 +551,17 @@ object DedupOps {
       .groupBy(col("p.s1").as("source_a"), col("p.s2").as("source_b"))
       .agg(sum(col("p.np")).as("n_dup_pairs"))
 
-  def dedupApply(documents: DataFrame, minJaccard: Double = 0.7): DataFrame =
-    dedupGroups(documents, minJaccard)
+  /** `labels`: optional precomputed [[dedupGroups]] output (schema
+    * doc_id, component, n_members, is_canonical) over the SAME
+    * document set. A production pipeline runs the similarity join +
+    * closure ONCE and feeds the labels frame to every consumer
+    * (dedupApply, trainSplitGrouped, PipelineOps.curate) instead of
+    * re-clustering per call — clustering is the scale-dominant term of
+    * all of them (VERDICT r3 #5).
+    */
+  def dedupApply(documents: DataFrame, minJaccard: Double = 0.7,
+      labels: Option[DataFrame] = None): DataFrame =
+    labels.getOrElse(dedupGroups(documents, minJaccard))
       .filter(col("is_canonical"))
       .join(documents, "doc_id")
       .select(col("doc_id"), col("source"), col("n_chars"),

@@ -32,8 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  /** `labels`: optional precomputed [[DedupOps.dedupGroups]] output
+    * over the stage-2 survivor set (quality ∧ repetition gates, then
+    * exact dedup — the set stage 3 clusters). When supplied, the
+    * pipeline skips its own similarity join + closure and consumes the
+    * labels directly: cluster once, consume everywhere (VERDICT r3
+    * #5). The caller owns the contract that the labels were computed
+    * on the same gated survivor set at the same τ.
+    */
   def curate(documents: DataFrame, benchmark: DataFrame,
-      tau: Double = 0.7, maxOverlap: Double = 0.5): DataFrame = {
+      tau: Double = 0.7, maxOverlap: Double = 0.5,
+      labels: Option[DataFrame] = None): DataFrame = {
     // 1. row-local gates
     val qKeep = TextOps.quality(documents)
       .filter(col("keep")).select("doc_id")
@@ -47,7 +56,7 @@ object PipelineOps {
     // 3. near-dup canonical election among survivors (dedupGroups
     // directly: dedupApply's join-back against the corpus would be
     // paid only to project everything but doc_id away again)
-    val canon = DedupOps.dedupGroups(s2, tau)
+    val canon = labels.getOrElse(DedupOps.dedupGroups(s2, tau))
       .filter(col("is_canonical")).select("doc_id")
     val s3 = s2.join(canon, "doc_id")
     // 4. decontamination vs the fixed eval set
@@ -87,6 +96,13 @@ object PipelineOps {
   def martPipeline(events: DataFrame,
       types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"))
       : DataFrame = {
+    // the derived balance column is defined as purchase inflow minus
+    // error outflow — a caller-supplied `types` list without both
+    // would otherwise fail at analysis time with an unresolved-column
+    // error three operators deep (ADVICE r3)
+    require(types.contains("purchase") && types.contains("error"),
+      s"martPipeline derives water_balance = purchase_sum - error_sum; " +
+        s"types must include 'purchase' and 'error' (got: ${types.mkString(",")})")
     val daily = AgriOps.hourlyMart(events)
       .groupBy(col("event_type"), date_trunc("day", col("hour_ts")).as("day"))
       .agg(Exact.sumD(col("avg_value")).as("value_sum"),

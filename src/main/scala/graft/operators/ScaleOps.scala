@@ -163,10 +163,18 @@ object ScaleOps {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a table registered in a PREVIOUS metastore leaves its warehouse
     // directory behind after the metastore is recreated; creation then
-    // throws LOCATION_ALREADY_EXISTS even under overwrite mode
+    // throws LOCATION_ALREADY_EXISTS even under overwrite mode.
+    // Ordering: the orphan check runs AFTER the DROP — dropping a
+    // managed table removes its directory, so anything still on disk
+    // here is unregistered leftovers, never a live table's data (a
+    // failed write can no longer destroy a version the catalog still
+    // serves). The identifier is lowercased the way saveAsTable
+    // normalizes unquoted names, so a mixed-case `table` computes the
+    // SAME path the write will use (ADVICE r3).
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          table.toLowerCase(java.util.Locale.ROOT))))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

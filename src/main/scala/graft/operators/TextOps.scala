@@ -437,10 +437,16 @@ object TextOps {
     * (doc_id, component) labels — key-partitioned, no new skew (the
     * labels frame is one row per doc).
     */
+  /** `labels`: optional precomputed [[DedupOps.dedupGroups]] output
+    * (needs doc_id + component) so a pipeline clusters once and
+    * splits/applies/curates from the same labels frame — see
+    * dedupApply's note (VERDICT r3 #5).
+    */
   def trainSplitGrouped(documents: DataFrame, trainFrac: Double = 0.8,
-      valFrac: Double = 0.1, tau: Double = 0.7): DataFrame = {
+      valFrac: Double = 0.1, tau: Double = 0.7,
+      labels: Option[DataFrame] = None): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
-    val comp = DedupOps.dedupGroups(documents, tau)
+    val comp = labels.getOrElse(DedupOps.dedupGroups(documents, tau))
       .select(col("doc_id"), col("component"))
     documents.select(col("doc_id"), col("source"))
       .join(comp, "doc_id")
@@ -478,16 +484,16 @@ object TextOps {
 
   /** 32-bit md5-derived token hash, bit-identical to DuckDB's
     * `md5_number_upper(t) >> 32`: DuckDB reads the first 8 digest
-    * bytes LITTLE-endian, so the upper 32 bits are hex chars 9–16
-    * with the byte pairs reversed. A real hash (md5) that both
-    * engines can compute — the reason C10 can be oracle-gated at all
-    * (xxhash64 has no DuckDB twin; VERDICT r1 item 4).
+    * bytes LITTLE-endian, so the upper 32 bits are digest bytes 7..4.
+    * A real hash (md5) that both engines can compute — the reason C10
+    * can be oracle-gated at all (xxhash64 has no DuckDB twin; VERDICT
+    * r1 item 4). Native byte-level expression — the former
+    * hex-string-chop formulation (md5 → 4× substring → concat → conv)
+    * allocated five strings per token and was the #1 GC source of the
+    * whole bench under heap pressure (VERDICT r3 #1).
     */
-  private def md5Hash32(t: Column): Column = {
-    val h = md5(t)
-    conv(concat(substring(h, 15, 2), substring(h, 13, 2),
-      substring(h, 11, 2), substring(h, 9, 2)), 16, 10).cast("long")
-  }
+  private def md5Hash32(t: Column): Column =
+    graft.functions.VectorFns.md5_hash32(t)
 
   /** C18: deterministic fractional sampling — keep a hash-selected
     * `frac` of documents, reproducibly: doc survives iff its Knuth
@@ -710,18 +716,25 @@ object TextOps {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
 
   def fingerprint(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val K = lit(2654435761L)
     val M = lit(4294967296L)
     // materialize the md5 token-hash array in its own projection:
     // referencing the raw expression from both `mixed` and `array_min`
     // would md5 every token twice per row (multi-referenced non-cheap
     // aliases survive CollapseProject, so the split is kept)
-    val mixed = transform(col("th"), (h, i) =>
-      pmod(
-        pmod((i + 1).cast("long") * K, M).cast(DecimalType(20, 0))
-          * h.cast(DecimalType(20, 0)),
-        M.cast(DecimalType(11, 0))).cast("long"))
+    //
+    // c·h mod 2^32 in pure long arithmetic (16-bit split: c_lo·h and
+    // c_hi·h both < 2^48, so nothing can overflow a long and no ANSI
+    // guard trips). The former DECIMAL(20,0) formulation was
+    // overflow-safe but allocated a BigDecimal per token — with the
+    // string-chop hash it made C10 the bench's worst GC offender
+    // (VERDICT r3 #1); this path is allocation-free integer codegen.
+    val mixed = transform(col("th"), (h, i) => {
+      val c = pmod((i + 1).cast("long") * K, M)
+      val lo = c.bitwiseAND(lit(0xFFFFL)) * h
+      val hiLow16 = shiftright(c, 16).multiply(h).bitwiseAND(lit(0xFFFFL))
+      (lo + shiftleft(hiLow16, 16)).bitwiseAND(lit(0xFFFFFFFFL))
+    })
     documents
       .select(col("doc_id"),
         transform(tokens(col("text")), t => md5Hash32(t)).as("th"))

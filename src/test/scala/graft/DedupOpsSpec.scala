@@ -131,6 +131,39 @@ class DedupOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("precomputed labels reuse: cluster once, every consumer matches its self-computed twin") {
+    // the production shape (VERDICT r3 #5): ONE dedupGroups run feeds
+    // dedupApply, trainSplitGrouped, and curate — each must be
+    // row-identical to the path that re-clusters internally
+    val docs = documents
+    val labels = DedupOps.dedupGroups(docs, 0.7).cache()
+    val applySelf = DedupOps.dedupApply(docs, 0.7)
+    val applyPre = DedupOps.dedupApply(docs, labels = Some(labels))
+    assert(applySelf.exceptAll(applyPre).count() === 0)
+    assert(applyPre.exceptAll(applySelf).count() === 0)
+    val splitSelf = TextOps.trainSplitGrouped(docs, tau = 0.7)
+    val splitPre = TextOps.trainSplitGrouped(docs, tau = 0.7,
+      labels = Some(labels))
+    assert(splitSelf.exceptAll(splitPre).count() === 0)
+    assert(splitPre.exceptAll(splitSelf).count() === 0)
+    labels.unpersist()
+    // curate clusters the stage-2 survivor set, so its reusable labels
+    // are computed over that set (the documented caller contract)
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val qKeep = TextOps.quality(docs).filter(col("keep")).select("doc_id")
+    val rKeep = TextOps.repetition(docs).filter(col("keep")).select("doc_id")
+    val s1 = docs.join(qKeep, "doc_id").join(rKeep, "doc_id")
+    val s2 = s1.join(
+      DedupOps.exactDedup(s1).select(col("keep_id").as("doc_id")), "doc_id")
+    val labels2 = DedupOps.dedupGroups(s2, 0.7).cache()
+    val curateSelf = graft.operators.PipelineOps.curate(docs, bench)
+    val curatePre = graft.operators.PipelineOps.curate(docs, bench,
+      labels = Some(labels2))
+    assert(curateSelf.exceptAll(curatePre).count() === 0)
+    assert(curatePre.exceptAll(curateSelf).count() === 0)
+    labels2.unpersist()
+  }
+
   test("dedupApply keeps exactly the canonical docs and conserves counts") {
     import spark.implicits._
     def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")

@@ -155,6 +155,35 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(fp === again)
   }
 
+  test("native md5_hash32 is bit-identical to the hex-chop formulation") {
+    // the hex-chop chain IS the DuckDB md5_number_upper >> 32 twin the
+    // oracle verified through round 3; the native expression must
+    // produce the same 32-bit value on every corpus token
+    val legacy = {
+      val h = md5(col("tok"))
+      conv(concat(substring(h, 15, 2), substring(h, 13, 2),
+        substring(h, 11, 2), substring(h, 9, 2)), 16, 10).cast("long")
+    }
+    val toks = documents
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val mismatches = toks
+      .select(graft.functions.VectorFns.md5_hash32(col("tok")).as("native"),
+        legacy.as("legacy"))
+      .filter(col("native") =!= col("legacy"))
+    assert(mismatches.count() === 0)
+    // and the interpreted path (no codegen) agrees too
+    val one = toks.limit(7).select(col("tok"),
+      graft.functions.VectorFns.md5_hash32(col("tok")).as("h")).collect()
+    one.foreach { r =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes("UTF-8"))
+      val expect = ((d(7) & 0xFFL) << 24) | ((d(6) & 0xFFL) << 16) |
+        ((d(5) & 0xFFL) << 8) | (d(4) & 0xFFL)
+      assert(r.getLong(1) === expect)
+    }
+  }
+
   test("frame sampling keeps every k-th frame with stable fingerprints") {
     val f = MultimodalOps.sampleFrames(spark, documents, everyK = 8)
     assert(f.filter(col("frame_idx") % 8 =!= 0).count() === 0)
@@ -179,6 +208,36 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(m.count() === documents.count())
     val s = MultimodalOps.mediaStats(spark, documents)
     assert(s.count() >= 1)
+  }
+
+  test("PNG IHDR decode parses a hand-built byte literal and round-trips the builder") {
+    import spark.implicits._
+    // hand-assembled 800×600 PNG prefix: signature, IHDR length 13,
+    // type, big-endian dims, depth 8, RGBA, zero flags (CRC bytes
+    // free-form — the parser reads dimensions, not the checksum)
+    val literal: Array[Byte] = (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array(0, 0, 0, 13) ++
+      "IHDR".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0, 0, 0x03, 0x20, /* 800 */ 0, 0, 0x02, 0x58 /* 600 */) ++
+      Array(8, 6, 0, 0, 0) ++
+      Array(0xDE, 0xAD, 0xBE, 0xEF)).map(_.toByte)
+    val media = Seq((42L, literal)).toDF("doc_id", "payload")
+    val m = MultimodalOps.extractMetaFrom(spark, media).head()
+    assert(m.getAs[String]("format") === "png")
+    assert(m.getAs[Int]("width") === 800)
+    assert(m.getAs[Int]("height") === 600)
+    assert(m.getAs[Int]("n_bytes") === literal.length)
+    // the synthetic-PNG builder round-trips through the same parser
+    // with its doc_id-derived dimensions
+    val docs = Seq((7L, "some payload body text")).toDF("doc_id", "text")
+    val built = MultimodalOps.extractMetaFrom(spark,
+      MultimodalOps.toPngMediaTable(spark, docs)).head()
+    assert(built.getAs[String]("format") === "png")
+    assert(built.getAs[Int]("width") === 64 + 7)
+    assert(built.getAs[Int]("height") === 64 + (7 * 31 % 512))
+    // a non-PNG payload still takes the declared fake path
+    val fake = MultimodalOps.extractMeta(spark, docs).head()
+    assert(fake.getAs[String]("format") !== "png")
   }
 
   test("repetition counts known degenerate and clean docs correctly") {
