@@ -65,6 +65,15 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      // pandas-written timestamp[us] with isAdjustedToUTC=false reads
+      // as TIMESTAMP_NTZ; the session TZ is pinned to UTC
+      // (GraftSession), so casting to TIMESTAMP_LTZ is value-preserving
+      // and keeps the DuckDB oracle (which reads the same naive
+      // values) bit-identical.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

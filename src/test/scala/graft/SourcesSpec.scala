@@ -271,4 +271,26 @@ class SourcesSpec extends SparkSpec {
     assert(after.filter(col("region").isNull)
       .select("k").as[Long].collect().sorted === Array(2L, 3L))
   }
+
+  /** The driver regenerated events.parquet once already, switching the
+    * `ts` physical type from INT64 TIMESTAMP(NANOS) to µs
+    * isAdjustedToUTC=false (TIMESTAMP_NTZ) and silently breaking every
+    * `unix_millis(ts)` call site. Pin BOTH encodings: Tables.events
+    * must normalize each to the same TIMESTAMP_LTZ values.
+    */
+  test("Tables.events normalizes both parquet ts encodings identically") {
+    def fixtureDir(name: String): String =
+      new java.io.File(
+        getClass.getResource(s"/tsenc/$name/events.parquet").toURI).getParent
+    val expected = Seq("2024-01-01 00:00:00", "2024-01-01 01:30:00",
+      "2024-06-15 12:00:01")
+    for (enc <- Seq("ns", "ntz")) {
+      val ev = graft.sources.Tables.events(spark, fixtureDir(enc))
+      assert(ev.schema("ts").dataType === TimestampType, s"enc=$enc")
+      val got = ev.orderBy("event_id")
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got === expected, s"enc=$enc")
+    }
+  }
 }
