@@ -68,6 +68,14 @@ object Bench {
     def clearAll(): Unit = {
       spark.catalog.clearCache()
       CacheRegistry.unpersistAll()
+      // Safety net for anything neither path tracks (e.g. a future
+      // operator's localCheckpoint): between queries NOTHING should
+      // stay persisted, and leaked checkpoint blocks were exactly the
+      // r4 cross-query contamination — dead storage shrinking unified
+      // execution memory for later queries until the async
+      // ContextCleaner caught up.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     }
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -124,14 +132,14 @@ object Bench {
         }
       }
 
-    emit(timings, errors, sfDir, forked = false)
+    emit(timings, errors, sfDir, forked = false, subset = only.isDefined)
     spark.stop()
   }
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],
       errors: collection.Map[String, String], sfDir: String,
-      forked: Boolean): Unit = {
+      forked: Boolean, subset: Boolean): Unit = {
     def map1(f: ((Double, Double, Double, Double)) => Double): String =
       timings.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -144,8 +152,12 @@ object Bench {
       s""","errors":$es,"passes":$TimedPasses,"forked":$forked,"sf":"$sfDir"}"""
     println(line)
     // the driver's stored tail truncated round 2's wall-time map; keep
-    // the full line on disk so no consumer has to reconstruct it
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // the full line on disk so no consumer has to reconstruct it.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) default to a DIFFERENT file:
+    // a debugging subset silently clobbering the official full-run
+    // artifact cost round 4 its bench evidence.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (subset) "BENCH_subset.json" else "BENCH_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -200,6 +212,6 @@ object Bench {
             s"fork exit=$code ${json.take(120)}")
       }
     }
-    emit(timings, errors, sfDir, forked = true)
+    emit(timings, errors, sfDir, forked = true, subset = only.isDefined)
   }
 }

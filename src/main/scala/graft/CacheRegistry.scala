@@ -11,12 +11,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
   private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val liveRdds =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   /** Persist at MEMORY_AND_DISK and remember the handle. */
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     live += p
     p
+  }
+
+  /** Register a `localCheckpoint`ed frame's pinned RDD for release by
+    * [[unpersistAll]]. `Dataset.unpersist` does not touch checkpoint
+    * blocks and the async ContextCleaner only reclaims them after GC
+    * notices the RDD is unreachable — in a long-lived session running
+    * the dedup pipeline repeatedly that lag stacks storage pressure
+    * into exactly the queries that need execution memory (VERDICT r4
+    * #2). Registering gives the harness a deterministic release point.
+    */
+  def registerCheckpoint(df: DataFrame): DataFrame = {
+    val rdd = org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
+    synchronized { rdd.foreach(liveRdds += _) }
+    df
   }
 
   /** Unpersist everything registered since the last call. */
@@ -26,6 +42,11 @@ object CacheRegistry {
       catch { case _: Throwable => () }
     }
     live.clear()
+    liveRdds.foreach { r =>
+      try r.unpersist(blocking)
+      catch { case _: Throwable => () }
+    }
+    liveRdds.clear()
   }
 
   /** Position marker for [[releaseSince]]. */

