@@ -188,6 +188,7 @@ object SparkEntry {
     "oov_rate" -> ((s, d) => TextOps.oovRate(Tables.documents(s, d))),
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
+    "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_pipeline" -> ((s, _) => AgriOps.gridPipeline(s)),
     "pipeline_mart" -> ((s, d) => PipelineOps.martPipeline(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
@@ -200,6 +201,24 @@ object SparkEntry {
     */
   // shared by q_hourly_mart and q_incremental_mart: the incremental
   // merge must be indistinguishable from a full recompute
+  // shared by q_grid_source (synthetic reader) and q_grid_files
+  // (on-disk tile reader): both must match the same rebuilt grid
+  private val gridSourceSql =
+    """WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1)) t(region, ridx)),
+      |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
+      |la AS (SELECT unnest(generate_series(0, 7)) AS lat),
+      |lo AS (SELECT unnest(generate_series(0, 7)) AS lon),
+      |g AS (SELECT region,
+      |  TIMESTAMP '2024-01-02 00:00:00' + to_hours(hr) AS ts,
+      |  CAST(253150 + ((lat*31 + lon*17 + hr*13 + 1*11 + ridx*7) % 400)
+      |    * 100 AS DOUBLE) / 1000.0 AS t2m
+      |  FROM r, h, la, lo)
+      |SELECT region, ts,
+      |(CAST(sum(CAST(t2m AS DECIMAL(20,6))) AS DOUBLE) / count(*))
+      |  AS t2m_avg,
+      |count(*) AS n_cells
+      |FROM g GROUP BY region, ts""".stripMargin
+
   private val hourlyMartSql =
     """SELECT event_type, date_trunc('hour', ts) AS hour_ts,
       |(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*))
@@ -1419,21 +1438,10 @@ object SparkEntry {
     // A21: DuckDB rebuilds the connector's deterministic grid from
     // generate_series — same integer formula, same exact-decimal mean.
     // Day 2 of regions r0,r1 → dayIdx=1, ridx∈{0,1}
-    "q_grid_source" ->
-      """WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1)) t(region, ridx)),
-        |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
-        |la AS (SELECT unnest(generate_series(0, 7)) AS lat),
-        |lo AS (SELECT unnest(generate_series(0, 7)) AS lon),
-        |g AS (SELECT region,
-        |  TIMESTAMP '2024-01-02 00:00:00' + to_hours(hr) AS ts,
-        |  CAST(253150 + ((lat*31 + lon*17 + hr*13 + 1*11 + ridx*7) % 400)
-        |    * 100 AS DOUBLE) / 1000.0 AS t2m
-        |  FROM r, h, la, lo)
-        |SELECT region, ts,
-        |(CAST(sum(CAST(t2m AS DECIMAL(20,6))) AS DOUBLE) / count(*))
-        |  AS t2m_avg,
-        |count(*) AS n_cells
-        |FROM g GROUP BY region, ts""".stripMargin,
+    "q_grid_source" -> gridSourceSql,
+    // A21 file-backed twin: same oracle — the files reader must be
+    // indistinguishable from the formula reader, byte for byte
+    "q_grid_files" -> gridSourceSql,
     // B39: the unique (value, event_id) order key makes both
     // functions tie-free — one double division each, no rounding
     "q_percent_rank" ->

@@ -233,13 +233,33 @@ object AgriOps {
     * spatial mean over the grid cells at each hourly stamp.
     */
   def gridSourceMart(spark: SparkSession): DataFrame =
-    spark.read.format("graft-grid").load()
+    gridMartOf(spark.read.format("graft-grid").load())
+
+  private def gridMartOf(grid: DataFrame): DataFrame =
+    grid
       .filter(col("region").isin("r0", "r1")
         && col("ts") >= to_timestamp(lit("2024-01-02 00:00:00"))
         && col("ts") < to_timestamp(lit("2024-01-03 00:00:00")))
       .groupBy("region", "ts")
       .agg(Exact.avgD(col("t2m")).as("t2m_avg"),
         count(lit(1)).as("n_cells"))
+
+  /** A21 over the `format=files` reader: identical mart, but every
+    * cell value is DECODED from an on-disk tile (GridFiles — the
+    * downloaded-file path of the EXTRACT stage, reference
+    * aggregate_hourly.py:32-46). Shares q_grid_source's DuckDB
+    * oracle, so every round re-proves the codec seam yields
+    * bit-identical data through the same pruning/pushdown machinery.
+    * Tiles are materialized fresh per call (driver-local temp, ~9
+    * files; the writer stands in for the reference's CDS download).
+    */
+  def gridFilesMart(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_grid_tiles").toString
+    graft.sources.grid.GridFiles.write(dir, Seq("r0", "r1", "r2"), 3, 8, 8)
+    gridMartOf(spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load())
+  }
 
   /** A21 composed end-to-end: the reference's EXTRACT→hourly chain on
     * the FULL 7-variable grid, straight from the DSv2 connector.

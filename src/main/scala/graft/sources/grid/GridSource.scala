@@ -24,10 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * value is a pure integer formula of (region, day, hour, lat, lon)
   * — which makes even the custom connector end-to-end ORACLE-GATABLE
   * (DuckDB rebuilds the identical grid from generate_series; see
-  * `q_grid_source`). Swapping the synthetic reader for a real codec
-  * touches ONLY `GridPartitionReader.get` — the planning, pruning,
-  * and pushdown machinery is exactly what a production NetCDF/Zarr
-  * connector needs.
+  * `q_grid_source`). The codec seam is PROVEN, not just claimed:
+  * `format=files` (with a `path` option) swaps in
+  * [[FileGridPartitionReader]], which decodes real on-disk tiles
+  * ([[GridFiles]] layout) through the SAME planning, pruning, and
+  * pushdown machinery — exactly the seam a production NetCDF/Zarr
+  * codec would drop into.
   *
   * Scale design: one InputPartition per (region, day) — the natural
   * download/file granularity — so a year × 100 regions plans 36 500
@@ -128,6 +130,17 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
   private val nLat = options.getInt("nlat", 8)
   private val nLon = options.getInt("nlon", 8)
   private val daysPerBatch = options.getInt("daysPerBatch", 1)
+  // format=synthetic (default): cell values from the integer formula.
+  // format=files: decode real on-disk tiles under `path` (one file per
+  // (region, day), see GridFiles) — proves the reader seam the class
+  // doc claims: planning/pruning/pushdown are SHARED, only the
+  // per-partition decode differs.
+  private val format = options.getOrDefault("format", "synthetic")
+  private val path = options.getOrDefault("path", "")
+  require(format == "synthetic" || format == "files",
+    s"graft-grid format must be synthetic|files, got $format")
+  require(format != "files" || path.nonEmpty,
+    "graft-grid format=files requires a path option")
   private val startEpochSec = LocalDate
     .parse(options.getOrDefault("start", "2024-01-01"))
     .atStartOfDay(ZoneOffset.UTC).toEpochSecond
@@ -182,12 +195,13 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = new GridScan(requiredSchema, regions,
     keepRegions, nDays, nLat, nLon, startEpochSec, tsLo, tsHi,
-    daysPerBatch)
+    daysPerBatch, format, path)
 }
 
 class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     keepRegions: Set[String], nDays: Int, nLat: Int, nLon: Int,
-    startEpochSec: Long, tsLo: Long, tsHi: Long, daysPerBatch: Int = 1)
+    startEpochSec: Long, tsLo: Long, tsHi: Long, daysPerBatch: Int = 1,
+    format: String = "synthetic", path: String = "")
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -214,7 +228,8 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     partitionsForDays(0, nDays)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec)
+    GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec,
+      format, path)
 
   /** D8: the EXTRACT connector as a STREAMING source — offsets are
     * day indices and admission control caps each micro-batch at
@@ -270,10 +285,13 @@ case class GridInputPartition(rIdx: Int, region: String, dayIdx: Int)
   extends InputPartition
 
 case class GridReaderFactory(fields: Array[String], nLat: Int, nLon: Int,
-    startEpochSec: Long) extends PartitionReaderFactory {
+    startEpochSec: Long, format: String = "synthetic", path: String = "")
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GridInputPartition]
-    new GridPartitionReader(gp, fields, nLat, nLon, startEpochSec)
+    if (format == "files")
+      new FileGridPartitionReader(gp, fields, nLat, nLon, startEpochSec, path)
+    else new GridPartitionReader(gp, fields, nLat, nLon, startEpochSec)
   }
 }
 
@@ -319,6 +337,81 @@ class GridPartitionReader(p: GridInputPartition, fields: Array[String],
     var j = 0
     while (j < getters.length) {
       values(j) = getters(j)(h, la, lo)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** The `format=files` reader: same split (one (region, day) tile),
+  * same iteration order, same pruning/pushdown machinery — but cell
+  * values come from DECODING a real on-disk file (GridFiles layout),
+  * the reference's post-download decode step
+  * (/root/reference/dask_jobs/aggregate_hourly.py:32-46 unzips and
+  * opens the NetCDF before aggregating). This is the codec-swap seam
+  * the connector doc promises, proven with genuine file I/O:
+  *
+  *  - partition pruning == files never opened (a pruned (region, day)
+  *    split's tile is never touched);
+  *  - column pruning == blocks never read: only REQUIRED variables'
+  *    blocks are loaded, one bulk read each, seeking past the rest —
+  *    at ERA5 scale (7 vars × hours × 1801 × 3600 cells) reading 1 of
+  *    7 blocks is the difference between ~125 MB and ~900 MB per tile;
+  *  - coordinates (region/ts/lat/lon) are computed from the split +
+  *    layout, as NetCDF dimension axes are, so the payload is
+  *    measurements only.
+  *
+  * Dimension mismatches between the tile header and the scan options
+  * fail loudly — silently reindexing a wrong-shaped tile would
+  * corrupt every downstream mart.
+  */
+class FileGridPartitionReader(p: GridInputPartition, fields: Array[String],
+    nLat: Int, nLon: Int, startEpochSec: Long, path: String)
+    extends PartitionReader[InternalRow] {
+
+  private val regionU = UTF8String.fromString(p.region)
+  private val cellsPerHour = nLat * nLon
+  private val total = 24 * cellsPerHour
+  private var i = -1
+
+  // open + decode lazily at first get(): an empty split (or a reader
+  // the exec plans but never pulls) does no I/O
+  private var blocks: Map[String, Array[Double]] = null
+
+  private def decode(): Unit = {
+    val file = GridFiles.tileFile(path, p.region, p.dayIdx)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file)))
+    val header = try GridFiles.readHeader(in) finally in.close()
+    require(header.nHours == 24 && header.nLat == nLat && header.nLon == nLon,
+      s"tile $file is ${header.nHours}x${header.nLat}x${header.nLon}, " +
+        s"scan expects 24x${nLat}x$nLon")
+    blocks = fields.toSeq
+      .filter(f => GridSource.varSpecs.exists(_._1 == f))
+      .map(v => v -> GridFiles.readVarBlock(file, header, v))
+      .toMap
+  }
+
+  override def next(): Boolean = { i += 1; i < total }
+
+  override def get(): InternalRow = {
+    if (blocks == null) decode()
+    val h = i / cellsPerHour
+    val rem = i % cellsPerHour
+    val values = new Array[Any](fields.length)
+    var j = 0
+    while (j < fields.length) {
+      values(j) = fields(j) match {
+        case "region" => regionU
+        case "ts" =>
+          (startEpochSec + p.dayIdx * GridSource.SecsPerDay + h * 3600L) *
+            GridSource.MicrosPerSec
+        case "lat" => rem / nLon
+        case "lon" => rem % nLon
+        case v => blocks(v)(i)
+      }
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)

@@ -91,6 +91,59 @@ class GridSourceSpec extends SparkSpec {
     }
   }
 
+  test("format=files reader decodes on-disk tiles bit-identical to the formula") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_tiles").toString
+    GridFiles.write(dir, Seq("r0", "r1", "r2"), 3, 8, 8)
+    val files = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load()
+    assert(files.count() === 3L * 3 * 24 * 8 * 8)
+    // bit-identical both ways: writeDouble/readDouble round-trips the
+    // exact formula doubles, so EXCEPT is empty in both directions
+    assert(files.except(grid).isEmpty && grid.except(files).isEmpty)
+    // the A1 spatial-mean mart over the file-backed reader matches the
+    // formula-backed mart value-for-value (same Exact decimal protocol)
+    def mart(g: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.operators.AgriOps.hourlyFromGrid(g)
+        .orderBy("region", "ts").collect().map(_.toString).toSeq
+    assert(mart(files) === mart(grid))
+  }
+
+  test("file-backed scan pruning skips tiles without ever opening them") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_one_tile").toString
+    // ONLY r0/day=1 exists on disk: if partition pruning failed to
+    // skip any other (region, day) split, its reader would throw
+    // FileNotFoundException — completing the scan IS the proof that
+    // pruned splits never touch the filesystem
+    GridFiles.writeTile(dir, "r0", 0, 1, 8, 8)
+    val sliced = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load()
+      .filter(col("region") === "r0"
+        && col("ts") >= to_timestamp(lit("2024-01-02 00:00:00"))
+        && col("ts") < to_timestamp(lit("2024-01-03 00:00:00")))
+    assert(scanOf(sliced).planInputPartitions().length === 1)
+    assert(sliced.count() === 24L * 8 * 8)
+    // column pruning reaches the file-backed reader schema identically
+    val thin = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load()
+      .select("region", "t2m")
+    assert(scanOf(thin).readSchema().fieldNames.toSeq === Seq("region", "t2m"))
+  }
+
+  test("a wrong-shaped tile fails loudly instead of reindexing") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_bad_tile").toString
+    GridFiles.writeTile(dir, "r0", 0, 0, 4, 4) // 4x4, scan expects 8x8
+    val bad = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load()
+      .filter(col("region") === "r0"
+        && col("ts") < to_timestamp(lit("2024-01-02 00:00:00")))
+    val e = intercept[org.apache.spark.SparkException] { bad.count() }
+    assert(e.getMessage.contains("scan expects") ||
+      Option(e.getCause).exists(_.getMessage.contains("scan expects")))
+  }
+
   test("an over-narrowed region filter yields zero partitions, not wrong rows") {
     val none = grid.filter(col("region") === "nope")
     assert(scanOf(none).planInputPartitions().isEmpty)
