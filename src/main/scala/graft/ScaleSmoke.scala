@@ -110,8 +110,10 @@ object ScaleSmoke {
     // the whole projection on map-only operators
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // "giant" arg: run only the giant-component stress below
+    val onlyGiant = args.contains("giant")
     // warmup both scales once (codegen/JIT), then one timed pass each
-    val rows = ops.map { case (name, op) =>
+    val rows = (if (onlyGiant) Seq.empty else ops).map { case (name, op) =>
       force(op(docs0, ev0, emb0)); CacheRegistry.unpersistAll()
       force(op(docsK, evK, embK)); CacheRegistry.unpersistAll()
       val t1 = time { force(op(docs0, ev0, emb0)) }
@@ -122,7 +124,48 @@ object ScaleSmoke {
       println(f"[scale] $name%-22s 1x=$t1%6.2fs  ${k}x=$tk%6.2fs  ratio=$ratio%5.2f")
       s""""$name":{"t1":$t1,"tk":$tk,"ratio":$ratio}"""
     }
-    println(rows.mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
+    // Giant-component stress for the label loop (VERDICT r3 #7): ONE
+    // viral near-dup component spanning the WHOLE corpus — the one
+    // skew scenario replicated disjoint copies can never produce.
+    // Construction: doc i's text is a 30-token sliding window (stride
+    // 2) over one shared token stream, so docs within distance ≤ 2
+    // are near-dups (adjacent Jaccard 28/32 = 0.875, distance-2
+    // 26/34 = 0.76, distance-3 24/36 < τ = 0.7) and the similarity
+    // graph is a single PATH-shaped component: n docs, O(n) edges,
+    // diameter n/2 — worst case for label propagation (a clique would
+    // stress pair-GEN quadratically, which no pair enumeration can
+    // avoid; the loop is what's under test). The final rounds also
+    // concentrate every row on ONE label value, so the halving
+    // lookup join's key skew is maximal. Sub-linear scaling here
+    // (ratio ≲ k · rounds_k/rounds_1, with rounds = O(log diameter))
+    // is the evidence dedupGroups survives a viral cluster at 100 TB.
+    def chainDocs(n: Long): DataFrame =
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        lit("s").as("source"),
+        concat_ws(" ", transform(
+          sequence(col("id") * 2, col("id") * 2 + 29),
+          j => concat(lit("w"), j.cast("string")))).as("text"))
+    val n1 = 20000L
+    val chain1 = chainDocs(n1)
+    val chainK = chainDocs(n1 * k)
+    // correctness probe at 1×: the whole corpus really is ONE component
+    val comp = DedupOps.dedupGroups(chain1, 0.7)
+      .agg(max(col("n_members")), countDistinct(col("component"))).head
+    CacheRegistry.unpersistAll()
+    require(comp.getLong(0) == n1 && comp.getLong(1) == 1L,
+      s"chain corpus split into ${comp.getLong(1)} components " +
+        s"(largest ${comp.getLong(0)} of $n1)")
+    force(DedupOps.dedupGroups(chain1, 0.7)); CacheRegistry.unpersistAll()
+    val c1 = time { force(DedupOps.dedupGroups(chain1, 0.7)) }
+    CacheRegistry.unpersistAll()
+    val ck = time { force(DedupOps.dedupGroups(chainK, 0.7)) }
+    CacheRegistry.unpersistAll()
+    val cRatio = ck / c1
+    println(f"[scale] dedup_groups_giant    1x=$c1%6.2fs  ${k}x=$ck%6.2fs  ratio=$cRatio%5.2f")
+    val giant = s""""dedup_groups_giant":{"t1":$c1,"tk":$ck,"ratio":$cRatio}"""
+
+    println((rows :+ giant).mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
     spark.stop()
   }
 }
