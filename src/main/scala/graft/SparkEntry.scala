@@ -189,6 +189,7 @@ object SparkEntry {
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
+    "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
     "q_grid_pipeline" -> ((s, _) => AgriOps.gridPipeline(s)),
     "pipeline_mart" -> ((s, d) => PipelineOps.martPipeline(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
@@ -1442,6 +1443,27 @@ object SparkEntry {
     // A21 file-backed twin: same oracle — the files reader must be
     // indistinguishable from the formula reader, byte for byte
     "q_grid_files" -> gridSourceSql,
+    // A1 under masked cells: DuckDB rebuilds the same deterministic
+    // ~10% null mask (mix m ends in 1) and divides by count(t2m) —
+    // skipna in both engines, pinned against n_cells
+    "q_grid_skipna" ->
+      """WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1)) t(region, ridx)),
+        |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
+        |la AS (SELECT unnest(generate_series(0, 7)) AS lat),
+        |lo AS (SELECT unnest(generate_series(0, 7)) AS lon),
+        |g AS (SELECT region,
+        |  TIMESTAMP '2024-01-02 00:00:00' + to_hours(hr) AS ts,
+        |  CASE WHEN ((lat*31 + lon*17 + hr*13 + 1*11 + ridx*7) % 400) % 10 = 1
+        |    THEN NULL
+        |    ELSE CAST(253150 + ((lat*31 + lon*17 + hr*13 + 1*11 + ridx*7) % 400)
+        |      * 100 AS DOUBLE) / 1000.0 END AS t2m
+        |  FROM r, h, la, lo)
+        |SELECT region, ts,
+        |(CAST(sum(CAST(t2m AS DECIMAL(20,6))) AS DOUBLE) / count(t2m))
+        |  AS t2m_avg,
+        |count(t2m) AS n_vals,
+        |count(*) AS n_cells
+        |FROM g GROUP BY region, ts""".stripMargin,
     // B39: the unique (value, event_id) order key makes both
     // functions tie-free — one double division each, no rounding
     "q_percent_rank" ->

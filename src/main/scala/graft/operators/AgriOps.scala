@@ -261,6 +261,25 @@ object AgriOps {
       .option("format", "files").option("path", dir).load())
   }
 
+  /** A1 skipna semantics under missing data: the same spatial mean
+    * over a grid with ~10% MASKED cells (nullCells=true —
+    * deterministic, so DuckDB rebuilds the identical mask). The
+    * reference's mean is `skipna=True`
+    * (/root/reference/dask_jobs/aggregate_hourly.py:71-76): masked
+    * cells are excluded from sum AND divisor — Exact.avgD's count(x)
+    * denominator. `n_vals` (non-null) vs `n_cells` (all) pins the
+    * distinction in the output itself.
+    */
+  def gridSkipnaMart(spark: SparkSession): DataFrame =
+    spark.read.format("graft-grid").option("nullCells", "true").load()
+      .filter(col("region").isin("r0", "r1")
+        && col("ts") >= to_timestamp(lit("2024-01-02 00:00:00"))
+        && col("ts") < to_timestamp(lit("2024-01-03 00:00:00")))
+      .groupBy("region", "ts")
+      .agg(Exact.avgD(col("t2m")).as("t2m_avg"),
+        count(col("t2m")).as("n_vals"),
+        count(lit(1)).as("n_cells"))
+
   /** A21 composed end-to-end: the reference's EXTRACT→hourly chain on
     * the FULL 7-variable grid, straight from the DSv2 connector.
     * Mirrors /root/reference/dask_jobs/aggregate_hourly.py exactly:

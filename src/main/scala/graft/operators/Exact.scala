@@ -27,7 +27,15 @@ object Exact {
   private val D = DecimalType(20, 6)
 
   /** exact-sum / n at FULL double precision — mirror:
-    * `CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / count(*)`.
+    * `CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE) / count(x)`
+    * (== `count(*)` on a null-free column).
+    *
+    * Denominator is `count(c)` — NON-NULL values only — so the mean
+    * has skipna semantics, matching standard `avg()` and the
+    * reference's masked-cell spatial mean
+    * (/root/reference/dask_jobs/aggregate_hourly.py:71-76,
+    * `mean(skipna=True)`): null cells contribute to neither the sum
+    * nor the divisor.
     *
     * No rounding, deliberately: the two engines cast the SAME exact
     * decimal sum to the same double and divide by the same integer —
@@ -38,7 +46,7 @@ object Exact {
     * 3600 hourly groups flipped at the 4th decimal at sf0.1).
     */
   def avgD(c: Column): Column =
-    sum(c.cast(D)).cast("double") / count(lit(1))
+    sum(c.cast(D)).cast("double") / count(c)
 
   /** round(exact-sum, digits) as double — mirror:
     * `CAST(round(sum(CAST(x AS DECIMAL(20,6))), d) AS DOUBLE)`.

@@ -44,9 +44,14 @@ object GridFiles {
   def tileFile(dir: String, region: String, dayIdx: Int): File =
     new File(new File(dir, s"region=$region"), s"day=$dayIdx.grd")
 
-  /** Write one (region, day) tile with every variable's formula values. */
+  /** Write one (region, day) tile with every variable's formula
+    * values. `nullCells=true` writes NaN — the tile fill value — for
+    * every cell GridSource.cellMasked masks, so the file carries
+    * missing data the way real tiles do (in the payload, not as an
+    * option).
+    */
   def writeTile(dir: String, region: String, rIdx: Int, dayIdx: Int,
-      nLat: Int, nLon: Int): Unit = {
+      nLat: Int, nLon: Int, nullCells: Boolean = false): Unit = {
     val f = tileFile(dir, region, dayIdx)
     f.getParentFile.mkdirs()
     val out = new DataOutputStream(
@@ -63,7 +68,10 @@ object GridFiles {
           while (la < nLat) {
             var lo = 0
             while (lo < nLon) {
-              out.writeDouble(GridSource.varValue(v, rIdx, dayIdx, h, la, lo))
+              out.writeDouble(
+                if (nullCells && GridSource.cellMasked(v, rIdx, dayIdx, h, la, lo))
+                  Double.NaN
+                else GridSource.varValue(v, rIdx, dayIdx, h, la, lo))
               lo += 1
             }
             la += 1
@@ -76,9 +84,9 @@ object GridFiles {
 
   /** Materialize the full extent (the "download everything" backfill). */
   def write(dir: String, regions: Seq[String], nDays: Int, nLat: Int,
-      nLon: Int): Unit =
+      nLon: Int, nullCells: Boolean = false): Unit =
     for ((r, rIdx) <- regions.zipWithIndex; d <- 0 until nDays)
-      writeTile(dir, r, rIdx, d, nLat, nLon)
+      writeTile(dir, r, rIdx, d, nLat, nLon, nullCells)
 
   /** Parsed tile header: variable directory + payload geometry. */
   final case class TileHeader(nHours: Int, nLat: Int, nLon: Int,

@@ -69,13 +69,16 @@ object GridSource {
     "swvl1" -> (37, 400, 50L, 1L), // [0.05, 0.449] m³/m³
     "swvl2" -> (83, 400, 50L, 1L))
 
+  // measurement columns are nullable: real ERA5 tiles carry MASKED
+  // cells (sea points in a land dataset), surfaced as null — see
+  // cellMasked and the nullCells option
   val schema: StructType = StructType(
     Seq(
       StructField("region", StringType, nullable = false),
       StructField("ts", TimestampType, nullable = false),
       StructField("lat", IntegerType, nullable = false),
       StructField("lon", IntegerType, nullable = false)) ++
-      varSpecs.map { case (v, _) => StructField(v, DoubleType, nullable = false) })
+      varSpecs.map { case (v, _) => StructField(v, DoubleType, nullable = true) })
 
   /** Deterministic value of one weather variable at one grid cell. */
   def varValue(name: String, rIdx: Int, dayIdx: Int, hour: Int, lat: Int,
@@ -85,6 +88,23 @@ object GridSource {
       ._2
     val m = (lat * 31 + lon * 17 + hour * 13 + dayIdx * 11 + rIdx * 7 + salt) % mod
     (base + m * step).toDouble / 1000.0
+  }
+
+  /** Deterministic masked-cell rule (`nullCells=true` grids): a cell
+    * is masked for a variable when its integer mix `m` ends in 1 —
+    * ~10% of cells, spread over every (region, day, hour, lat, lon)
+    * so no spatial-mean group is ever all-null or all-present. Models
+    * real ERA5-Land masked sea cells; the reference's spatial mean is
+    * `skipna=True` (aggregate_hourly.py:71-76), which is what
+    * Exact.avgD's count(x) denominator reproduces.
+    */
+  def cellMasked(name: String, rIdx: Int, dayIdx: Int, hour: Int, lat: Int,
+      lon: Int): Boolean = {
+    val (salt, mod, _, _) = varSpecs.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown grid var $name"))
+      ._2
+    val m = (lat * 31 + lon * 17 + hour * 13 + dayIdx * 11 + rIdx * 7 + salt) % mod
+    m % 10 == 1
   }
 
   /** Round-2 t2m formula, kept as the named special case the existing
@@ -137,6 +157,11 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
   // per-partition decode differs.
   private val format = options.getOrDefault("format", "synthetic")
   private val path = options.getOrDefault("path", "")
+  // nullCells=true: the synthetic formula masks ~10% of cells to null
+  // (GridSource.cellMasked) — the missing-data shape real tiles have.
+  // File-backed tiles carry masking IN the payload (NaN fill value),
+  // so the option only drives the synthetic reader.
+  private val nullCells = options.getBoolean("nullCells", false)
   require(format == "synthetic" || format == "files",
     s"graft-grid format must be synthetic|files, got $format")
   require(format != "files" || path.nonEmpty,
@@ -195,13 +220,14 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = new GridScan(requiredSchema, regions,
     keepRegions, nDays, nLat, nLon, startEpochSec, tsLo, tsHi,
-    daysPerBatch, format, path)
+    daysPerBatch, format, path, nullCells)
 }
 
 class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     keepRegions: Set[String], nDays: Int, nLat: Int, nLon: Int,
     startEpochSec: Long, tsLo: Long, tsHi: Long, daysPerBatch: Int = 1,
-    format: String = "synthetic", path: String = "")
+    format: String = "synthetic", path: String = "",
+    nullCells: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -229,7 +255,7 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec,
-      format, path)
+      format, path, nullCells)
 
   /** D8: the EXTRACT connector as a STREAMING source — offsets are
     * day indices and admission control caps each micro-batch at
@@ -285,18 +311,20 @@ case class GridInputPartition(rIdx: Int, region: String, dayIdx: Int)
   extends InputPartition
 
 case class GridReaderFactory(fields: Array[String], nLat: Int, nLon: Int,
-    startEpochSec: Long, format: String = "synthetic", path: String = "")
+    startEpochSec: Long, format: String = "synthetic", path: String = "",
+    nullCells: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GridInputPartition]
     if (format == "files")
       new FileGridPartitionReader(gp, fields, nLat, nLon, startEpochSec, path)
-    else new GridPartitionReader(gp, fields, nLat, nLon, startEpochSec)
+    else new GridPartitionReader(gp, fields, nLat, nLon, startEpochSec,
+      nullCells)
   }
 }
 
 class GridPartitionReader(p: GridInputPartition, fields: Array[String],
-    nLat: Int, nLon: Int, startEpochSec: Long)
+    nLat: Int, nLon: Int, startEpochSec: Long, nullCells: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val regionU = UTF8String.fromString(p.region)
@@ -317,10 +345,16 @@ class GridPartitionReader(p: GridInputPartition, fields: Array[String],
       // the closure below is the scan's per-row hot path
       val (salt, mod, base, step) = GridSource.varSpecs.find(_._1 == v).get._2
       val dayTerm = p.dayIdx * 11 + p.rIdx * 7 + salt
-      (h, la, lo) => {
-        val m = (la * 31 + lo * 17 + h * 13 + dayTerm) % mod
-        (base + m * step).toDouble / 1000.0
-      }
+      if (nullCells)
+        (h, la, lo) => {
+          val m = (la * 31 + lo * 17 + h * 13 + dayTerm) % mod
+          if (m % 10 == 1) null else (base + m * step).toDouble / 1000.0
+        }
+      else
+        (h, la, lo) => {
+          val m = (la * 31 + lo * 17 + h * 13 + dayTerm) % mod
+          (base + m * step).toDouble / 1000.0
+        }
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
@@ -410,7 +444,11 @@ class FileGridPartitionReader(p: GridInputPartition, fields: Array[String],
             GridSource.MicrosPerSec
         case "lat" => rem / nLon
         case "lon" => rem % nLon
-        case v => blocks(v)(i)
+        case v =>
+          // NaN is the tile fill value: a masked cell (sea point in a
+          // land dataset) decodes to null, as a NetCDF _FillValue does
+          val d = blocks(v)(i)
+          if (java.lang.Double.isNaN(d)) null else d
       }
       j += 1
     }

@@ -131,6 +131,44 @@ class GridSourceSpec extends SparkSpec {
     assert(scanOf(thin).readSchema().fieldNames.toSeq === Seq("region", "t2m"))
   }
 
+  test("nullCells grid: skipna spatial mean matches an independent recompute") {
+    val masked = spark.read.format("graft-grid")
+      .option("nullCells", "true").load()
+    // ~10% of cells masked, never a whole group
+    val nNull = masked.filter(col("t2m").isNull).count()
+    assert(nNull > 0 && nNull < masked.count() / 5)
+    // A1 hourly mart stays total: every (region, ts) group survives
+    // with a non-null mean (the mask never covers a whole group)
+    val hourly = graft.operators.AgriOps.hourlyFromGrid(masked)
+    assert(hourly.count() === 3L * 3 * 24)
+    assert(hourly.filter(col("t2m").isNull).count() === 0)
+    // pin one group against a driver-side skipna recompute from the
+    // formula + mask rule (r1, day 1, hour 5)
+    val vals = for {
+      la <- 0 until 8; lo <- 0 until 8
+      if !GridSource.cellMasked("t2m", 1, 1, 5, la, lo)
+    } yield GridSource.varValue("t2m", 1, 1, 5, la, lo)
+    val expected = (vals.map(v => BigDecimal(v).setScale(6)).sum
+      .toDouble / vals.size) - 273.15
+    val got = hourly.filter(col("region") === "r1"
+        && col("ts") === to_timestamp(lit("2024-01-02 05:00:00")))
+      .select("t2m").head.getDouble(0)
+    assert(got === expected)
+  }
+
+  test("masked tiles decode NaN fill values to the same nulls as the formula") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_masked").toString
+    GridFiles.write(dir, Seq("r0", "r1", "r2"), 3, 8, 8, nullCells = true)
+    val files = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load()
+    val masked = spark.read.format("graft-grid")
+      .option("nullCells", "true").load()
+    assert(files.filter(col("t2m").isNull).count() ===
+      masked.filter(col("t2m").isNull).count())
+    assert(files.except(masked).isEmpty && masked.except(files).isEmpty)
+  }
+
   test("a wrong-shaped tile fails loudly instead of reindexing") {
     import graft.sources.grid.GridFiles
     val dir = java.nio.file.Files.createTempDirectory("grid_bad_tile").toString
