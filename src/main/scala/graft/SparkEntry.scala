@@ -114,13 +114,15 @@ object SparkEntry {
       DedupOps.decontaminate(docs,
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), 0.5)
     }),
-    // union of the synthetic-PNG table (REAL IHDR byte parsing) and
-    // the raw-text table (declared fake-decode fallback): the rows
-    // check exercises both decode paths
+    // union of the synthetic-PNG table (REAL IHDR byte parsing), the
+    // synthetic-JPEG table (REAL SOFn marker-segment scan), and the
+    // raw-text table (declared fake-decode fallback): the rows check
+    // exercises all three decode paths
     "multimodal_stub" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       MultimodalOps.mediaStatsFrom(s,
         MultimodalOps.toPngMediaTable(s, docs)
+          .union(MultimodalOps.toJpegMediaTable(s, docs))
           .union(MultimodalOps.toMediaTable(docs)))
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),

@@ -240,6 +240,44 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(fake.getAs[String]("format") !== "png")
   }
 
+  test("JPEG SOFn scan reads dimensions from hand-built marker segments") {
+    import spark.implicits._
+    // hand-assembled JPEG prefix: SOI, a COM segment (to force the
+    // scanner to SKIP a non-SOF segment by its length), then SOF2
+    // (progressive, 0xC2 — proves the C0-CF range matching, not just
+    // baseline) with big-endian 1024×768, one component
+    val literal: Array[Byte] = (Array(0xFF, 0xD8) ++
+      Array(0xFF, 0xFE, 0x00, 0x06, 'c', 'm', 'n', 't') ++ // COM len 6
+      Array(0xFF, 0xC2, 0x00, 0x0B, 0x08,
+        0x03, 0x00, /* height 768 */ 0x04, 0x00, /* width 1024 */
+        0x01, 0x01, 0x11, 0x00)).map(_.toByte)
+    val m = MultimodalOps.extractMetaFrom(spark,
+      Seq((43L, literal)).toDF("doc_id", "payload")).head()
+    assert(m.getAs[String]("format") === "jpeg")
+    assert(m.getAs[Int]("width") === 1024)
+    assert(m.getAs[Int]("height") === 768)
+    // the synthetic-JPEG builder round-trips through the same scanner
+    val docs = Seq((9L, "jpeg body stand-in")).toDF("doc_id", "text")
+    val built = MultimodalOps.extractMetaFrom(spark,
+      MultimodalOps.toJpegMediaTable(spark, docs)).head()
+    assert(built.getAs[String]("format") === "jpeg")
+    assert(built.getAs[Int]("width") === 64 + (9 * 7 % 512))
+    assert(built.getAs[Int]("height") === 64 + (9 * 13 % 512))
+    // truncated stream (SOI only) falls back to the declared fake
+    val trunc = MultimodalOps.extractMetaFrom(spark,
+      Seq((44L, Array(0xFF, 0xD8, 0xFF).map(_.toByte)))
+        .toDF("doc_id", "payload")).head()
+    assert(trunc.getAs[String]("format") !== "jpeg")
+    // all three decode paths coexist in one media table
+    val mixed = MultimodalOps.extractMetaFrom(spark,
+      MultimodalOps.toPngMediaTable(spark, docs)
+        .union(MultimodalOps.toJpegMediaTable(spark, docs))
+        .union(MultimodalOps.toMediaTable(docs)))
+      .select("format").collect().map(_.getString(0)).toSet
+    assert(mixed.contains("png") && mixed.contains("jpeg")
+      && (mixed -- Set("png", "jpeg")).nonEmpty)
+  }
+
   test("repetition counts known degenerate and clean docs correctly") {
     import spark.implicits._
     val docs = Seq(
