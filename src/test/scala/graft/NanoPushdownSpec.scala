@@ -6,10 +6,22 @@ import graft.sources.Tables
 
 class NanoPushdownSpec extends SparkSpec {
 
+  /** The NanoFilterPushdown rewrite only fires on the INT64-nanos
+    * parquet encoding (ts read as long, converted via
+    * timestamp_micros). The driver's testdata switched to µs/NTZ —
+    * where Spark pushes ts filters natively and the rule correctly
+    * stays out of the way — so the rewrite tests pin the rule on the
+    * checked-in nanos fixture (src/test/resources/tsenc/ns), the
+    * encoding it exists for.
+    */
+  private def nanosDir: String =
+    new java.io.File(
+      getClass.getResource("/tsenc/ns/events.parquet").toURI).getParent
+
   test("range filter on converted nano timestamp reaches the parquet scan") {
     spark.catalog.clearCache() // a cached events relation would absorb the scan
-    val f = AgriOps.rangeFilter(Tables.events(spark, sf), Seq("click"),
-      "2024-01-05 00:00:00", "2024-01-12 00:00:00")
+    val f = AgriOps.rangeFilter(Tables.events(spark, nanosDir), Seq("a"),
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00")
     val physical = f.queryExecution.executedPlan.toString
     // the rewritten long-range predicate must appear in PushedFilters
     val pushed = physical.linesIterator
@@ -18,6 +30,7 @@ class NanoPushdownSpec extends SparkSpec {
       s"expected raw-nanos range pushed to scan, got: $pushed")
     assert(pushed.contains("LessThan(ts"),
       s"expected raw-nanos range pushed to scan, got: $pushed")
+    assert(f.count() === 1) // only 2024-01-01 00:00:00 is type 'a' in range
   }
 
   test("rewrite preserves semantics vs unrewritten computation") {
@@ -38,19 +51,17 @@ class NanoPushdownSpec extends SparkSpec {
 
   test("literal-on-left comparisons also reach the scan (ADVICE r1)") {
     spark.catalog.clearCache()
-    val events = Tables.events(spark, sf)
+    val events = Tables.events(spark, nanosDir)
     // lit >= ts  ⟺  ts <= lit — the mirrored match the rule must cover
     val f = events.filter(
-      lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")) >= col("ts"))
+      lit(java.sql.Timestamp.valueOf("2024-01-01 01:30:00")) >= col("ts"))
     val pushed = f.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("PushedFilters")).mkString
     // floor semantics: ts ≤ lit on the truncated column rewrites to
     // raw_nanos < lit + 1µs — a strict LessThan on the raw longs
     assert(pushed.contains("LessThan(ts"), s"got: $pushed")
-    // and semantics unchanged
-    val expected = events.filter(
-      col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))).count()
-    assert(f.count() === expected)
+    // and semantics unchanged: the first two fixture events qualify
+    assert(f.count() === 2)
   }
 
   test("mart read with a partition predicate prunes to matching partitions") {
@@ -72,7 +83,7 @@ class NanoPushdownSpec extends SparkSpec {
 
   test("equality on converted timestamp rewrites to a nanos interval") {
     spark.catalog.clearCache() // a cached events relation would absorb the scan
-    val events = Tables.events(spark, sf)
+    val events = Tables.events(spark, nanosDir)
     val someTs = events.select(col("ts")).head().getTimestamp(0)
     val eq = events.filter(col("ts") === lit(someTs))
     val pushed = eq.queryExecution.executedPlan.toString
