@@ -128,6 +128,16 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
+    // C43: cluster 90% of the corpus first, then fold the remaining
+    // 10% in incrementally — gated against the FULL-corpus closure
+    // oracle, so the incremental path is proven equal to re-clustering
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      DedupOps.dedupIncremental(corpus,
+        DedupOps.dedupGroups(corpus, 0.7), batch, 0.7)
+    }),
     "pack_sequences" -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "vocab_topk" -> ((s, d) => TextOps.vocabTopK(Tables.documents(s, d))),
     "keywords" -> ((s, d) => TextOps.keywords(Tables.documents(s, d))),
@@ -953,6 +963,15 @@ object SparkEntry {
     // transitive closure by recursive CTE mirrors Spark's min-label
     // propagation exactly: both compute min reachable doc_id
     "dedup_groups" -> (closureCteSql +
+      """,
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.doc_id, c.component, s.n_members,
+        |c.doc_id = c.component AS is_canonical
+        |FROM c JOIN s USING (component)""".stripMargin),
+    // C43: the incremental fold-in must equal the full re-cluster —
+    // the oracle IS dedup_groups' full-corpus closure, verbatim
+    "dedup_incremental" -> (closureCteSql +
       """,
         |s AS (SELECT component, count(*) AS n_members FROM c
         |  GROUP BY component)

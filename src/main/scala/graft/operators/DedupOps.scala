@@ -169,12 +169,14 @@ object DedupOps {
     *      the carried sorted arrays — no second exploded join, no
     *      distinct barrier.
     */
-  def ngramJaccardPrefix(documents: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
-    require(minJaccard > 0.0, "prefix filter requires minJaccard > 0")
-    val tau = minJaccard
-    val eps = 1e-9 // guards ⌈τ·n⌉ against double round-up (safe side)
-
+  /** Steps 1-4 of the PPJoin pipeline, shared by the full self-join
+    * ([[ngramJaccardPrefix]]) and the incremental batch-probe variant
+    * ([[ngramJaccardPrefixAgainst]]): per-doc df-ordered token
+    * arrays (`docs`, persisted via CacheRegistry) and the prefix
+    * postings (`pref`).
+    */
+  private def prefixIndex(documents: DataFrame, tau: Double, eps: Double)
+      : (DataFrame, DataFrame) = {
     // 1. one row per (doc, distinct token hash). NOT persisted: both
     // consumers (the df aggregate and the df-join) run inside the one
     // job that builds `docs`, and measured at sf0.1 the memory-store
@@ -209,6 +211,31 @@ object DedupOps {
         posexplode(slice(col("ths"), lit(1),
           (col("n") - ceil(col("n") * lit(tau) - lit(eps)) + 1).cast("int"))))
       .withColumnRenamed("col", "th")
+    (docs, pref)
+  }
+
+  /** Step 6: exact verification of candidate pairs (id1, id2, mp1,
+    * mp2, n1, n2) on the numerically-sorted carried arrays via the
+    * native merge-scan kernel — shared by both pair generators.
+    */
+  private def verifyPairs(cands: DataFrame, docs: DataFrame, tau: Double)
+      : DataFrame =
+    cands
+      .join(docs.select(col("doc_id").as("id1"), col("nhs").as("nhs1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("nhs").as("nhs2")), "id2")
+      .withColumn("ni",
+        graft.functions.VectorFns
+          .sorted_intersect_count(col("nhs1"), col("nhs2")).cast("double"))
+      .filter(col("ni") / (col("n1") + col("n2") - col("ni")) >= tau)
+      .select(col("id1"), col("id2"),
+        round(col("ni") / (col("n1") + col("n2") - col("ni")), 4).as("jaccard"))
+
+  def ngramJaccardPrefix(documents: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0, "prefix filter requires minJaccard > 0")
+    val tau = minJaccard
+    val eps = 1e-9 // guards ⌈τ·n⌉ against double round-up (safe side)
+    val (docs, pref) = prefixIndex(documents, tau, eps)
 
     // 5. candidates: equi-join on (source, th) + length filter +
     // positional bounds. All bounds run CEIL-FREE: for integer m,
@@ -250,15 +277,59 @@ object DedupOps {
     // (size(array_intersect) allocates a hash set + array per pair)
     // or interpreted (aggregate+array_contains is CodegenFallback).
     // AQE broadcasts `docs` when it is small enough.
-    cands
-      .join(docs.select(col("doc_id").as("id1"), col("nhs").as("nhs1")), "id1")
-      .join(docs.select(col("doc_id").as("id2"), col("nhs").as("nhs2")), "id2")
-      .withColumn("ni",
-        graft.functions.VectorFns
-          .sorted_intersect_count(col("nhs1"), col("nhs2")).cast("double"))
-      .filter(col("ni") / (col("n1") + col("n2") - col("ni")) >= tau)
-      .select(col("id1"), col("id2"),
-        round(col("ni") / (col("n1") + col("n2") - col("ni")), 4).as("jaccard"))
+    verifyPairs(cands, docs, tau)
+  }
+
+  /** Batch-probe PPJoin: the τ-pairs of `documents` that TOUCH a doc
+    * in `batchIds` — the pair generator of [[dedupIncremental]]. Same
+    * index, bounds, and verification as [[ngramJaccardPrefix]]; the
+    * difference is the candidate join's probe side, which carries
+    * ONLY the batch docs' prefix postings. At 100 TB that is the
+    * whole point: corpus×corpus candidates are never generated, the
+    * join is |corpus postings| × |batch postings| (AQE broadcasts the
+    * batch side when it is small), and the linear re-index of the
+    * union is the only full-corpus work.
+    */
+  def ngramJaccardPrefixAgainst(documents: DataFrame, batchIds: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0, "prefix filter requires minJaccard > 0")
+    val tau = minJaccard
+    val eps = 1e-9
+    val a = tau / (1.0 + tau)
+    val (docs, pref) = prefixIndex(documents, tau, eps)
+    val prefB = pref.join(batchIds.select(col("doc_id")), "doc_id")
+    // asymmetric probe join, then NORMALIZE each hit to id1 < id2 so
+    // the downstream bounds/grouping/verification are order-blind.
+    // A batch-batch pair surfaces from both probe directions; the
+    // min/max aggregation below is duplicate-insensitive.
+    val cands = pref
+      .select(col("source"), col("th"), col("doc_id").as("ida"),
+        col("n").as("na"), col("pos").as("posa"))
+      .join(prefB.select(col("source"), col("th"), col("doc_id").as("idb"),
+        col("n").as("nb"), col("pos").as("posb")), Seq("source", "th"))
+      .filter(col("ida") =!= col("idb")
+        && col("na") * lit(tau) <= col("nb") + lit(eps)
+        && col("nb") * lit(tau) <= col("na") + lit(eps)
+        && (col("na") + col("nb")) * lit(a)
+          <= lit(1) + least(col("posa"), col("posb"))
+            + least(col("na") - col("posa") - 1, col("nb") - col("posb") - 1)
+            + lit(eps))
+      .select(when(col("ida") < col("idb"),
+        struct(col("ida").as("id1"), col("na").as("n1"), col("posa").as("pos1"),
+          col("idb").as("id2"), col("nb").as("n2"), col("posb").as("pos2")))
+        .otherwise(
+          struct(col("idb").as("id1"), col("nb").as("n1"), col("posb").as("pos1"),
+            col("ida").as("id2"), col("na").as("n2"), col("posa").as("pos2")))
+        .as("p"))
+      .select(col("p.*"))
+      .groupBy("id1", "id2")
+      .agg(min("pos1").as("mp1"), min("pos2").as("mp2"),
+        max("n1").as("n1"), max("n2").as("n2"))
+      .filter((col("n1") + col("n2")) * lit(a)
+        <= lit(1)
+          + least(col("n1") - col("mp1") - 1, col("n2") - col("mp2") - 1)
+          + lit(eps))
+    verifyPairs(cands, docs, tau)
   }
 
   /** C16: benchmark decontamination — the standard pre-training hygiene
@@ -452,19 +523,43 @@ object DedupOps {
     // cluster a reliable checkpoint() every ~10 rounds would guard
     // against executor loss; rounds here are O(log diameter), so the
     // window is a handful of jobs either way.
-    // Checkpoint blocks are released DETERMINISTICALLY, not left to the
-    // async ContextCleaner: each round's intermediates are unpersisted
-    // the moment the next eager checkpoint has materialized their
-    // content, `edges` on loop exit, and the final labels frame is
-    // registered with CacheRegistry so the harness releases it after
-    // the consuming action. Without this, five clustering queries per
-    // bench pass stack dead blocks in the BlockManager and shrink
-    // unified execution memory for every query after them (VERDICT r4
-    // #2) — and a production session running the pipeline repeatedly
-    // leaks the same way.
-    def releaseBlocks(df: DataFrame): Unit =
-      org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
-        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    val labels = propagateMin(edges, maxIters)
+    releaseBlocks(edges)
+    val all = documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val sizes = all.groupBy("component").agg(count(lit(1)).as("n_members"))
+    all.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+  }
+
+  /** Release a `localCheckpoint`ed frame's pinned blocks NOW.
+    * Checkpoint blocks are released DETERMINISTICALLY, not left to the
+    * async ContextCleaner: without this, five clustering queries per
+    * bench pass stack dead blocks in the BlockManager and shrink
+    * unified execution memory for every query after them (VERDICT r4
+    * #2) — and a production session running the pipeline repeatedly
+    * leaks the same way.
+    */
+  private def releaseBlocks(df: DataFrame): Unit =
+    org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
+      .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+
+  /** Min-label propagation with pointer halving over a BIDIRECTIONAL,
+    * already-checkpointed edge list (id1, id2) — the closure kernel
+    * shared by [[dedupGroups]] (raw doc graph) and [[dedupIncremental]]
+    * (prior-component-collapsed graph). Returns (doc_id, component)
+    * for every node touching an edge; component = min node id of the
+    * connected component. Each round's intermediates are unpersisted
+    * the moment the next eager checkpoint has materialized; the final
+    * frame is registered with CacheRegistry so the harness releases it
+    * after the consuming action. `edges`' own blocks stay with the
+    * caller.
+    */
+  private def propagateMin(edges: DataFrame, maxIters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     var labels =
       edges.select(col("id1").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("component"))
@@ -483,7 +578,7 @@ object DedupOps {
             .as("component"))
         .localCheckpoint(true)
       // pointer halving: follow one hop of the label chain. Every
-      // label IS a participating doc_id, so the lookup self-join
+      // label IS a participating node id, so the lookup self-join
       // always resolves; least() keeps monotonicity.
       val next = cand.join(
         cand.select(col("doc_id").as("component"),
@@ -499,17 +594,82 @@ object DedupOps {
       releaseBlocks(labels)
       val s = next.agg(sum(col("component").cast(DecimalType(38, 0))))
         .head.getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // null sum ⟺ zero rows ⟺ no edges at all: converged by
+      // definition (without this, an edge-free corpus burned all
+      // maxIters rounds on empty frames)
+      converged = s == null ||
+        (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels = next
       iter += 1
     }
-    releaseBlocks(edges)
     graft.CacheRegistry.registerCheckpoint(labels)
-    val all = documents.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+    labels
+  }
+
+  /** C43: INCREMENTAL near-dup clustering — fold a new document batch
+    * into an already-clustered corpus without re-clustering it. The
+    * operation a 100 TB ingest pipeline actually runs: the corpus was
+    * clustered once ([[dedupGroups]] → `priorLabels`); each arriving
+    * batch must (a) join existing components it is similar to, (b)
+    * form new components among itself, and (c) MERGE existing
+    * components it bridges — full transitive-closure semantics, not
+    * per-pair decisions.
+    *
+    * Three steps, none touching corpus×corpus pairs:
+    *   1. pair-gen restricted to batch-touching pairs
+    *      ([[ngramJaccardPrefixAgainst]] — linear re-index of the
+    *      union, probe join sized |corpus postings| × |batch
+    *      postings|);
+    *   2. COLLAPSE: each edge endpoint maps through `priorLabels` to
+    *      its prior component id (batch docs map to themselves), so
+    *      the closure graph has one node per prior component + one
+    *      per batch doc — the label loop runs on a graph whose size
+    *      is O(batch + touched components), never O(corpus);
+    *   3. propagate min labels on the collapsed graph, then fan the
+    *      final node labels back out to members via one join.
+    *
+    * EXACTLY equal to a full re-cluster of corpus ∪ batch (the spec
+    * and the shared DuckDB oracle pin this): collapsing preserves
+    * connectivity (prior components are already complete), and min
+    * over collapsed node ids = min doc_id of the merged component
+    * because each prior canonical IS its component's min.
+    */
+  def dedupIncremental(corpus: DataFrame, priorLabels: DataFrame,
+      batch: DataFrame, minJaccard: Double = 0.7,
+      maxIters: Int = 50): DataFrame = {
+    val cols = Seq("doc_id", "source", "text").map(col)
+    val union = corpus.select(cols: _*).unionByName(batch.select(cols: _*))
+    val cacheMark = graft.CacheRegistry.mark()
+    val pairs = ngramJaccardPrefixAgainst(union, batch.select("doc_id"),
+      minJaccard).select("id1", "id2")
+    val rep = priorLabels.select(col("doc_id"), col("component").as("rep"))
+    // collapse endpoints to prior-component nodes; drop intra-component
+    // pairs (already merged), then make the edge list bidirectional
+    val e0 = pairs
+      .join(rep.select(col("doc_id").as("id1"), col("rep").as("r1")),
+        Seq("id1"), "left")
+      .join(rep.select(col("doc_id").as("id2"), col("rep").as("r2")),
+        Seq("id2"), "left")
+      .select(coalesce(col("r1"), col("id1")).as("id1"),
+        coalesce(col("r2"), col("id2")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val edges = e0.union(
+      e0.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
+    graft.CacheRegistry.releaseSince(cacheMark)
+    val moved = propagateMin(edges, maxIters)
+    releaseBlocks(edges)
+    // fan out: doc → its collapsed node → the node's new label (nodes
+    // untouched by any new edge keep their prior component)
+    val nodes = union.select(col("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("node"))
+    val all = nodes
+      .join(moved.select(col("doc_id").as("node"), col("component")),
+        Seq("node"), "left")
       .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("component"))
+        coalesce(col("component"), col("node")).as("component"))
     val sizes = all.groupBy("component").agg(count(lit(1)).as("n_members"))
     all.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("n_members"),

@@ -164,6 +164,50 @@ class DedupOpsSpec extends SparkSpec {
     labels2.unpersist()
   }
 
+  test("dedupIncremental: a bridging batch doc merges two prior components") {
+    import spark.implicits._
+    // corpus: docs 1 and 2 are NOT near-dups of each other (J = 8/12 ≈
+    // 0.67 < 0.7) → two prior components; batch doc 3 overlaps BOTH at
+    // J = 9/11 ≈ 0.82 → the fold-in must merge everything transitively
+    val a = (1 to 10).map(i => s"a$i")
+    val corpus = Seq(
+      (1L, a.mkString(" "), "s"),
+      (2L, (a.take(8) ++ Seq("b9", "b10")).mkString(" "), "s"),
+      (50L, "z1 z2 z3 z4 z5", "s")
+    ).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (3L, (a.take(9) :+ "b10").mkString(" "), "s")
+    ).toDF("doc_id", "text", "source")
+    val prior = DedupOps.dedupGroups(corpus, 0.7)
+    assert(prior.filter(col("doc_id").isin(1L, 2L))
+      .select("component").distinct().count() === 2)
+    val inc = DedupOps.dedupIncremental(corpus, prior, batch, 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("n_members"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    // 1, 2, 3 merged into component 1 (global min), 50 stays singleton
+    assert(inc(1L) === ((1L, 3L, true)))
+    assert(inc(2L) === ((1L, 3L, false)))
+    assert(inc(3L) === ((1L, 3L, false)))
+    assert(inc(50L) === ((50L, 1L, true)))
+    // and the incremental result equals a full re-cluster of the union
+    val full = DedupOps.dedupGroups(corpus.unionByName(batch), 0.7)
+    val incDf = DedupOps.dedupIncremental(corpus, prior, batch, 0.7)
+    assert(incDf.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incDf).count() === 0)
+  }
+
+  test("dedupIncremental equals full re-clustering on the sf corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val inc = DedupOps.dedupIncremental(corpus,
+      DedupOps.dedupGroups(corpus, 0.7), batch, 0.7)
+    val full = DedupOps.dedupGroups(docs, 0.7)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+  }
+
   test("dedupApply keeps exactly the canonical docs and conserves counts") {
     import spark.implicits._
     def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")
