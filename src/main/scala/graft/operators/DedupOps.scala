@@ -496,7 +496,6 @@ object DedupOps {
     */
   def dedupGroups(documents: DataFrame, minJaccard: Double = 0.7,
       maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     // pair generation via the prefix-filtered join — identical output
     // to ngramJaccard (same oracle verifies both), measured ~2x faster
     // wall, and at τ=0.7 the prefix filter is at its most selective
