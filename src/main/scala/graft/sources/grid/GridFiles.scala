@@ -82,11 +82,23 @@ object GridFiles {
     } finally out.close()
   }
 
-  /** Materialize the full extent (the "download everything" backfill). */
+  /** Materialize the full extent (the "download everything" backfill).
+    * `skipExisting=true` is the reference's month-skip idempotency
+    * (/root/reference/flows/download_era5_land.py:81 — a rerun after a
+    * partial failure re-pulls only the missing tiles): a tile already
+    * on disk is left untouched. Returns the number of tiles written.
+    */
   def write(dir: String, regions: Seq[String], nDays: Int, nLat: Int,
-      nLon: Int, nullCells: Boolean = false): Unit =
+      nLon: Int, nullCells: Boolean = false,
+      skipExisting: Boolean = false): Int = {
+    var written = 0
     for ((r, rIdx) <- regions.zipWithIndex; d <- 0 until nDays)
-      writeTile(dir, r, rIdx, d, nLat, nLon, nullCells)
+      if (!(skipExisting && tileFile(dir, r, d).isFile)) {
+        writeTile(dir, r, rIdx, d, nLat, nLon, nullCells)
+        written += 1
+      }
+    written
+  }
 
   /** Parsed tile header: variable directory + payload geometry. */
   final case class TileHeader(nHours: Int, nLat: Int, nLon: Int,

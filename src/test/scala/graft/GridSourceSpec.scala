@@ -192,6 +192,23 @@ class GridSourceSpec extends SparkSpec {
     assert(streamed.except(grid).isEmpty && grid.except(streamed).isEmpty)
   }
 
+  test("tile backfill rerun with skipExisting re-pulls only missing tiles") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_skip").toString
+    assert(GridFiles.write(dir, Seq("r0", "r1"), 2, 4, 4) === 4)
+    // simulate a partial failure: one tile lost
+    assert(GridFiles.tileFile(dir, "r1", 0).delete())
+    val before = GridFiles.tileFile(dir, "r0", 1).lastModified()
+    // rerun re-pulls ONLY the missing tile; survivors untouched
+    assert(GridFiles.write(dir, Seq("r0", "r1"), 2, 4, 4,
+      skipExisting = true) === 1)
+    assert(GridFiles.tileFile(dir, "r1", 0).isFile)
+    assert(GridFiles.tileFile(dir, "r0", 1).lastModified() === before)
+    // complete-extent rerun is a no-op
+    assert(GridFiles.write(dir, Seq("r0", "r1"), 2, 4, 4,
+      skipExisting = true) === 0)
+  }
+
   test("a wrong-shaped tile fails loudly instead of reindexing") {
     import graft.sources.grid.GridFiles
     val dir = java.nio.file.Files.createTempDirectory("grid_bad_tile").toString
