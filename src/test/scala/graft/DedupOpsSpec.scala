@@ -197,6 +197,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(full.exceptAll(incDf).count() === 0)
   }
 
+  test("batch-probe pair-gen equals the full PPJoin filtered to batch pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select("doc_id")
+    val probed = DedupOps.ngramJaccardPrefixAgainst(docs, batch, 0.5)
+    val bIds = batch.collect().map(_.getLong(0)).toSet
+    val full = DedupOps.ngramJaccardPrefix(docs, 0.5)
+      .filter(col("id1").isInCollection(bIds)
+        || col("id2").isInCollection(bIds))
+    assert(probed.exceptAll(full).count() === 0)
+    assert(full.exceptAll(probed).count() === 0)
+  }
+
   test("dedupIncremental equals full re-clustering on the sf corpus") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
