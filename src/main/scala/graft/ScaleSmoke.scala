@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * claims — run it after touching any operator's shuffle shape:
   *
   *   sbt -batch "runMain graft.ScaleSmoke /root/testdata/sf0.1 10"
+  *
+  * Extra args select sections (default: all): `ops` (the operator
+  * ratio table), `giant` (giant-component label-loop stress), `fold`
+  * (incremental fold + merge-heavy bridge fold + full-recluster
+  * comparison), `grid` (fat-tile file-backed reader I/O ratios) —
+  * e.g. `… 10 giant` runs ONLY the giant stress.
   */
 object ScaleSmoke {
 
@@ -110,10 +116,18 @@ object ScaleSmoke {
     // the whole projection on map-only operators
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // "giant" arg: run only the giant-component stress below
-    val onlyGiant = args.contains("giant")
+    // section selectors (args after sfDir and k): any of
+    // ops | giant | fold | grid — run just those sections; no
+    // selector runs everything. (ADVICE r5 #5: the old single `giant`
+    // flag skipped only the ops map, so the slowest section still ran
+    // and the promised quick iteration loop didn't exist.)
+    val selectors = args.drop(2).toSet
+    val known = Set("ops", "giant", "fold", "grid")
+    require(selectors.subsetOf(known),
+      s"unknown section selector(s) ${selectors -- known}; valid: $known")
+    def want(s: String): Boolean = selectors.isEmpty || selectors(s)
     // warmup both scales once (codegen/JIT), then one timed pass each
-    val rows = (if (onlyGiant) Seq.empty else ops).map { case (name, op) =>
+    val rows = (if (want("ops")) ops else Seq.empty).map { case (name, op) =>
       force(op(docs0, ev0, emb0)); CacheRegistry.unpersistAll()
       force(op(docsK, evK, embK)); CacheRegistry.unpersistAll()
       val t1 = time { force(op(docs0, ev0, emb0)) }
@@ -146,64 +160,156 @@ object ScaleSmoke {
         concat_ws(" ", transform(
           sequence(col("id") * 2, col("id") * 2 + 29),
           j => concat(lit("w"), j.cast("string")))).as("text"))
-    val n1 = 20000L
-    val chain1 = chainDocs(n1)
-    val chainK = chainDocs(n1 * k)
-    // correctness probe at 1×: the whole corpus really is ONE component
-    val comp = DedupOps.dedupGroups(chain1, 0.7)
-      .agg(max(col("n_members")), countDistinct(col("component"))).head
-    CacheRegistry.unpersistAll()
-    require(comp.getLong(0) == n1 && comp.getLong(1) == 1L,
-      s"chain corpus split into ${comp.getLong(1)} components " +
-        s"(largest ${comp.getLong(0)} of $n1)")
-    force(DedupOps.dedupGroups(chain1, 0.7)); CacheRegistry.unpersistAll()
-    val c1 = time { force(DedupOps.dedupGroups(chain1, 0.7)) }
-    CacheRegistry.unpersistAll()
-    val ck = time { force(DedupOps.dedupGroups(chainK, 0.7)) }
-    CacheRegistry.unpersistAll()
-    val cRatio = ck / c1
-    println(f"[scale] dedup_groups_giant    1x=$c1%6.2fs  ${k}x=$ck%6.2fs  ratio=$cRatio%5.2f")
-    val giant = s""""dedup_groups_giant":{"t1":$c1,"tk":$ck,"ratio":$cRatio}"""
+    val giant = if (!want("giant")) Seq.empty else {
+      val n1 = 20000L
+      val chain1 = chainDocs(n1)
+      val chainK = chainDocs(n1 * k)
+      // correctness probe at 1×: the whole corpus really is ONE component
+      val comp = DedupOps.dedupGroups(chain1, 0.7)
+        .agg(max(col("n_members")), countDistinct(col("component"))).head
+      CacheRegistry.unpersistAll()
+      require(comp.getLong(0) == n1 && comp.getLong(1) == 1L,
+        s"chain corpus split into ${comp.getLong(1)} components " +
+          s"(largest ${comp.getLong(0)} of $n1)")
+      force(DedupOps.dedupGroups(chain1, 0.7)); CacheRegistry.unpersistAll()
+      val c1 = time { force(DedupOps.dedupGroups(chain1, 0.7)) }
+      CacheRegistry.unpersistAll()
+      val ck = time { force(DedupOps.dedupGroups(chainK, 0.7)) }
+      CacheRegistry.unpersistAll()
+      val cRatio = ck / c1
+      println(f"[scale] dedup_groups_giant    1x=$c1%6.2fs  ${k}x=$ck%6.2fs  ratio=$cRatio%5.2f")
+      Seq(s""""dedup_groups_giant":{"t1":$c1,"tk":$ck,"ratio":$cRatio}""")
+    }
 
-    // Incremental fold (C43): time ONLY the fold of a 10% batch into
-    // an already-clustered 90% corpus — prior labels are materialized
-    // OUTSIDE the timed region (that is the operator's contract: the
-    // corpus was clustered once, long ago). The fold's own work is the
+    // Incremental fold (C43): time ONLY the fold of a batch into an
+    // already-clustered corpus — prior labels are materialized OUTSIDE
+    // the timed region (that is the operator's contract: the corpus
+    // was clustered once, long ago). The fold's own work is the
     // linear re-index + batch-probe join + collapsed-graph closure, so
     // it should scale like the batch, staying well under the full
     // re-cluster of the same corpus (measured alongside for the
     // comparison that motivates the operator).
-    def splitDocs(d: DataFrame) = (
-      d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-      d.filter(pmod(col("doc_id"), lit(10)) === 0))
-    def materializedLabels(corpus: DataFrame): DataFrame = {
-      val l = DedupOps.dedupGroups(corpus, 0.7)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      l.count()
-      l
-    }
-    val (corp1, batch1) = splitDocs(docs0)
-    val (corpK, batchK) = splitDocs(docsK)
-    val lab1 = materializedLabels(corp1); CacheRegistry.unpersistAll()
-    val labK = materializedLabels(corpK); CacheRegistry.unpersistAll()
-    force(DedupOps.dedupIncremental(corp1, lab1, batch1, 0.7))
-    CacheRegistry.unpersistAll()
-    val i1 = time { force(DedupOps.dedupIncremental(corp1, lab1, batch1, 0.7)) }
-    CacheRegistry.unpersistAll()
-    val ik = time { force(DedupOps.dedupIncremental(corpK, labK, batchK, 0.7)) }
-    CacheRegistry.unpersistAll()
-    val full1 = time { force(DedupOps.dedupGroups(docs0, 0.7)) }
-    CacheRegistry.unpersistAll()
-    val fullK = time { force(DedupOps.dedupGroups(docsK, 0.7)) }
-    CacheRegistry.unpersistAll()
-    lab1.unpersist(); labK.unpersist()
-    val iRatio = ik / i1
-    println(f"[scale] dedup_incremental     1x=$i1%6.2fs  ${k}x=$ik%6.2fs  ratio=$iRatio%5.2f" +
-      f"  (full recluster: 1x=$full1%6.2fs ${k}x=$fullK%6.2fs)")
-    val inc = s""""dedup_incremental":{"t1":$i1,"tk":$ik,"ratio":$iRatio""" +
-      s""","full_t1":$full1,"full_tk":$fullK}"""
+    val fold = if (!want("fold")) Seq.empty else {
+      def splitDocs(d: DataFrame) = (
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(10)) === 0))
+      // LINEAGE-FREE prior labels (ADVICE r5 #3): the clustering's own
+      // localCheckpoint blocks are released by CacheRegistry after the
+      // run; a snapshot still referencing them in its plan would be
+      // irrecoverable on block loss. localCheckpoint(eager) gives the
+      // frame its OWN pinned blocks before the release; the harness
+      // frees them explicitly at section end via bridge.checkpointRdd.
+      def materializedLabels(corpus: DataFrame): DataFrame = {
+        val l = DedupOps.dedupGroups(corpus, 0.7).localCheckpoint(true)
+        CacheRegistry.unpersistAll()
+        l
+      }
+      def releaseSnapshot(df: DataFrame): Unit =
+        org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
+          .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+      val (corp1, batch1) = splitDocs(docs0)
+      val (corpK, batchK) = splitDocs(docsK)
+      val lab1 = materializedLabels(corp1)
+      val labK = materializedLabels(corpK)
+      force(DedupOps.dedupIncremental(corp1, lab1, batch1, 0.7))
+      CacheRegistry.unpersistAll()
+      val i1 = time { force(DedupOps.dedupIncremental(corp1, lab1, batch1, 0.7)) }
+      CacheRegistry.unpersistAll()
+      val ik = time { force(DedupOps.dedupIncremental(corpK, labK, batchK, 0.7)) }
+      CacheRegistry.unpersistAll()
+      val full1 = time { force(DedupOps.dedupGroups(docs0, 0.7)) }
+      CacheRegistry.unpersistAll()
+      val fullK = time { force(DedupOps.dedupGroups(docsK, 0.7)) }
+      CacheRegistry.unpersistAll()
+      releaseSnapshot(lab1); releaseSnapshot(labK)
+      val iRatio = ik / i1
+      println(f"[scale] dedup_incremental     1x=$i1%6.2fs  ${k}x=$ik%6.2fs  ratio=$iRatio%5.2f" +
+        f"  (full recluster: 1x=$full1%6.2fs ${k}x=$fullK%6.2fs)")
 
-    println((rows :+ giant :+ inc).mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
+      // MERGE-HEAVY fold (VERDICT r5 #4): every batch doc BRIDGES two
+      // prior components, so the fold's collapsed graph concentrates
+      // labels maximally — the case the disjoint sf batch can't
+      // produce. Construction on the chain corpus: doc i's text is the
+      // 30-token window at stride 2; removing docs with i%10 ∈ {8, 9}
+      // leaves runs of 8 consecutive docs (the break is 3 windows
+      // wide: Jaccard at distance 3 = 24/36 < τ), so the corpus
+      // clusters into n/10 eight-doc components; the removed docs ARE
+      // the batch, and folding them back welds every adjacent pair of
+      // components — the final graph is ONE giant component spanning
+      // the corpus.
+      val nb1 = 20000L
+      def bridgeSplit(n: Long) = {
+        val all = chainDocs(n)
+        (all.filter(pmod(col("doc_id"), lit(10)) < 8),
+          all.filter(pmod(col("doc_id"), lit(10)) >= 8))
+      }
+      val (bc1, bb1) = bridgeSplit(nb1)
+      val (bcK, bbK) = bridgeSplit(nb1 * k)
+      val blab1 = materializedLabels(bc1)
+      val blabK = materializedLabels(bcK)
+      // probe: prior corpus really is n/10 components; the fold welds
+      // them into ONE
+      val nComp = blab1.agg(countDistinct(col("component"))).head.getLong(0)
+      require(nComp == nb1 / 10,
+        s"bridge corpus has $nComp components, expected ${nb1 / 10}")
+      val welded = DedupOps.dedupIncremental(bc1, blab1, bb1, 0.7)
+        .agg(countDistinct(col("component"))).head.getLong(0)
+      CacheRegistry.unpersistAll()
+      require(welded == 1L, s"merge-heavy fold left $welded components")
+      force(DedupOps.dedupIncremental(bc1, blab1, bb1, 0.7))
+      CacheRegistry.unpersistAll()
+      val m1 = time { force(DedupOps.dedupIncremental(bc1, blab1, bb1, 0.7)) }
+      CacheRegistry.unpersistAll()
+      val mk = time { force(DedupOps.dedupIncremental(bcK, blabK, bbK, 0.7)) }
+      CacheRegistry.unpersistAll()
+      releaseSnapshot(blab1); releaseSnapshot(blabK)
+      val mRatio = mk / m1
+      println(f"[scale] dedup_inc_mergeheavy  1x=$m1%6.2fs  ${k}x=$mk%6.2fs  ratio=$mRatio%5.2f")
+      Seq(
+        s""""dedup_incremental":{"t1":$i1,"tk":$ik,"ratio":$iRatio""" +
+          s""","full_t1":$full1,"full_tk":$fullK}""",
+        s""""dedup_inc_mergeheavy":{"t1":$m1,"tk":$mk,"ratio":$mRatio}""")
+    }
+
+    // Fat-tile file-backed grid reader (VERDICT r5 #5): A25's
+    // seek-past-blocks and never-open-pruned-tiles claims are
+    // bench-invisible on 9 KB-scale tiles — write tiles at real I/O
+    // weight (~25 MB: 7 vars × 24 h × 136×136 cells × 8 B) and
+    // measure full-scan vs one-var-select vs region-pruned walls.
+    // Expected shape: one-var ≈ 1/7 of full payload read (plus one
+    // header per tile), pruned ≈ kept-tiles fraction of full.
+    val grid = if (!want("grid")) Seq.empty else {
+      import graft.sources.grid.GridFiles
+      val dir = java.nio.file.Files.createTempDirectory("graft_fat_tiles")
+      val (nLat, nLon, regions, days) = (136, 136, Seq("r0", "r1", "r2"), 3)
+      val tileMb = GridFiles.Hours.toDouble * nLat * nLon * 8 *
+        graft.sources.grid.GridSource.varSpecs.size / 1e6
+      println(f"[scale] writing ${regions.size * days} fat tiles of ~$tileMb%.0f MB")
+      GridFiles.write(dir.toString, regions, days, nLat, nLon)
+      def scan() = spark.read.format("graft-grid")
+        .option("format", "files").option("path", dir.toString)
+        .option("nlat", nLat.toString).option("nlon", nLon.toString)
+        .load()
+      // warmups
+      force(scan()); force(scan().select("region", "ts", "t2m"))
+      val tFull = time { force(scan()) }
+      val tOneVar = time { force(scan().select("region", "ts", "t2m")) }
+      val tPruned = time { force(scan()
+        .filter(col("region") === "r0"
+          && col("ts") < to_timestamp(lit("2024-01-02 00:00:00")))) }
+      val rVar = tOneVar / tFull
+      val rPrune = tPruned / tFull
+      println(f"[scale] grid_files_fat        full=$tFull%6.2fs  one_var=$tOneVar%6.2fs" +
+        f" (x$rVar%4.2f)  pruned=$tPruned%6.2fs (x$rPrune%4.2f)")
+      import java.nio.file.{Files, Path}
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      Seq(s""""grid_files_fat":{"full":$tFull,"one_var":$tOneVar""" +
+        s""","pruned":$tPruned,"one_var_ratio":$rVar,"pruned_ratio":$rPrune}""")
+    }
+
+    println((rows ++ giant ++ fold ++ grid)
+      .mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
     spark.stop()
   }
 }

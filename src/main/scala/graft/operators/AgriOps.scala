@@ -63,15 +63,21 @@ object AgriOps {
   def incrementalHourlyMart(oldEvents: DataFrame,
       newEvents: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // state carries BOTH counts: n_vals (non-null, the avgD/skipna
+    // divisor — without it a null in one increment would silently
+    // diverge from the full recompute) and n_obs (rows, the mart's
+    // published observation count)
     def partials(df: DataFrame): DataFrame =
       df.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
         .agg(sum(col("value").cast(DecimalType(20, 6))).as("vsum"),
+          count(col("value")).as("n_vals"),
           count(lit(1)).as("n_obs"))
     partials(oldEvents).unionByName(partials(newEvents))
       .groupBy("event_type", "hour_ts")
-      .agg(sum("vsum").as("vsum"), sum("n_obs").as("n_obs"))
+      .agg(sum("vsum").as("vsum"), sum("n_vals").as("n_vals"),
+        sum("n_obs").as("n_obs"))
       .select(col("event_type"), col("hour_ts"),
-        (col("vsum").cast("double") / col("n_obs")).as("avg_value"),
+        (col("vsum").cast("double") / col("n_vals")).as("avg_value"),
         col("n_obs"))
   }
 
@@ -250,16 +256,32 @@ object AgriOps {
     * aggregate_hourly.py:32-46). Shares q_grid_source's DuckDB
     * oracle, so every round re-proves the codec seam yields
     * bit-identical data through the same pruning/pushdown machinery.
-    * Tiles are materialized fresh per call (driver-local temp, ~9
-    * files; the writer stands in for the reference's CDS download).
+    *
+    * Tiles are materialized ONCE per JVM (lazy val) and removed on
+    * exit: the extract/download is not part of this READ query, so a
+    * bench pass times decoding, not tile writing — and repeated
+    * invocations (warmups + timed passes + verify) reuse one ~9-file
+    * temp dir instead of accumulating orphans (ADVICE r5 #1). The
+    * skipExisting backfill path keeps its own writer-owned dirs in
+    * GridSourceSpec.
     */
-  def gridFilesMart(spark: SparkSession): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_grid_tiles").toString
-    graft.sources.grid.GridFiles.write(dir, Seq("r0", "r1", "r2"), 3, 8, 8)
-    gridMartOf(spark.read.format("graft-grid")
-      .option("format", "files").option("path", dir).load())
+  private lazy val filesTileDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_grid_tiles")
+    graft.sources.grid.GridFiles.write(dir.toString,
+      Seq("r0", "r1", "r2"), 3, 8, 8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: Throwable => () }
+    }))
+    dir.toString
   }
+
+  def gridFilesMart(spark: SparkSession): DataFrame =
+    gridMartOf(spark.read.format("graft-grid")
+      .option("format", "files").option("path", filesTileDir).load())
 
   /** A1 skipna semantics under missing data: the same spatial mean
     * over a grid with ~10% MASKED cells (nullCells=true —

@@ -495,7 +495,8 @@ object DedupOps {
     * iterated state is |docs touching an edge|, not |corpus|.
     */
   def dedupGroups(documents: DataFrame, minJaccard: Double = 0.7,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      reliableEvery: Int = 10): DataFrame = {
     // pair generation via the prefix-filtered join — identical output
     // to ngramJaccard (same oracle verifies both), measured ~2x faster
     // wall, and at τ=0.7 the prefix filter is at its most selective
@@ -509,20 +510,14 @@ object DedupOps {
     // strategies (measured 2x regression switching generators).
     // Checkpointing pins exact size stats; the generator's own caches
     // are scope-released before the loop starts (edges is materialized,
-    // so nothing downstream re-reads them).
-    val edges = pairs.union(
+    // so nothing downstream re-reads them). With `checkpointDir` set
+    // the edge list goes to RELIABLE storage instead — executor loss
+    // cannot strand the whole loop's input (VERDICT r5 #8).
+    val edgesRaw = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+    val edges = pinReliable(edgesRaw, checkpointDir)
     graft.CacheRegistry.releaseSince(cacheMark)
-    // localCheckpoint (eager), not persist: each round references the
-    // previous round's frame on BOTH sides of a join, so without
-    // lineage truncation the logical plan doubles per round and
-    // Catalyst analysis time goes exponential (persist truncates
-    // execution, not analysis — the measured failure mode). On a real
-    // cluster a reliable checkpoint() every ~10 rounds would guard
-    // against executor loss; rounds here are O(log diameter), so the
-    // window is a handful of jobs either way.
-    val labels = propagateMin(edges, maxIters)
+    val labels = propagateMin(edges, maxIters, checkpointDir, reliableEvery)
     releaseBlocks(edges)
     val all = documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -546,6 +541,28 @@ object DedupOps {
     org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
       .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
 
+  /** Eager checkpoint, durability chosen by the caller: with a
+    * `checkpointDir` the frame goes to RELIABLE storage
+    * (`Dataset.checkpoint` — survives executor loss; the dir is set
+    * once per SparkContext), otherwise `localCheckpoint` (executor
+    * memory/disk — cheap, but blocks die with their executor; fine on
+    * local[n], the documented fragility on a real cluster).
+    */
+  // setCheckpointDir mints a fresh UUID subdir per call — set it only
+  // when the requested base dir actually changes
+  private val lastCkptDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private def pinReliable(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (lastCkptDir.getAndSet(dir) != dir || sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Min-label propagation with pointer halving over a BIDIRECTIONAL,
     * already-checkpointed edge list (id1, id2) — the closure kernel
     * shared by [[dedupGroups]] (raw doc graph) and [[dedupIncremental]]
@@ -556,13 +573,30 @@ object DedupOps {
     * frame is registered with CacheRegistry so the harness releases it
     * after the consuming action. `edges`' own blocks stay with the
     * caller.
+    *
+    * Durability (VERDICT r5 #8): by default every round is
+    * `localCheckpoint` — cheap, but its blocks live only on executors,
+    * so on a real cluster an executor loss mid-loop kills the job
+    * (lineage is truncated; nothing can recompute the lost blocks).
+    * With `checkpointDir` set, the carried label frame goes to
+    * RELIABLE storage every `reliableEvery`-th round (and round 0):
+    * a loss inside the window still fails the job, but the restart
+    * re-runs from scratch at most `reliableEvery` rounds of work
+    * behind, and `reliableEvery = 1` makes every round durable (one
+    * DFS write of a 2-long-column frame per round — the right trade
+    * on a 100 TB corpus where a round is minutes of work).
     */
-  private def propagateMin(edges: DataFrame, maxIters: Int): DataFrame = {
+  private def propagateMin(edges: DataFrame, maxIters: Int,
+      checkpointDir: Option[String] = None,
+      reliableEvery: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    var labels =
+    def pinRound(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % reliableEvery == 0)
+        pinReliable(df, checkpointDir)
+      else df.localCheckpoint(true)
+    var labels = pinRound(
       edges.select(col("id1").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("component"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), col("doc_id").as("component")), 0)
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
@@ -579,14 +613,13 @@ object DedupOps {
       // pointer halving: follow one hop of the label chain. Every
       // label IS a participating node id, so the lookup self-join
       // always resolves; least() keeps monotonicity.
-      val next = cand.join(
+      val next = pinRound(cand.join(
         cand.select(col("doc_id").as("component"),
           col("component").as("parent")),
         Seq("component"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("parent"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+            .as("component")), iter + 1)
       // next is materialized (eager checkpoint): this round's cand and
       // the previous labels are dead weight from here on
       releaseBlocks(cand)
@@ -636,7 +669,8 @@ object DedupOps {
     */
   def dedupIncremental(corpus: DataFrame, priorLabels: DataFrame,
       batch: DataFrame, minJaccard: Double = 0.7,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      reliableEvery: Int = 10): DataFrame = {
     val cols = Seq("doc_id", "source", "text").map(col)
     val union = corpus.select(cols: _*).unionByName(batch.select(cols: _*))
     val cacheMark = graft.CacheRegistry.mark()
@@ -653,11 +687,10 @@ object DedupOps {
       .select(coalesce(col("r1"), col("id1")).as("id1"),
         coalesce(col("r2"), col("id2")).as("id2"))
       .filter(col("id1") =!= col("id2"))
-    val edges = e0.union(
-      e0.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+    val edges = pinReliable(e0.union(
+      e0.select(col("id2").as("id1"), col("id1").as("id2"))), checkpointDir)
     graft.CacheRegistry.releaseSince(cacheMark)
-    val moved = propagateMin(edges, maxIters)
+    val moved = propagateMin(edges, maxIters, checkpointDir, reliableEvery)
     releaseBlocks(edges)
     // fan out: doc → its collapsed node → the node's new label (nodes
     // untouched by any new edge keep their prior component)

@@ -88,20 +88,36 @@ object MultimodalOps {
     * whose payload carries precision, height, width. Returns null if
     * the stream is truncated or no SOFn appears — the caller then
     * falls back to the declared fake.
+    *
+    * Per §B.1.1.2, any number of 0xFF FILL bytes may precede a marker
+    * code — the marker is the first non-FF byte — and the standalone
+    * markers (TEM 0x01, RSTn 0xD0-D7, SOI 0xD8, EOI 0xD9) carry NO
+    * length field, so treating them as length-prefixed would misparse
+    * otherwise-valid headers into the fake path (ADVICE r5 #4). A
+    * 0x00 after 0xFF is a stuffed byte, i.e. entropy-coded data — no
+    * frame header was found before the scan body, stop.
     */
   private def jpegDims(p: Array[Byte]): (Int, Int) = {
     var i = 2
-    while (i + 3 < p.length && (p(i) & 0xFF) == 0xFF) {
-      val marker = p(i + 1) & 0xFF
+    while (i + 1 < p.length && (p(i) & 0xFF) == 0xFF) {
+      // fill bytes: marker code = first non-FF byte after the FF run
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xFF) == 0xFF) j += 1
+      if (j >= p.length) return null
+      val marker = p(j) & 0xFF
       if (marker >= 0xC0 && marker <= 0xCF
           && marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
-        if (i + 8 < p.length)
-          return (((p(i + 7) & 0xFF) << 8) | (p(i + 8) & 0xFF), // width
-            ((p(i + 5) & 0xFF) << 8) | (p(i + 6) & 0xFF)) // height
+        if (j + 7 < p.length)
+          return (((p(j + 6) & 0xFF) << 8) | (p(j + 7) & 0xFF), // width
+            ((p(j + 4) & 0xFF) << 8) | (p(j + 5) & 0xFF)) // height
         return null
       }
-      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
-      else i += 2 + (((p(i + 2) & 0xFF) << 8) | (p(i + 3) & 0xFF))
+      if (marker == 0xD9 || marker == 0x00) return null // EOI / stuffed
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i = j + 1
+      else {
+        if (j + 2 >= p.length) return null
+        i = j + 1 + (((p(j + 1) & 0xFF) << 8) | (p(j + 2) & 0xFF))
+      }
     }
     null
   }

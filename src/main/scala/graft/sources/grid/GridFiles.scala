@@ -41,6 +41,14 @@ object GridFiles {
   val Magic = 0x47524431
   val Hours = 24
 
+  /** A tile that cannot be decoded — torn by a crashed writer,
+    * truncated mid-stream, or not a tile at all. A DEFINED error (not
+    * a bare EOFException from some depth of the codec) so callers can
+    * distinguish "corrupt input, re-extract it" from a code bug.
+    */
+  final class CorruptTileException(msg: String)
+    extends RuntimeException(msg)
+
   def tileFile(dir: String, region: String, dayIdx: Int): File =
     new File(new File(dir, s"region=$region"), s"day=$dayIdx.grd")
 
@@ -49,13 +57,22 @@ object GridFiles {
     * every cell GridSource.cellMasked masks, so the file carries
     * missing data the way real tiles do (in the payload, not as an
     * option).
+    *
+    * ATOMIC: bytes go to a `.part` sibling which is renamed into
+    * place only after a successful close — the reference downloader's
+    * protocol (/root/reference/flows/download_era5_land.py:60-100
+    * writes `month=MM.nc.part`, then renames), and the property that
+    * makes `skipExisting` backfills crash-safe: a writer dying
+    * mid-tile leaves only a `.part` orphan, never a torn file at the
+    * final name that a rerun would skip as done.
     */
   def writeTile(dir: String, region: String, rIdx: Int, dayIdx: Int,
       nLat: Int, nLon: Int, nullCells: Boolean = false): Unit = {
     val f = tileFile(dir, region, dayIdx)
     f.getParentFile.mkdirs()
+    val part = new File(f.getPath + ".part")
     val out = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(f)))
+      new BufferedOutputStream(new FileOutputStream(part)))
     try {
       out.writeInt(Magic)
       out.writeInt(Hours); out.writeInt(nLat); out.writeInt(nLon)
@@ -80,25 +97,41 @@ object GridFiles {
         }
       }
     } finally out.close()
+    java.nio.file.Files.move(part.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Materialize the full extent (the "download everything" backfill).
     * `skipExisting=true` is the reference's month-skip idempotency
     * (/root/reference/flows/download_era5_land.py:81 — a rerun after a
     * partial failure re-pulls only the missing tiles): a tile already
-    * on disk is left untouched. Returns the number of tiles written.
+    * on disk AND structurally valid is left untouched. Validity, not
+    * bare existence, is the skip test: the atomic rename in
+    * [[writeTile]] means torn files can't normally appear at the final
+    * name, but a tile corrupted any other way (disk fault, a
+    * pre-atomic writer, manual truncation) must be RE-WRITTEN by the
+    * rerun, not skipped as done. Returns the number of tiles written.
     */
   def write(dir: String, regions: Seq[String], nDays: Int, nLat: Int,
       nLon: Int, nullCells: Boolean = false,
       skipExisting: Boolean = false): Int = {
     var written = 0
     for ((r, rIdx) <- regions.zipWithIndex; d <- 0 until nDays)
-      if (!(skipExisting && tileFile(dir, r, d).isFile)) {
+      if (!(skipExisting && isValidTile(tileFile(dir, r, d)))) {
         writeTile(dir, r, rIdx, d, nLat, nLon, nullCells)
         written += 1
       }
     written
   }
+
+  /** Structural validity: header decodes and the file length is
+    * exactly header + nVars full blocks. Cheap (header bytes only —
+    * never reads payload), so a backfill can afford it per tile.
+    */
+  def isValidTile(f: File): Boolean =
+    try { readHeader(f); true }
+    catch { case _: CorruptTileException => false }
 
   /** Parsed tile header: variable directory + payload geometry. */
   final case class TileHeader(nHours: Int, nLat: Int, nLon: Int,
@@ -125,6 +158,35 @@ object GridFiles {
       s
     }
     TileHeader(nHours, nLat, nLon, names, bytes)
+  }
+
+  /** Header decode with full structural validation — the entry point
+    * the file reader and `skipExisting` use. Beyond parsing, checks
+    * the file length is EXACTLY header + nVars complete blocks: a
+    * torn tile (truncated payload) or trailing garbage throws
+    * [[CorruptTileException]] here, at open time, instead of a
+    * mid-scan EOF five joins downstream.
+    */
+  def readHeader(f: File): TileHeader = {
+    if (!f.isFile)
+      throw new CorruptTileException(s"tile $f does not exist")
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(f)))
+    val header =
+      try readHeader(in)
+      catch {
+        case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
+          throw new CorruptTileException(
+            s"tile $f has a corrupt header: ${e.getMessage}")
+      } finally in.close()
+    val expected = header.headerBytes +
+      header.varNames.size.toLong * header.blockDoubles * 8L
+    if (f.length != expected)
+      throw new CorruptTileException(
+        s"tile $f is torn: ${f.length} bytes on disk, " +
+          s"layout requires $expected — rerun the backfill " +
+          "(a crashed pre-atomic writer or disk fault left it)")
+    header
   }
 
   /** Read one variable's full block from a tile, decoding nothing else. */

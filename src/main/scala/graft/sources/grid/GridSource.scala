@@ -416,9 +416,10 @@ class FileGridPartitionReader(p: GridInputPartition, fields: Array[String],
 
   private def decode(): Unit = {
     val file = GridFiles.tileFile(path, p.region, p.dayIdx)
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      new java.io.FileInputStream(file)))
-    val header = try GridFiles.readHeader(in) finally in.close()
+    // validating overload: a torn/corrupt tile throws the DEFINED
+    // CorruptTileException at open time (file length checked against
+    // the header's layout), never a mid-scan EOF
+    val header = GridFiles.readHeader(file)
     require(header.nHours == 24 && header.nLat == nLat && header.nLon == nLon,
       s"tile $file is ${header.nHours}x${header.nLat}x${header.nLon}, " +
         s"scan expects 24x${nLat}x$nLon")

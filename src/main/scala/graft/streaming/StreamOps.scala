@@ -97,6 +97,77 @@ object StreamOps {
         graft.sources.Sources.writeJdbcUpsert(batch, url, table, keys)
       }
 
+  /** D11: INCREMENTAL near-dup clustering at ingest time — the
+    * streaming twin of C43 and the operation a live 100 TB corpus
+    * feed actually runs: each arriving micro-batch of documents is
+    * FOLDED into the already-clustered corpus
+    * ([[graft.operators.DedupOps.dedupIncremental]] — batch-probe
+    * pair-gen, prior components collapsed, full transitive-merge
+    * semantics), never re-clustered from scratch. The D6 pattern:
+    * foreachBatch + idempotent storage = effectively-once per doc_id.
+    *
+    * Carried state lives on storage, not in the state store — the
+    * corpus and its labels ARE the pipeline's output tables:
+    *  - `corpusDir/batch=<id>/` — each micro-batch's documents,
+    *    written mode=overwrite into its OWN batch subdir, so a
+    *    replayed batch overwrites itself (idempotent);
+    *  - `labelsDir` — the full label table (doc_id, component,
+    *    n_members, is_canonical), overwritten per batch; the next
+    *    batch reads it back as `priorLabels`.
+    * A replayed batch recomputes from `batch < id` corpus dirs plus
+    * the prior labels and converges to the identical table (the fold
+    * is deterministic and absorbing batch docs already present in the
+    * prior labels is a no-op collapse), so a crash between the two
+    * writes self-heals on restart — the reference's month-skip
+    * idempotent backfill (flows/download_era5_land.py:81), carried
+    * through the full clustering transform.
+    *
+    * The spec drains a MemoryStream corpus in three batches and
+    * asserts the final labels equal the batch re-cluster bit-for-bit.
+    */
+  def streamingDedupIncremental(docs: DataFrame, corpusDir: String,
+      labelsDir: String, minJaccard: Double = 0.7)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val cols = Seq("doc_id", "source", "text").map(col)
+        // snapshot: a foreachBatch frame is only valid inside this
+        // call, and the labels written below must not reference the
+        // labelsDir files they are about to replace
+        val b = batch.select(cols: _*).localCheckpoint(true)
+        def release(df: DataFrame): Unit =
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(df)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+        try {
+          val labels =
+            if (!new java.io.File(labelsDir).exists())
+              // first batch ever: the fold degenerates to a full
+              // cluster of the batch itself
+              graft.operators.DedupOps.dedupGroups(b, minJaccard)
+            else {
+              val prior = spark.read.parquet(labelsDir).localCheckpoint(true)
+              val corpus =
+                if (new java.io.File(corpusDir).exists())
+                  spark.read.parquet(corpusDir)
+                    .filter(col("batch") < lit(id)).select(cols: _*)
+                else b.filter(lit(false)) // crash-window replay: no corpus yet
+              val out = graft.operators.DedupOps
+                .dedupIncremental(corpus, prior, b, minJaccard)
+                .localCheckpoint(true)
+              release(prior)
+              out
+            }
+          labels.write.mode("overwrite").parquet(labelsDir)
+          release(labels)
+          b.write.mode("overwrite").parquet(s"$corpusDir/batch=$id")
+        } finally {
+          release(b)
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

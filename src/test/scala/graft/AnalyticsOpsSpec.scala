@@ -28,6 +28,23 @@ class AnalyticsOpsSpec extends SparkSpec {
         > col("exact_nd").cast("double") * 0.1).count() === 0)
   }
 
+  /** q_profile_fast is the one rows-only CORRECTNESS entry that IS
+    * SQL-expressible — same profile as q_profile, faster plan
+    * (VERDICT r5 #3). Gate it DERIVED: every column except the HLL
+    * estimate must equal q_profile's oracle-gated output bit-for-bit
+    * (the estimate itself is banded by the test above), so the entry
+    * is no longer free-floating: fast ≡ oracle-gated profile on the
+    * shared exact columns + banded on the sketch.
+    */
+  test("q_profile_fast's exact columns equal q_profile's oracle-gated output") {
+    val shared = Seq("col_name", "n_rows", "n_null", "min_v", "max_v")
+    val exact = AnalyticsOps.profile(lineitem)
+      .select(shared.map(col): _*)
+    val fast = AnalyticsOps.profile(lineitem, approxDistinct = true)
+      .select(shared.map(col): _*)
+    assert(fast.except(exact).isEmpty && exact.except(fast).isEmpty)
+  }
+
   test("pricingSummary covers every filtered row exactly once") {
     val q1 = AnalyticsOps.pricingSummary(lineitem)
     val total = q1.agg(sum("count_order")).head.getLong(0)

@@ -112,6 +112,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(99L) === ((99L, 1L, true)))
   }
 
+  /** VERDICT r5 #8: the label loop's localCheckpoint blocks die with
+    * their executor on a real cluster; the opt-in `checkpointDir`
+    * routes the edge list and every `reliableEvery`-th round's label
+    * frame to RELIABLE checkpoint storage instead. Pin that (a) the
+    * loop completes with the reliable path exercised every round,
+    * (b) labels are identical to the default path, (c) checkpoint
+    * data actually landed in the dir.
+    */
+  test("dedupGroups with a reliable checkpointDir yields identical labels") {
+    import spark.implicits._
+    // chain long enough for several propagation rounds (path diameter
+    // 20): docs i and i+1 share 29 of 31 tokens (0.935 ≥ 0.7),
+    // distance-3 falls below τ — same construction as ScaleSmoke's
+    // giant component, tiny
+    val docs = spark.range(20).select(
+      col("id").as("doc_id"), lit("s").as("source"),
+      concat_ws(" ", transform(
+        sequence(col("id") * 2, col("id") * 2 + 29),
+        j => concat(lit("w"), j.cast("string")))).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    val reliable = DedupOps.dedupGroups(docs, 0.7,
+      checkpointDir = Some(dir.toString), reliableEvery = 1)
+    val default = DedupOps.dedupGroups(docs, 0.7)
+    assert(reliable.except(default).isEmpty
+      && default.except(reliable).isEmpty)
+    // every doc collapsed to one component (the loop really ran)
+    assert(reliable.agg(countDistinct(col("component"))).head.getLong(0) === 1L)
+    // reliable checkpoint data exists on disk (rdd-* dirs with files)
+    def hasRddData(p: java.io.File): Boolean = {
+      val kids = Option(p.listFiles()).getOrElse(Array.empty)
+      kids.exists(f => f.isDirectory && f.getName.startsWith("rdd-")) ||
+        kids.exists(f => f.isDirectory && hasRddData(f))
+    }
+    assert(hasRddData(dir.toFile),
+      s"no reliable checkpoint data under $dir")
+    CacheRegistry.unpersistAll()
+  }
+
   test("pipeline_curate output is a filtered subset with valid splits") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)

@@ -209,6 +209,48 @@ class GridSourceSpec extends SparkSpec {
       skipExisting = true) === 0)
   }
 
+  test("torn tile: defined error on read, REWRITTEN (not skipped) by backfill rerun") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_torn").toString
+    assert(GridFiles.write(dir, Seq("r0", "r1"), 2, 4, 4) === 4)
+    // a successful write leaves no .part residue
+    assert(!new java.io.File(
+      GridFiles.tileFile(dir, "r0", 0).getPath + ".part").exists())
+    // simulate the failure the atomic rename normally prevents (a
+    // pre-atomic writer, disk fault): truncate one tile mid-payload
+    val torn = GridFiles.tileFile(dir, "r1", 0)
+    val ch = java.nio.channels.FileChannel.open(torn.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(torn.length() / 2) finally ch.close()
+    // reading it raises the DEFINED corrupt-tile error at open time,
+    // not a bare EOF from inside the codec
+    val e = intercept[GridFiles.CorruptTileException] {
+      GridFiles.readHeader(torn)
+    }
+    assert(e.getMessage.contains("torn"))
+    assert(!GridFiles.isValidTile(torn))
+    // skipExisting treats the torn tile as MISSING: rerun REWRITES
+    // exactly it (VERDICT r5: bare-existence skip would mark it done)
+    assert(GridFiles.write(dir, Seq("r0", "r1"), 2, 4, 4,
+      skipExisting = true) === 1)
+    assert(GridFiles.isValidTile(torn))
+    // and the repaired extent scans green end-to-end through A25's
+    // file-backed reader
+    val files = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir)
+      .option("regions", "r0,r1").option("days", "2")
+      .option("nlat", "4").option("nlon", "4").load()
+    assert(files.count() === 2L * 2 * 24 * 4 * 4)
+    // a crashed mid-write (simulated: orphan .part) never shadows the
+    // real tile — the skip test and the reader address final names only
+    val orphan = new java.io.File(
+      GridFiles.tileFile(dir, "r0", 1).getPath + ".part")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(GridFiles.write(dir, Seq("r0", "r1"), 2, 4, 4,
+      skipExisting = true) === 0)
+    assert(files.count() === 2L * 2 * 24 * 4 * 4)
+  }
+
   test("a wrong-shaped tile fails loudly instead of reindexing") {
     import graft.sources.grid.GridFiles
     val dir = java.nio.file.Files.createTempDirectory("grid_bad_tile").toString

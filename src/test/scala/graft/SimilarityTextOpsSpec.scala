@@ -268,6 +268,27 @@ class SimilarityTextOpsSpec extends SparkSpec {
       Seq((44L, Array(0xFF, 0xD8, 0xFF).map(_.toByte)))
         .toDF("doc_id", "payload")).head()
     assert(trunc.getAs[String]("format") !== "jpeg")
+    // T.81 B.1.1.2 edge cases (ADVICE r5 #4): 0xFF FILL bytes before a
+    // marker, and the standalone length-less TEM (0x01) and RSTn
+    // markers, must not derail the walk — this valid header used to
+    // misparse into the fake path when fills/TEM preceded the SOF
+    val fills: Array[Byte] = (Array(0xFF, 0xD8) ++
+      Array(0xFF, 0xFF, 0xFF, 0x01) ++ // fill, fill, TEM (standalone)
+      Array(0xFF, 0xD0) ++ // RST0 (standalone)
+      Array(0xFF, 0xFF, 0xC0, 0x00, 0x0B, 0x08,
+        0x01, 0x00, /* height 256 */ 0x02, 0x00, /* width 512 */
+        0x01, 0x01, 0x11, 0x00)).map(_.toByte)
+    val mf = MultimodalOps.extractMetaFrom(spark,
+      Seq((45L, fills)).toDF("doc_id", "payload")).head()
+    assert(mf.getAs[String]("format") === "jpeg")
+    assert(mf.getAs[Int]("width") === 512)
+    assert(mf.getAs[Int]("height") === 256)
+    // EOI before any SOF = no frame header in stream → declared fake,
+    // not a bogus length read past the end
+    val eoi = MultimodalOps.extractMetaFrom(spark,
+      Seq((46L, Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)))
+        .toDF("doc_id", "payload")).head()
+    assert(eoi.getAs[String]("format") !== "jpeg")
     // all three decode paths coexist in one media table
     val mixed = MultimodalOps.extractMetaFrom(spark,
       MultimodalOps.toPngMediaTable(spark, docs)

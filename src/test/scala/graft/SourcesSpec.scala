@@ -275,16 +275,20 @@ class SourcesSpec extends SparkSpec {
   /** The driver regenerated events.parquet once already, switching the
     * `ts` physical type from INT64 TIMESTAMP(NANOS) to µs
     * isAdjustedToUTC=false (TIMESTAMP_NTZ) and silently breaking every
-    * `unix_millis(ts)` call site. Pin BOTH encodings: Tables.events
-    * must normalize each to the same TIMESTAMP_LTZ values.
+    * `unix_millis(ts)` call site. Pin ALL THREE plausible parquet
+    * encodings — ns (INT64 TIMESTAMP(NANOS)), ntz (µs
+    * isAdjustedToUTC=false) and us (µs isAdjustedToUTC=true, plain
+    * TIMESTAMP): Tables.events must normalize each to the same
+    * TIMESTAMP_LTZ values, so the next regeneration drift is caught by
+    * fixture, not by a broken round.
     */
-  test("Tables.events normalizes both parquet ts encodings identically") {
+  test("Tables.events normalizes all three parquet ts encodings identically") {
     def fixtureDir(name: String): String =
       new java.io.File(
         getClass.getResource(s"/tsenc/$name/events.parquet").toURI).getParent
     val expected = Seq("2024-01-01 00:00:00", "2024-01-01 01:30:00",
       "2024-06-15 12:00:01")
-    for (enc <- Seq("ns", "ntz")) {
+    for (enc <- Seq("ns", "ntz", "us")) {
       val ev = graft.sources.Tables.events(spark, fixtureDir(enc))
       assert(ev.schema("ts").dataType === TimestampType, s"enc=$enc")
       val got = ev.orderBy("event_id")

@@ -144,6 +144,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2 * n1)
   }
 
+  /** D11 (VERDICT r5 #6): the C43 fold as the INGEST path — a corpus
+    * drained through MemoryStream in three micro-batches, each folded
+    * into the carried labels via dedupIncremental, must land on
+    * labels bit-identical to one batch re-cluster of the whole
+    * corpus. Also pins the storage contract: per-batch corpus
+    * subdirs + the overwritten label table.
+    */
+  test("D11: streaming incremental dedup over 3 micro-batches equals batch re-cluster") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.sources.Tables.documents(spark, sf)
+    val docs = docsDf.as[graft.sources.Schemas.Document]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(docs.size >= 3)
+    val base = java.nio.file.Files.createTempDirectory("d11").toString
+    val corpusDir = s"$base/corpus"
+    val labelsDir = s"$base/labels"
+    val stream = MemoryStream[graft.sources.Schemas.Document]
+    val q = StreamOps.streamingDedupIncremental(
+        stream.toDF(), corpusDir, labelsDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    docs.grouped((docs.size + 2) / 3).foreach { g =>
+      stream.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    // three per-batch corpus subdirs; corpus re-read = original docs
+    val batchDirs = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length === 3)
+    assert(spark.read.parquet(corpusDir).count() === docs.size.toLong)
+    // the carried labels equal one batch re-cluster, bit-for-bit
+    val streamed = spark.read.parquet(labelsDir)
+      .select("doc_id", "component", "n_members", "is_canonical")
+    val twin = graft.operators.DedupOps.dedupGroups(docsDf, 0.7)
+      .select("doc_id", "component", "n_members", "is_canonical")
+    assert(streamed.count() === docs.size.toLong)
+    assert(streamed.except(twin).isEmpty && twin.except(streamed).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
