@@ -157,7 +157,7 @@ object Bench {
     */
   private val HeavyQueries = Seq("dedup_groups", "dedup_apply",
     "pipeline_curate", "train_split_grouped", "dedup_incremental",
-    "dedup_incremental_fold")
+    "dedup_incremental_fold", "dedup_weights")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],

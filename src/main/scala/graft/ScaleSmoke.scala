@@ -107,7 +107,12 @@ object ScaleSmoke {
         d.filter(pmod(col("doc_id"), lit(20)) === 0))),
       ("pipeline_mart", (_, e, _) => PipelineOps.martPipeline(e)),
       ("train_order", (d, _, _) => TextOps.trainOrder(d)),
-      ("emb_quantize", (_, _, m) => SimilarityOps.embQuantize(m)))
+      ("emb_quantize", (_, _, m) => SimilarityOps.embQuantize(m)),
+      // r6: segment-frequency rewrite — seg-keyed groupBy + anti join
+      // + doc-keyed reassembly; disjoint copies add no cross-copy
+      // boilerplate, so the hot-side stays per-copy-sized
+      ("boilerplate_strip", (d, _, _) => TextOps.boilerplateStrip(d)),
+      ("q_climatology", (_, e, _) => AgriOps.climatology(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -76,6 +76,9 @@ object SparkEntry {
     }),
     "q_json_extract" -> ((s, d) => AgriOps.jsonExtract(Tables.events(s, d))),
     "q_scd2" -> ((s, d) => TimeSeriesOps.scd2History(Tables.events(s, d))),
+    "q_climatology" -> ((s, d) => AgriOps.climatology(Tables.events(s, d))),
+    "q_gdd" -> ((s, d) => AgriOps.degreeDays(Tables.events(s, d))),
+    "q_threshold_days" -> ((s, d) => AgriOps.thresholdDays(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -190,6 +193,9 @@ object SparkEntry {
       TextOps.trainSplitGrouped(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
     "dedup_apply" -> ((s, d) => DedupOps.dedupApply(Tables.documents(s, d), 0.7)),
+    "dedup_weights" -> ((s, d) => DedupOps.dedupWeights(Tables.documents(s, d), 0.7)),
+    "boilerplate_strip" -> ((s, d) => TextOps.boilerplateStrip(Tables.documents(s, d))),
+    "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
@@ -1014,6 +1020,82 @@ object SparkEntry {
         |  < f.threshold""".stripMargin,
     // transitive closure by recursive CTE mirrors Spark's min-label
     // propagation exactly: both compute min reachable doc_id
+    // A27: clim_mean is the Exact.avgD quotient; anomaly is one
+    // double subtraction of two bit-identical doubles — unrounded
+    "q_climatology" ->
+      """WITH clim AS (SELECT event_type, extract(hour FROM ts) AS hod,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS clim_mean
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, extract(hour FROM e.ts) AS hod,
+        |e.value, c.clim_mean, e.value - c.clim_mean AS anomaly
+        |FROM events e JOIN clim c ON e.event_type = c.event_type
+        |  AND extract(hour FROM e.ts) = c.hod""".stripMargin,
+    // A28: ordered-frame running double sum — same sequential
+    // accumulation both engines (q_window_running's proven pattern)
+    "q_gdd" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, t_mean,
+        |greatest(0.0, t_mean - 50.0) AS gdd,
+        |sum(greatest(0.0, t_mean - 50.0)) OVER (PARTITION BY event_type
+        |  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS gdd_cum
+        |FROM daily""".stripMargin,
+    // A29: counts compare bit-identical daily means against fixed
+    // thresholds — exact cross-engine
+    "q_threshold_days" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, date_trunc('month', day) AS month,
+        |count(*) AS n_days,
+        |count(CASE WHEN t_mean > 80.0 THEN 1 END) AS hot_days,
+        |count(CASE WHEN t_mean < 20.0 THEN 1 END) AS cold_days
+        |FROM daily GROUP BY 1, 2""".stripMargin,
+    // C46: k smallest seeded md5 priorities — deterministic global
+    // sample, unique tie-break on doc_id
+    "sample_topk" ->
+      """SELECT doc_id, source,
+        |md5('graft:' || CAST(doc_id AS VARCHAR)) AS prio
+        |FROM documents ORDER BY prio, doc_id LIMIT 100""".stripMargin,
+    // C44: segment = 5 consecutive tokens; a segment in >1 distinct
+    // docs is boilerplate; docs reassembled from survivors in order
+    "boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  unnest(generate_series(0, CAST(ceil(len(toks)/5.0) AS BIGINT) - 1))
+        |    AS seg_no,
+        |  toks FROM t),
+        |g AS (SELECT doc_id, seg_no,
+        |  array_to_string(toks[(seg_no*5 + 1):(seg_no*5 + 5)], ' ') AS seg
+        |  FROM s),
+        |hot AS (SELECT seg FROM g GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |k AS (SELECT * FROM g WHERE seg NOT IN (SELECT seg FROM hot)),
+        |r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS clean_text,
+        |  count(*) AS n_kept FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |CAST(coalesce(tot.n_segs, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+        |  AS n_dropped
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id""".stripMargin,
+    // C45: weight = 1/|component| — one double division on the exact
+    // integer size from the shared closure CTE
+    "dedup_weights" -> (closureCteSql +
+      """,
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.doc_id, c.component, s.n_members,
+        |CAST(1.0 AS DOUBLE) / s.n_members AS weight
+        |FROM c JOIN s USING (component)""".stripMargin),
     "dedup_groups" -> (closureCteSql +
       """,
         |s AS (SELECT component, count(*) AS n_members FROM c

@@ -345,6 +345,78 @@ object AgriOps {
         col("swvl2_raw").as("swvl2"))
   }
 
+  /** A27: diurnal climatology + anomaly — xarray's
+    * `ds.groupby("time.hour").mean()` / `ds.groupby(..) - clim`
+    * pattern, the standard agri-weather decomposition the reference's
+    * stack is built for (aggregate_hourly.py's hourly series feed
+    * exactly this kind of seasonal/diurnal normal). Per (series key,
+    * hour-of-day): climatological mean over the whole period via
+    * [[Exact.avgD]]; every event then gets `anomaly = value − clim`.
+    *
+    * Exactness: clim_mean is the decimal-sum/count quotient
+    * (bit-identical cross-engine); the anomaly is ONE double
+    * subtraction of two bit-identical doubles. Scale: one partial-agg
+    * groupBy to |keys × 24| rows, broadcast join-back — the fact
+    * stream never shuffles (B28's z-score shape).
+    */
+  def climatology(events: DataFrame): DataFrame = {
+    val hod = hour(col("ts")).cast("long")
+    val clim = events
+      .groupBy(col("event_type"), hod.as("hod"))
+      .agg(Exact.avgD(col("value")).as("clim_mean"))
+    events.select(col("event_id"), col("event_type"), hod.as("hod"),
+        col("value"))
+      .join(broadcast(clim), Seq("event_type", "hod"))
+      .select(col("event_id"), col("event_type"), col("hod"), col("value"),
+        col("clim_mean"),
+        (col("value") - col("clim_mean")).as("anomaly"))
+  }
+
+  /** A28: growing degree days — THE agronomic accumulation metric
+    * (GDD = Σ_days max(0, T_mean − T_base)) the reference's daily
+    * t2m mean/min/max mart exists to feed. Daily mean via
+    * [[Exact.avgD]], per-day degree contribution is a fixed
+    * double-op chain (subtract, clamp at 0), and the running
+    * accumulation is an ordered-frame window sum (same sequential
+    * accumulation both engines — q_window_running's proven pattern),
+    * emitted unrounded.
+    *
+    * Scale: one partial-agg groupBy to |keys × days| rows, then a
+    * window over the already-aggregated daily rows — the window never
+    * sees raw events.
+    */
+  def degreeDays(events: DataFrame, base: Double = 50.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("t_mean"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("event_type"), col("day"), col("t_mean"),
+        greatest(lit(0.0), col("t_mean") - lit(base)).as("gdd"))
+      .withColumn("gdd_cum", sum(col("gdd")).over(w))
+  }
+
+  /** A29: threshold-exceedance day counts — the agro-climate
+    * indicator family next to A28 (heat-stress days / frost days per
+    * month: xarray's `(daily > thr).resample(time="M").sum()`).
+    * Daily [[Exact.avgD]] means first, then a month rollup counting
+    * days whose mean crosses each threshold. The comparisons run on
+    * bit-identical doubles, so the counts are exact cross-engine.
+    * Scale: two STRICTLY COARSENING partial-agg groupBys (day keys,
+    * then month keys) — the month shuffle sees only daily rows.
+    */
+  def thresholdDays(events: DataFrame, hot: Double = 80.0,
+      cold: Double = 20.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("t_mean"))
+    daily
+      .groupBy(col("event_type"), date_trunc("month", col("day")).as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("t_mean") > hot, 1)).as("hot_days"),
+        count(when(col("t_mean") < cold, 1)).as("cold_days"))
+  }
+
   /** A21 composed further: hourly mart → daily mart with the
     * reference's per-column AGG_SPECS
     * (/root/reference/dask_jobs/aggregate_daily.py:9-18 — t2m

@@ -529,6 +529,22 @@ object DedupOps {
         (col("doc_id") === col("component")).as("is_canonical"))
   }
 
+  /** C45: soft dedup by DOWNWEIGHTING — keep every near-duplicate but
+    * weight each doc by the inverse of its C21 component size, so a
+    * 40-copy boilerplate cluster contributes one document's worth of
+    * training signal instead of 40 (the sampling-weight alternative
+    * to C31's hard removal; each component's weights sum to 1 by
+    * construction). The weight is ONE double division of 1.0 by the
+    * exact integer component size — bit-identical cross-engine.
+    * Scale shape is exactly dedupGroups' (the division is map-side on
+    * its output).
+    */
+  def dedupWeights(documents: DataFrame,
+      minJaccard: Double = 0.7): DataFrame =
+    dedupGroups(documents, minJaccard)
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (lit(1.0) / col("n_members")).as("weight"))
+
   /** Release a `localCheckpoint`ed frame's pinned blocks NOW.
     * Checkpoint blocks are released DETERMINISTICALLY, not left to the
     * async ContextCleaner: without this, five clustering queries per

@@ -391,6 +391,85 @@ object TextOps {
       .select(col("chunk_hash"), col("keep.doc_id").as("keep_doc_id"),
         col("keep.chunk_id").as("keep_chunk_id"), col("n_copies"))
 
+  /** C44: corpus-frequency boilerplate strip — CCNet's
+    * paragraph-level dedup (Wenzek et al. 2019 §3.1: hash every
+    * paragraph, drop paragraphs seen elsewhere in the corpus) as a
+    * REWRITE of each document, not a doc-level filter. The test
+    * corpus has no newlines, so the "paragraph" unit is consecutive
+    * fixed-length token segments: each doc is cut into back-to-back
+    * `segLen`-token segments, a segment appearing in more than
+    * `maxDocs` distinct documents is boilerplate, and the doc is
+    * reassembled from its surviving segments in original order
+    * (empty string if everything was boilerplate — the doc-level
+    * filter is the caller's policy, the operator reports
+    * n_kept/n_dropped).
+    *
+    * Scale shape: segmentation is a pure generator map; the
+    * frequency count is one (seg-keyed, maximally-spreadable,
+    * map-side-combined) groupBy; removal is a LEFT ANTI join on the
+    * segment key (the boilerplate side is the small one — AQE
+    * broadcasts it when it fits); reassembly is one doc-keyed groupBy
+    * whose collect_list is bounded by the doc's own segment count and
+    * made deterministic by the array_sort on (seg_no, seg). No
+    * windows, no self-joins, nothing O(corpus²).
+    */
+  def boilerplateStrip(documents: DataFrame, segLen: Int = 5,
+      maxDocs: Int = 1): DataFrame = {
+    require(segLen > 0 && maxDocs >= 1)
+    // sequence(0, -1) would generate a DESCENDING range, so empty
+    // docs are fenced explicitly
+    val base = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int") - 1),
+            i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " ")))
+          .as("segs"))
+    val segRows = base.select(col("doc_id"),
+      posexplode(col("segs")).as(Seq("seg_no", "seg")))
+    val hot = segRows.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("seg")
+    val rebuilt = segRows.join(hot, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("seg_no"), col("seg"))))
+        .as("ss"))
+      .select(col("doc_id"),
+        array_join(transform(col("ss"), s => s.getField("seg")), " ")
+          .as("clean_text"),
+        size(col("ss")).cast("long").as("n_kept"))
+    base.select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** C46: deterministic corpus-global k-sample — "give me exactly k
+    * docs, reproducibly" (eval subsets, human-review draws, quick
+    * iteration corpora). Each doc gets the seeded md5 priority (C40's
+    * permutation key); the k smallest win. The plan is
+    * TakeOrderedAndProject — each task keeps a k-row heap and the
+    * driver merges |tasks|·k rows — NEVER a global sort (the
+    * single-partition WindowExec/orderBy trap at 100 TB). Same-seed
+    * rerun returns the identical set; appends only ever swap docs in,
+    * never reshuffle survivors arbitrarily.
+    */
+  def sampleTopK(documents: DataFrame, k: Int = 100,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0)
+    documents
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+          .as("prio"))
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(k)
+  }
+
   /** C27: deterministic train/val/test split — the dataset-assembly
     * step every training corpus ends with. The same overflow-safe
     * Knuth hash ring as [[sampleFraction]] maps each doc to a uniform

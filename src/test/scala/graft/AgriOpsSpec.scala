@@ -14,6 +14,51 @@ class AgriOpsSpec extends SparkSpec {
     assert(mart.select("event_type", "hour_ts").distinct().count() === mart.count())
   }
 
+  test("climatology anomalies cancel within every (key, hour-of-day) group") {
+    val out = AgriOps.climatology(events).cache()
+    assert(out.count() === events.count())
+    // sum(anomaly) over a group = sum(value) - n*clim_mean ~ 0
+    val bad = out.groupBy("event_type", "hod")
+      .agg(sum("anomaly").as("s"), count(lit(1)).as("n"))
+      .filter(abs(col("s")) > col("n") * 1e-9)
+    assert(bad.count() === 0)
+    // clim_mean is constant within a group
+    assert(out.select("event_type", "hod", "clim_mean").distinct().count()
+      === out.select("event_type", "hod").distinct().count())
+    out.unpersist()
+  }
+
+  test("degreeDays clamps at zero and accumulates monotonically") {
+    val out = AgriOps.degreeDays(events).cache()
+    assert(out.filter(col("gdd") < 0).count() === 0)
+    assert(out.filter(col("gdd") > 0).count() > 0) // base binds both ways
+    assert(out.filter(col("gdd") === 0).count() > 0)
+    // cum is per-key nondecreasing and ends at the key's gdd total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val steps = out.withColumn("prev", lag("gdd_cum", 1).over(w))
+      .filter(col("prev").isNotNull && col("gdd_cum") < col("prev"))
+    assert(steps.count() === 0)
+    val ends = out.groupBy("event_type")
+      .agg(max("gdd_cum").as("cum_end"), sum("gdd").as("total"))
+      .filter(abs(col("cum_end") - col("total")) > 1e-6)
+    assert(ends.count() === 0)
+    out.unpersist()
+  }
+
+  test("thresholdDays partitions every day into hot/cold/mid") {
+    val out = AgriOps.thresholdDays(events, hot = 49.0, cold = 45.0).cache()
+    // every (key, day) from the daily mart lands in exactly one month row
+    val nDaily = AgriOps.dailyMart(events).count()
+    assert(out.agg(sum("n_days")).head.getLong(0) === nDaily)
+    assert(out.filter(col("hot_days") + col("cold_days") > col("n_days"))
+      .count() === 0)
+    // thresholds straddling the mean must bind on both sides somewhere
+    assert(out.agg(sum("hot_days")).head.getLong(0) > 0)
+    assert(out.agg(sum("cold_days")).head.getLong(0) > 0)
+    out.unpersist()
+  }
+
   test("unitConvert applies the ERA5 conversions elementwise") {
     val row = AgriOps.unitConvert(events)
       .join(events.select(col("event_id"), col("value"), col("user_id")), "event_id")

@@ -25,6 +25,42 @@ class ChunkOpsSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("boilerplateStrip drops shared segments, keeps order, fences edge docs") {
+    import spark.implicits._
+    // segLen = 3. Docs A and B share the segment "x y z" (boilerplate);
+    // A keeps its two unique segments in original order; C is ENTIRELY
+    // the shared segment (empty rewrite); D has a short tail segment;
+    // E is empty text.
+    val docs = Seq(
+      (1L, "a b c x y z d e f", "en", "s0", 17L),
+      (2L, "x y z q r s", "en", "s0", 11L),
+      (3L, "x y z", "en", "s0", 5L),
+      (4L, "u v w pq", "en", "s0", 8L),
+      (5L, "", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.boilerplateStrip(docs, segLen = 3, maxDocs = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("a b c d e f", 2L, 1L)))   // middle seg removed
+    assert(out(2L) === (("q r s", 1L, 1L)))
+    assert(out(3L) === (("", 0L, 1L)))              // fully boilerplate
+    assert(out(4L) === (("u v w pq", 2L, 0L)))      // short tail kept
+    assert(out(5L) === (("", 0L, 0L)))              // empty doc fenced
+  }
+
+  test("boilerplateStrip on a no-duplicate corpus is near-identity") {
+    // on the real corpus: every doc row survives, kept+dropped = segs,
+    // and a doc with zero dropped segments reassembles verbatim
+    val out = TextOps.boilerplateStrip(documents).cache()
+    assert(out.count() === documents.count())
+    val reassembled = out.filter(col("n_dropped") === 0)
+      .join(documents.select(col("doc_id"),
+        concat_ws(" ", TextOps.tokens(col("text"))).as("norm_text")), "doc_id")
+      .filter(col("clean_text") =!= col("norm_text"))
+    assert(reassembled.count() === 0)
+    out.unpersist()
+  }
+
   test("docChunks chunk 0 is the first min(64, n) tokens verbatim") {
     val c0 = TextOps.docChunks(documents).filter(col("chunk_id") === 0)
     val expected = documents.select(col("doc_id"),
@@ -96,6 +132,25 @@ class ChunkOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
     assert(plan.contains("Sort"), s"expected within-shard sort in:\n$plan")
     o1.unpersist()
+  }
+
+  test("sampleTopK is a deterministic nested k-sample via a top-k plan") {
+    val s100 = TextOps.sampleTopK(documents, 100).cache()
+    assert(s100.count() === 100)
+    assert(s100.select("doc_id").distinct().count() === 100)
+    // rerun-identical; smaller draws nest inside larger ones
+    assert(s100.exceptAll(TextOps.sampleTopK(documents, 100)).count() === 0)
+    val s50 = TextOps.sampleTopK(documents, 50)
+    assert(s50.exceptAll(s100).count() === 0)
+    // a different seed is a different draw
+    val other = TextOps.sampleTopK(documents, 100, seed = "other")
+    assert(other.join(s100, "doc_id").count() < 100)
+    // per-task heaps + driver merge, never a global sort
+    val plan = TextOps.sampleTopK(documents, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k operator in:\n$plan")
+    s100.unpersist()
   }
 
   test("sampleMix rebalances per source with nested deterministic samples") {

@@ -259,6 +259,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(full.exceptAll(inc).count() === 0)
   }
 
+  test("dedupWeights gives every component unit mass, singletons weight 1") {
+    import spark.implicits._
+    def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (10L, toks(1, 10), "s"), (11L, toks(2, 11), "s"),
+      (12L, toks(3, 12), "s"), (99L, "u1 u2 u3 u4 u5", "s")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val w = DedupOps.dedupWeights(docs, 0.7).cache()
+    assert(w.count() === 4) // every doc kept, none removed
+    val singleton = w.filter(col("doc_id") === 99L).head()
+    assert(singleton.getAs[Double]("weight") === 1.0)
+    assert(singleton.getAs[Long]("n_members") === 1L)
+    // the 3-chain: each member 1/3, component mass ~ 1
+    val mass = w.groupBy("component").agg(sum("weight").as("m"))
+      .filter(abs(col("m") - 1.0) > 1e-12)
+    assert(mass.count() === 0)
+    w.unpersist()
+  }
+
   test("dedupApply keeps exactly the canonical docs and conserves counts") {
     import spark.implicits._
     def toks(from: Int, to: Int) = (from to to).map(i => s"t$i").mkString(" ")
