@@ -79,6 +79,7 @@ object SparkEntry {
     "q_climatology" -> ((s, d) => AgriOps.climatology(Tables.events(s, d))),
     "q_gdd" -> ((s, d) => AgriOps.degreeDays(Tables.events(s, d))),
     "q_threshold_days" -> ((s, d) => AgriOps.thresholdDays(Tables.events(s, d))),
+    "q_heat_spell" -> ((s, d) => AgriOps.heatSpell(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -196,6 +197,7 @@ object SparkEntry {
     "dedup_weights" -> ((s, d) => DedupOps.dedupWeights(Tables.documents(s, d), 0.7)),
     "boilerplate_strip" -> ((s, d) => TextOps.boilerplateStrip(Tables.documents(s, d))),
     "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
@@ -1056,6 +1058,43 @@ object SparkEntry {
         |count(CASE WHEN t_mean > 80.0 THEN 1 END) AS hot_days,
         |count(CASE WHEN t_mean < 20.0 THEN 1 END) AS cold_days
         |FROM daily GROUP BY 1, 2""".stripMargin,
+    // A30: gaps-and-islands on daily means — epoch-day minus
+    // row_number is constant per consecutive run; struct-max ties to
+    // the latest start, mirrored by ORDER BY len DESC, start DESC
+    "q_heat_spell" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean
+        |  FROM events GROUP BY 1, 2),
+        |hot AS (SELECT event_type, day,
+        |  datediff('day', DATE '2024-01-01', day)
+        |    - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
+        |  FROM daily WHERE t_mean > 50.0),
+        |islands AS (SELECT event_type, grp, count(*) AS len,
+        |  min(day) AS spell_start FROM hot GROUP BY 1, 2)
+        |SELECT event_type, len AS max_spell_days, spell_start, n_spells
+        |FROM (SELECT event_type, len, spell_start,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY len DESC, spell_start DESC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n_spells
+        |  FROM islands)
+        |WHERE rn = 1""".stripMargin,
+    // C47: datasheet means are integer-valued doubles through the
+    // exact decimal protocol
+    "corpus_stats" ->
+      """WITH t AS (SELECT source, lang,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |CAST(sum(CAST(CAST(n_tokens AS DOUBLE) AS DECIMAL(20,6)))
+        |  AS DOUBLE) / count(n_tokens) AS mean_tokens,
+        |min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |CAST(sum(CAST(CAST(n_chars_calc AS DOUBLE) AS DECIMAL(20,6)))
+        |  AS DOUBLE) / count(n_chars_calc) AS mean_chars
+        |FROM t GROUP BY 1, 2""".stripMargin,
     // C46: k smallest seeded md5 priorities — deterministic global
     // sample, unique tie-break on doc_id
     "sample_topk" ->

@@ -417,6 +417,38 @@ object AgriOps {
         count(when(col("t_mean") < cold, 1)).as("cold_days"))
   }
 
+  /** A30: longest hot spell per key — heatwave/dry-spell DURATION, the
+    * agro-climate indicator A29's counts can't express (5 scattered
+    * hot days stress a crop differently than 5 consecutive ones).
+    * Gaps-and-islands on the daily means: consecutive hot days share
+    * a constant (epoch-day − row_number) group key, islands collapse
+    * to (length, start), and one struct-max picks the longest spell
+    * (ties to the latest start — deterministic, mirrored by the
+    * oracle's ORDER BY len DESC, start DESC).
+    *
+    * Scale: the windows and groupBys all run over the |keys × days|
+    * daily mart, never raw events; the row_number window partitions
+    * by key (A17's SCD2 island shape).
+    */
+  def heatSpell(events: DataFrame, hot: Double = 50.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("t_mean"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val islands = daily.filter(col("t_mean") > hot)
+      .withColumn("grp",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("spell_start"))
+    islands
+      .groupBy("event_type")
+      .agg(max(struct(col("len"), col("spell_start"))).as("m"),
+        count(lit(1)).as("n_spells"))
+      .select(col("event_type"), col("m.len").as("max_spell_days"),
+        col("m.spell_start").as("spell_start"), col("n_spells"))
+  }
+
   /** A21 composed further: hourly mart → daily mart with the
     * reference's per-column AGG_SPECS
     * (/root/reference/dask_jobs/aggregate_daily.py:9-18 — t2m

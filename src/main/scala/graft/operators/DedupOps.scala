@@ -606,10 +606,16 @@ object DedupOps {
       checkpointDir: Option[String] = None,
       reliableEvery: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // plainLocalCheckpoint, NOT Dataset.localCheckpoint: the round-r
+    // plan references the round-(r−1) checkpoint twice (halving
+    // self-join), and Dataset.localCheckpoint's origin-metadata
+    // capture forks through that chain — wrap cost measured DOUBLING
+    // per round (2^rounds; 541 s merge-heavy fold at 200k docs, loop
+    // execution itself ~1 s/round). See bridge.plainLocalCheckpoint.
     def pinRound(df: DataFrame, round: Int): DataFrame =
       if (checkpointDir.isDefined && round % reliableEvery == 0)
         pinReliable(df, checkpointDir)
-      else df.localCheckpoint(true)
+      else org.apache.spark.sql.graftx.bridge.plainLocalCheckpoint(df)
     var labels = pinRound(
       edges.select(col("id1").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("component")), 0)
@@ -617,15 +623,16 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      val roundT0 = System.nanoTime()
       val nbrMin = edges.as("e")
         .join(labels.as("l"), col("e.id2") === col("l.doc_id"))
         .groupBy(col("e.id1").as("doc_id"))
         .agg(min(col("l.component")).as("nbr_min"))
-      val cand = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+      val cand = org.apache.spark.sql.graftx.bridge.plainLocalCheckpoint(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component")))
       // pointer halving: follow one hop of the label chain. Every
       // label IS a participating node id, so the lookup self-join
       // always resolves; least() keeps monotonicity.
@@ -650,6 +657,8 @@ object DedupOps {
       prevSum = s
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG_LABELS"))
+        println(f"[labels] round $iter wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs sum=$s converged=$converged")
     }
     graft.CacheRegistry.registerCheckpoint(labels)
     labels

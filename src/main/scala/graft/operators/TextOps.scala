@@ -470,6 +470,29 @@ object TextOps {
       .limit(k)
   }
 
+  /** C47: the corpus DATASHEET — per-(source, lang) volume and shape
+    * stats (doc count, token totals, token/char means, extrema): the
+    * audit table every training-data pipeline materializes before
+    * mixing (and the input C41's target fractions are chosen from).
+    * One partial-agg'd groupBy over map-side token counts; means run
+    * through [[Exact.avgD]] on integer-valued doubles (exact decimal
+    * sums — bit-identical cross-engine). Output is |sources × langs|
+    * rows regardless of corpus size.
+    */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(col("source"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        Exact.avgD(col("n_tokens").cast("double")).as("mean_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        Exact.avgD(col("n_chars_calc").cast("double")).as("mean_chars"))
+  }
+
   /** C27: deterministic train/val/test split — the dataset-assembly
     * step every training corpus ends with. The same overflow-safe
     * Knuth hash ring as [[sampleFraction]] maps each doc to a uniform

@@ -42,6 +42,35 @@ object bridge {
       case _ => None
     }
 
+  /** Eager local checkpoint WITHOUT origin-metadata capture.
+    *
+    * `Dataset.localCheckpoint` wraps the pinned RDD via
+    * `LogicalRDD.fromDataset`, which captures the origin plan's
+    * stats/partitioning/ordering/constraints. Inside an iterative
+    * loop whose round-r plan references the round-(r−1) checkpoint
+    * MORE THAN ONCE (e.g. a self-join), that driver-side capture
+    * re-derives metadata through the chain of prior LogicalRDDs and
+    * forks at every multi-reference — cost DOUBLES per round
+    * (measured: 0.6 s → 28.6 s per checkpoint by round 14 of the
+    * label loop, with plan execution flat at ~0.1 s; the 2^rounds
+    * curve reproduced exactly). This variant builds the plain
+    * LogicalRDD leaf instead: no origin stats (AQE re-derives
+    * runtime stats at the next exchange anyway), constant O(1) wrap
+    * per round. Blocks release exactly like Dataset.localCheckpoint's
+    * (same LogicalRDD shape for [[checkpointRdd]]).
+    */
+  def plainLocalCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val internalRdd = ds.queryExecution.toRdd.map(_.copy())
+    internalRdd.localCheckpoint()
+    internalRdd.count()
+    val lr = org.apache.spark.sql.execution.LogicalRDD(
+      ds.queryExecution.analyzed.output, internalRdd)(ds.sparkSession)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, lr)
+  }
+
   /** Drain the listener bus so stage metrics observed by bench
     * listeners are complete before reading them (listener events are
     * posted asynchronously). private[spark], hence bridged here.

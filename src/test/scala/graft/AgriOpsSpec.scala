@@ -25,6 +25,11 @@ class AgriOpsSpec extends SparkSpec {
     // clim_mean is constant within a group
     assert(out.select("event_type", "hod", "clim_mean").distinct().count()
       === out.select("event_type", "hod").distinct().count())
+    // the |keys × 24| clim side broadcasts — the fact never shuffles
+    val plan = AgriOps.climatology(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join-back in:\n$plan")
     out.unpersist()
   }
 
@@ -57,6 +62,29 @@ class AgriOpsSpec extends SparkSpec {
     assert(out.agg(sum("hot_days")).head.getLong(0) > 0)
     assert(out.agg(sum("cold_days")).head.getLong(0) > 0)
     out.unpersist()
+  }
+
+  test("heatSpell finds the longest consecutive run, ties to latest start") {
+    import spark.implicits._
+    // key a: hot 03-01..03 (len 3) then 03-05..06 (len 2) → max 3;
+    // key b: two singleton spells → tie broken to the LATER start
+    val ev = Seq(
+      ("a", "2024-03-01"), ("a", "2024-03-02"), ("a", "2024-03-03"),
+      ("a", "2024-03-05"), ("a", "2024-03-06"),
+      ("b", "2024-03-10"), ("b", "2024-03-12"))
+      .toDF("event_type", "d")
+      .select(col("event_type"),
+        to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"),
+        lit(100.0).as("value"))
+    val out = AgriOps.heatSpell(ev, hot = 50.0).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getTimestamp(2).toString.take(10), r.getLong(3))))
+      .toMap
+    assert(out("a") === ((3L, "2024-03-01", 2L)))
+    assert(out("b") === ((1L, "2024-03-12", 2L)))
+    // an all-cold key yields no row
+    val cold = ev.withColumn("value", lit(1.0))
+    assert(AgriOps.heatSpell(cold, hot = 50.0).count() === 0)
   }
 
   test("unitConvert applies the ERA5 conversions elementwise") {

@@ -153,6 +153,22 @@ class ChunkOpsSpec extends SparkSpec {
     s100.unpersist()
   }
 
+  test("corpusStats conserves corpus totals across the datasheet") {
+    val stats = TextOps.corpusStats(documents).cache()
+    assert(stats.count()
+      === documents.select("source", "lang").distinct().count())
+    assert(stats.agg(sum("n_docs")).head.getLong(0) === documents.count())
+    // token totals agree with the C9 counter; mean × n == total
+    val wsTotal = TextOps.tokenCount(documents)
+      .agg(sum("ws_tokens")).head.getLong(0)
+    assert(stats.agg(sum("total_tokens")).head.getLong(0) === wsTotal)
+    val bad = stats.filter(
+      abs(col("mean_tokens") * col("n_docs") - col("total_tokens")) > 1e-6
+        || col("min_tokens") > col("max_tokens"))
+    assert(bad.count() === 0)
+    stats.unpersist()
+  }
+
   test("sampleMix rebalances per source with nested deterministic samples") {
     val mixed = TextOps.sampleMix(documents,
       Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.0)).cache()
