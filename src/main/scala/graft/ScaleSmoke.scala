@@ -76,6 +76,11 @@ object ScaleSmoke {
       ("dedup_exact", (d, _, _) => DedupOps.exactDedup(d)),
       ("dedup_minhash_lsh", (d, _, _) => DedupOps.minhashLshPairs(d)),
       ("ngram_jaccard_prefix", (d, _, _) => DedupOps.ngramJaccardPrefix(d, 0.5)),
+      // hashed-gram mode: the string mode's shuffle carries the k-token
+      // text and would add a constant byte factor, not a growth term —
+      // the scale question is the gram groupBy + semi join shape
+      ("dedup_substring", (d, _, _) =>
+        DedupOps.dedupSubstring(d, hashGrams = true)),
       ("token_count", (d, _, _) => TextOps.tokenCount(d)),
       ("vocab_topk", (d, _, _) => TextOps.vocabTopK(d)),
       ("q_hourly_mart", (_, e, _) => AgriOps.hourlyMart(e)),

@@ -80,6 +80,7 @@ object SparkEntry {
     "q_gdd" -> ((s, d) => AgriOps.degreeDays(Tables.events(s, d))),
     "q_threshold_days" -> ((s, d) => AgriOps.thresholdDays(Tables.events(s, d))),
     "q_heat_spell" -> ((s, d) => AgriOps.heatSpell(Tables.events(s, d))),
+    "q_growing_season" -> ((s, d) => AgriOps.growingSeason(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -198,6 +199,7 @@ object SparkEntry {
     "boilerplate_strip" -> ((s, d) => TextOps.boilerplateStrip(Tables.documents(s, d))),
     "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(Tables.documents(s, d))),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
@@ -1079,6 +1081,40 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY event_type) AS n_spells
         |  FROM islands)
         |WHERE rn = 1""".stripMargin,
+    // A31: warm days = daily exact-decimal means above thr; min/max/
+    // count per key-year; keys with no warm days yield no row
+    "q_growing_season" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(year(day) AS BIGINT) AS yr,
+        |min(day) AS season_start, max(day) AS season_end,
+        |count(*) AS warm_days,
+        |CAST(datediff('day', min(day), max(day)) + 1 AS BIGINT)
+        |  AS season_len
+        |FROM daily WHERE t_mean > 50.0 GROUP BY 1, 2""".stripMargin,
+    // C48: grams grouped as strings (collision-free oracle
+    // semantics); per-doc span counts via semi join back
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |shared AS (SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |dup AS (SELECT doc_id, count(*) AS dup_grams FROM grams
+        |  WHERE g IN (SELECT g FROM shared) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(tot.n_grams, 0) AS n_grams,
+        |coalesce(dup.dup_grams, 0) AS dup_grams,
+        |CASE WHEN coalesce(tot.n_grams, 0) > 0
+        |  THEN CAST(coalesce(dup.dup_grams, 0) AS DOUBLE) / tot.n_grams
+        |  ELSE 0.0 END AS dup_ratio
+        |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin,
     // C47: datasheet means are integer-valued doubles through the
     // exact decimal protocol
     "corpus_stats" ->

@@ -449,6 +449,29 @@ object AgriOps {
         col("m.spell_start").as("spell_start"), col("n_spells"))
   }
 
+  /** A31: growing-season bounds per key-year — onset (first warm
+    * day), end (last warm day), calendar span, and warm-day count:
+    * the planting/harvest-window summary the reference's daily t2m
+    * mart feeds (the 'when does the season start' question A28's GDD
+    * accumulation presumes an answer to). Warm days are daily
+    * Exact.avgD means above `thr` compared on bit-identical doubles;
+    * min/max/count over them is exact cross-engine. Two
+    * strictly-coarsening partial-agg groupBys (events → |keys×days| →
+    * |keys×years|); keys with no warm days in a year yield no row
+    * (oracle-mirrored).
+    */
+  def growingSeason(events: DataFrame, thr: Double = 50.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("t_mean"))
+    daily.filter(col("t_mean") > thr)
+      .groupBy(col("event_type"), year(col("day")).cast("long").as("yr"))
+      .agg(min("day").as("season_start"), max("day").as("season_end"),
+        count(lit(1)).as("warm_days"))
+      .withColumn("season_len",
+        (datediff(col("season_end"), col("season_start")) + 1).cast("long"))
+  }
+
   /** A21 composed further: hourly mart → daily mart with the
     * reference's per-column AGG_SPECS
     * (/root/reference/dask_jobs/aggregate_daily.py:9-18 — t2m

@@ -802,4 +802,82 @@ object DedupOps {
       .join(documents, "doc_id")
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("n_members").as("n_merged"))
+
+  /** All k-token word grams of `text` as strings, one per start
+    * position (positions with fewer than k following tokens produce
+    * none). Built by zip_with-folding k aligned slices — O(n·k) array
+    * ops per row, the token split materialized once (the same
+    * per-element re-evaluation trap [[shingles]] documents).
+    */
+  private[operators] def kgrams(text: Column, k: Int): Column = {
+    require(k >= 2, "kgrams needs k >= 2")
+    val toks = TextOps.tokens(text)
+    val n = size(toks) - (k - 1)
+    val joined = (2 to k).foldLeft(slice(toks, lit(1), n))((acc, i) =>
+      zip_with(acc, slice(toks, lit(i), n), (a, b) => concat_ws(" ", a, b)))
+    when(size(toks) >= k, joined)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** C48: cross-document repeated-SUBSTRING detection — the
+    * train-set memorization risk exact/near-dup dedup misses
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": verbatim ≥50-token spans repeat across otherwise
+    * distinct documents and are what models regurgitate). Per doc:
+    * how many of its k-token spans also appear verbatim in ANOTHER
+    * doc, and the duplicated-span ratio — the audit that decides
+    * whether a span-level rewrite pass is warranted.
+    *
+    * Plan: one posexploded gram stream; grams shared by >1 distinct
+    * doc found with a single partial-agg'd groupBy (the distributed
+    * stand-in for the paper's suffix array — a suffix array cannot be
+    * built across executors, a gram groupBy shuffles once); per-doc
+    * span counts via LEFT SEMI join back on the gram, then per-doc
+    * groupBy. Grams are grouped as STRINGS so the oracle semantics
+    * are hash-collision-free; a 100 TB run would group on
+    * (xxhash64(g), length(g)) and carry 8+4 bytes through the
+    * shuffle instead ([[shingleHashes]]' trade, applied at the call
+    * site).
+    *
+    * dup_ratio = one double division of two exact longs —
+    * bit-identical cross-engine. Docs with fewer than k tokens have
+    * zero grams and ratio 0.0 (kept — dropping them would hide the
+    * shortest docs from the audit).
+    *
+    * `hashGrams = true` is the 100 TB shuffle shape: grams reduced to
+    * (xxhash64, byte length) BEFORE the shuffle, so the groupBy and
+    * semi join carry 12 bytes per gram instead of ~6k bytes of
+    * k-token text. A false dup needs two different grams agreeing on
+    * BOTH 64-bit hash and length (~2⁻⁶⁴ per colliding pair); the
+    * oracle-gated entry keeps strings so the gate is collision-free
+    * by construction, and the spec pins both modes identical on the
+    * test corpus.
+    */
+  def dedupSubstring(documents: DataFrame, k: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
+    val raw = documents.select(col("doc_id"),
+      explode(kgrams(col("text"), k)).as("g"))
+    val (keyed, keyNames) =
+      if (hashGrams)
+        (raw.select(col("doc_id"), xxhash64(col("g")).as("gh"),
+          length(col("g")).as("gl")), Seq("gh", "gl"))
+      else (raw, Seq("g"))
+    val grams = graft.CacheRegistry.persist(keyed)
+    val shared = grams.groupBy(keyNames.map(col): _*)
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+    val dup = grams.join(shared.drop("nd"), keyNames, "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    documents.select("doc_id")
+      .join(tot, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("dup_grams"), lit(0L)).cast("double")
+            / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
 }

@@ -87,6 +87,27 @@ class AgriOpsSpec extends SparkSpec {
     assert(AgriOps.heatSpell(cold, hot = 50.0).count() === 0)
   }
 
+  test("growingSeason brackets warm days per key-year") {
+    import spark.implicits._
+    // key a, 2024: warm Mar-02 and Mar-10 (span 9 days, 2 warm);
+    // cold day in between must not split the season; key b all cold
+    val ev = Seq(
+      ("a", "2024-03-02", 90.0), ("a", "2024-03-05", 10.0),
+      ("a", "2024-03-10", 80.0), ("b", "2024-03-02", 5.0))
+      .toDF("event_type", "d", "value")
+      .select(col("event_type"),
+        to_timestamp(concat(col("d"), lit(" 06:00:00"))).as("ts"),
+        col("value"))
+    val rows = AgriOps.growingSeason(ev, thr = 50.0).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "a" && r.getLong(1) === 2024L)
+    assert(r.getTimestamp(2).toString.startsWith("2024-03-02"))
+    assert(r.getTimestamp(3).toString.startsWith("2024-03-10"))
+    assert(r.getLong(4) === 2L)
+    assert(r.getAs[Long]("season_len") === 9L)
+  }
+
   test("unitConvert applies the ERA5 conversions elementwise") {
     val row = AgriOps.unitConvert(events)
       .join(events.select(col("event_id"), col("value"), col("user_id")), "event_id")

@@ -293,4 +293,41 @@ class DedupOpsSpec extends SparkSpec {
     // absorbed counts add back to the corpus size
     assert(kept.map(_.getAs[Long]("n_merged")).sum === 4L)
   }
+
+  test("dedupSubstring counts cross-doc shared k-token spans only") {
+    import spark.implicits._
+    // docs 1 and 2 share one verbatim 8-token span at different
+    // offsets; doc 3 repeats ITS OWN span twice (within-doc repeat is
+    // not a cross-doc dup); doc 4 is shorter than k
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span a4 a5"),
+      (2L, s"$span b1 b2 b3 b4 b5 b6"),
+      (3L, s"c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, "short doc here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupSubstring(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 13 toks → 6 grams, exactly 1 (the span) shared with doc2
+    assert(out(1L) === ((6L, 1L)))
+    assert(out(2L) === ((7L, 1L)))
+    // doc3's self-repeat: gram "c1..c8" occurs at 2 positions but in
+    // ONE distinct doc → zero dup grams
+    assert(out(3L)._2 === 0L)
+    // sub-k doc: zero grams, ratio 0, still present
+    assert(out(4L) === ((0L, 0L)))
+    CacheRegistry.unpersistAll()
+  }
+
+  test("dedupSubstring hashed-gram scale mode equals the string mode") {
+    val byString = DedupOps.dedupSubstring(documents, k = 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    CacheRegistry.unpersistAll()
+    val byHash = DedupOps.dedupSubstring(documents, k = 8,
+      hashGrams = true).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    CacheRegistry.unpersistAll()
+    assert(byHash === byString)
+    // and the audit finds real signal in the planted near-dup corpus
+    assert(byString.values.count(_(2).asInstanceOf[Long] > 0) > 0)
+  }
 }
