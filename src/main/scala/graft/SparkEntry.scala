@@ -200,6 +200,7 @@ object SparkEntry {
     "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(Tables.documents(s, d))),
+    "dedup_substring_rewrite" -> ((s, d) => DedupOps.dedupSubstringRewrite(Tables.documents(s, d))),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
@@ -1115,6 +1116,29 @@ object SparkEntry {
         |  ELSE 0.0 END AS dup_ratio
         |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin,
+    // C49: min-doc_id span ownership; covered = union of non-owner
+    // span positions; reassembly = position-ordered string_agg
+    "dedup_substring_rewrite" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |tokpos AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |owner AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g),
+        |covered AS (SELECT DISTINCT gr.doc_id, gr.pos + j AS pos
+        |  FROM grams gr JOIN owner o ON gr.g = o.g AND gr.doc_id > o.owner,
+        |  unnest(generate_series(0, 7)) AS v(j)),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |  ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos),
+        |rebuilt AS (SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |coalesce(r.n_kept, 0) AS n_kept
+        |FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id""".stripMargin,
     // C47: datasheet means are integer-valued doubles through the
     // exact decimal protocol
     "corpus_stats" ->

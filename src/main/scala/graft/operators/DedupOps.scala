@@ -809,9 +809,14 @@ object DedupOps {
     * ops per row, the token split materialized once (the same
     * per-element re-evaluation trap [[shingles]] documents).
     */
-  private[operators] def kgrams(text: Column, k: Int): Column = {
+  private[operators] def kgrams(text: Column, k: Int): Column =
+    kgramsOf(TextOps.tokens(text), k)
+
+  /** Same, from an already-materialized token array (callers that
+    * need tokens AND grams split once, not twice).
+    */
+  private[operators] def kgramsOf(toks: Column, k: Int): Column = {
     require(k >= 2, "kgrams needs k >= 2")
-    val toks = TextOps.tokens(text)
     val n = size(toks) - (k - 1)
     val joined = (2 to k).foldLeft(slice(toks, lit(1), n))((acc, i) =>
       zip_with(acc, slice(toks, lit(i), n), (a, b) => concat_ws(" ", a, b)))
@@ -879,5 +884,56 @@ object DedupOps {
           coalesce(col("dup_grams"), lit(0L)).cast("double")
             / col("n_grams"))
           .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** C49: span-level dedup REWRITE — apply what [[dedupSubstring]]
+    * audits (Lee et al. 2021 §4, ExactSubstr: delete repeated spans,
+    * keep one occurrence). Every k-token span is owned by the lowest
+    * doc_id containing it; occurrences in any HIGHER doc are removed
+    * (tokens covered by at least one such span), so exactly one
+    * verbatim copy survives corpus-wide and the owner doc is
+    * untouched. Within-doc self-repeats stay (they are the owner's
+    * own occurrences — repetition INSIDE a doc is C19's dimension,
+    * not cross-doc memorization).
+    *
+    * Plan: token positions and gram positions posexplode from ONE
+    * tokens projection; owner = min(doc_id) gram groupBy; non-owner
+    * occurrences expand to covered token positions via
+    * explode(sequence) + distinct; LEFT ANTI join drops covered
+    * tokens; docs reassemble with C44's deterministic
+    * array_sort-on-(pos, token) idiom. All joins are equi-joins on
+    * gram or (doc_id, pos) — shuffle-parallel, no driver state.
+    * Fully-consumed docs rewrite to "" (kept — drop policy stays with
+    * the caller, as in C44).
+    */
+  def dedupSubstringRewrite(documents: DataFrame, k: Int = 8): DataFrame = {
+    val toksDf = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
+    val tokpos = toksDf
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(kgramsOf(col("t"), k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val owner = grams.groupBy("g").agg(min("doc_id").as("owner"))
+    val covered = grams.join(owner, "g")
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = tokpos.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("ss"))
+      .select(col("doc_id"),
+        array_join(transform(col("ss"), s => s.getField("tok")), " ")
+          .as("text_clean"),
+        size(col("ss")).cast("long").as("n_kept"))
+    toksDf.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 }

@@ -319,6 +319,29 @@ class DedupOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("dedupSubstringRewrite keeps one owner copy, strips higher-doc repeats") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $span a3"),              // owner: untouched
+      (2L, s"b1 $span b2 b3"),              // non-owner: span removed
+      (3L, s"c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"), // self-repeat only
+      (4L, "short doc here")                // sub-k: untouched
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupSubstringRewrite(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === s"a1 a2 $span a3")
+    assert(out(2L).getString(1) === "b1 b2 b3")
+    assert(out(2L).getAs[Long]("n_kept") === 3L)
+    // within-doc self-repeat is NOT cross-doc memorization: intact
+    assert(out(3L).getAs[Long]("n_kept") === 16L)
+    assert(out(4L).getString(1) === "short doc here")
+    // token conservation: kept <= total everywhere
+    assert(out.values.forall(r =>
+      r.getAs[Long]("n_kept") <= r.getAs[Long]("n_tokens")))
+    CacheRegistry.unpersistAll()
+  }
+
   test("dedupSubstring hashed-gram scale mode equals the string mode") {
     val byString = DedupOps.dedupSubstring(documents, k = 8)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
