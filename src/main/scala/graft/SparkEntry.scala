@@ -98,6 +98,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => AnalyticsOps.topNPerGroup(Tables.part(s, d), 3)),
     "q_topk_agg" -> ((s, d) => AnalyticsOps.topNPerGroupAgg(Tables.part(s, d), 3)),
     "q_rollup" -> ((s, d) => AnalyticsOps.rollupSummary(Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => AnalyticsOps.groupingSetsSummary(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => AnalyticsOps.cubeSummary(Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => AnalyticsOps.approxDistinctChecked(Tables.lineitem(s, d))),
     "q_approx_pct" -> ((s, d) => AnalyticsOps.approxPercentilesChecked(Tables.events(s, d))),
@@ -599,6 +600,17 @@ object SparkEntry {
         |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH t AS (SELECT *,
+        |  substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS sm FROM lineitem)
+        |SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |coalesce(l_linestatus, 'ALL') AS linestatus,
+        |coalesce(sm, 'ALL') AS ship_month,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 2) AS DOUBLE) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM t
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (sm), ())""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -198,6 +198,32 @@ object AnalyticsOps {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_rows"))
 
+  /** B40: GROUPING SETS — the asymmetric lattice rollup/cube can't
+    * express: exactly the named granularities ((flag, status),
+    * (ship month), ()) in ONE pass, not rollup's prefix chain or
+    * cube's full 2^k expansion. Spark expands the sets BEFORE the
+    * exchange (same Expand-then-partial-agg plan as B9/B19), so the
+    * shuffle carries |sets| partial aggregates per map task
+    * regardless of how many sets are named. Grouping nulls coalesce
+    * to 'ALL' (B9's convention; the grouped columns are non-null in
+    * lineitem so the sentinel is unambiguous).
+    */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("ship_month",
+        substring(col("l_shipdate").cast("string"), 1, 7))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_month")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      .agg(Exact.sumD(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        coalesce(col("ship_month"), lit("ALL")).as("ship_month"),
+        col("sum_qty"), col("n_rows"))
+
   /** B12: value histogram — fixed-width binning + per-bin stats (the
     * distributed form of a dashboard bar chart at any cardinality).
     */

@@ -104,6 +104,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n_rows") === lineitem.count())
   }
 
+  test("groupingSets emits exactly the named granularities") {
+    val g = AnalyticsOps.groupingSetsSummary(lineitem).cache()
+    // set 1: (flag, status) — ship_month is the sentinel
+    val s1 = g.filter(col("ship_month") === "ALL" && col("returnflag") =!= "ALL")
+    assert(s1.count() ===
+      lineitem.select("l_returnflag", "l_linestatus").distinct().count())
+    // set 2: (ship_month) alone
+    val s2 = g.filter(col("ship_month") =!= "ALL")
+    assert(s2.count() === lineitem
+      .select(substring(col("l_shipdate").cast("string"), 1, 7))
+      .distinct().count())
+    assert(s2.filter(col("returnflag") =!= "ALL").count() === 0)
+    // set 3: grand total, and each set's n_rows partitions the table
+    val total = lineitem.count()
+    val grand = g.filter(col("returnflag") === "ALL"
+      && col("linestatus") === "ALL" && col("ship_month") === "ALL")
+    assert(grand.head.getAs[Long]("n_rows") === total)
+    assert(s1.agg(sum("n_rows")).head.getLong(0) === total)
+    assert(s2.agg(sum("n_rows")).head.getLong(0) === total)
+    // no rollup-chain extras: (flag, ALL, ALL) with flag real is set-1's
+    // job only when status is real too — flag-only rows must not exist
+    assert(g.filter(col("returnflag") =!= "ALL"
+      && col("linestatus") === "ALL").count() === 0)
+    g.unpersist()
+  }
+
   test("approx distinct is within the promised error of exact") {
     val a = AnalyticsOps.approxDistinct(lineitem).collect()
     a.foreach { row =>
