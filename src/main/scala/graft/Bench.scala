@@ -157,7 +157,11 @@ object Bench {
     */
   private val HeavyQueries = Seq("dedup_groups", "dedup_apply",
     "pipeline_curate", "train_split_grouped", "dedup_incremental",
-    "dedup_incremental_fold", "dedup_weights")
+    "dedup_incremental_fold", "dedup_weights",
+    // the posexplode-gram family also persists intermediates through
+    // CacheRegistry (ADVICE r6: same contamination surface as the
+    // clustering loop, so they earn the same per-process attribution)
+    "dedup_substring", "dedup_substring_rewrite", "boilerplate_strip")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],

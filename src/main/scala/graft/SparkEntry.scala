@@ -329,12 +329,16 @@ object SparkEntry {
       |  CAST(min(length(l_linestatus)) AS DOUBLE),
       |  CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""".stripMargin
 
-  // A21 full chain: DuckDB rebuilds the 7-var grid from
+  // A21/A22 full chain: DuckDB rebuilds the 13-var grid from
   // generate_series with the SAME (salt, mod, base, step) constants
   // the connector publishes (graft.sources.grid.GridSource.varSpecs
   // — one source of truth for both engines), then mirrors the
   // spatial-mean → convert_units → daily AGG_SPECS chain step by
-  // step under the decimal protocol.
+  // step under the decimal protocol. The daily stage is GENERATED
+  // from AgriOps.dailyAggSpecs (same source of truth as the Spark
+  // plan), and the water balance (tp_sum − pev_mm_sum,
+  // aggregate_daily.py:46-48) is one double subtraction in an outer
+  // select, exactly as Spark's withColumn appends it.
   private val gridPipelineSql: String = {
     val mix = "lat*31 + lon*17 + hr*13 + day*11 + ridx*7"
     val varExprs = graft.sources.grid.GridSource.varSpecs.map {
@@ -345,6 +349,15 @@ object SparkEntry {
       s"CAST(sum(CAST($c AS DECIMAL(20,6))) AS DOUBLE) / count($c)"
     val rawMeans = graft.sources.grid.GridSource.varSpecs
       .map { case (v, _) => s"${mean(v)} AS ${v}_raw" }.mkString(",\n  ")
+    val dailyAggs = graft.operators.AgriOps.dailyAggSpecs.flatMap {
+      case (c, fns) => fns.map {
+        case "mean" => s"${mean(c)} AS ${c}_mean"
+        case "min" => s"min($c) AS ${c}_min"
+        case "max" => s"max($c) AS ${c}_max"
+        case "sum" =>
+          s"CAST(round(sum(CAST($c AS DECIMAL(20,6))), 4) AS DOUBLE) AS ${c}_sum"
+      }
+    }.mkString(",\n  ")
     s"""WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1), ('r2', 2)) t(region, ridx)),
        |dd AS (SELECT unnest(generate_series(0, 2)) AS day),
        |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
@@ -359,16 +372,14 @@ object SparkEntry {
        |  t2m_raw - 273.15 AS t2m, d2m_raw - 273.15 AS d2m,
        |  tp_raw * 1000.0 AS tp,
        |  sqrt(u10_raw*u10_raw + v10_raw*v10_raw) AS wind_speed_10m,
-       |  swvl1_raw AS swvl1, swvl2_raw AS swvl2 FROM hm)
+       |  swvl1_raw AS swvl1, swvl2_raw AS swvl2,
+       |  ssrd_raw AS ssrd, ssr_raw AS ssr,
+       |  evavt_raw * 1000.0 AS evavt_mm, pev_raw * 1000.0 AS pev_mm,
+       |  lai_hv_raw AS lai_hv, lai_lv_raw AS lai_lv FROM hm)
+       |SELECT *, tp_sum - pev_mm_sum AS water_balance FROM (
        |SELECT region, date_trunc('day', ts) AS day,
-       |  ${mean("t2m")} AS t2m_mean,
-       |  min(t2m) AS t2m_min, max(t2m) AS t2m_max,
-       |  ${mean("d2m")} AS d2m_mean,
-       |  CAST(round(sum(CAST(tp AS DECIMAL(20,6))), 4) AS DOUBLE) AS tp_sum,
-       |  ${mean("swvl1")} AS swvl1_mean,
-       |  ${mean("swvl2")} AS swvl2_mean,
-       |  ${mean("wind_speed_10m")} AS wind_speed_10m_mean
-       |FROM hc GROUP BY region, date_trunc('day', ts)""".stripMargin
+       |  $dailyAggs
+       |FROM hc GROUP BY region, date_trunc('day', ts))""".stripMargin
   }
 
   // A-surface ETL composition: hourly CTE (A1's own oracle verbatim)

@@ -267,8 +267,13 @@ object AgriOps {
     */
   private lazy val filesTileDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_grid_tiles")
+    // deliberately MIXED layout: r0's tiles are ZIP-wrapped containers,
+    // r1/r2 are bare GRD — so the per-round A25 oracle re-proves the
+    // transparent container unwrap (aggregate_hourly.py:32-45's
+    // _extract_first_nc analog) alongside the plain path every round
     graft.sources.grid.GridFiles.write(dir.toString,
-      Seq("r0", "r1", "r2"), 3, 8, 8)
+      Seq("r0", "r1", "r2"), 3, 8, 8,
+      zipWrap = (region, _) => region == "r0")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
@@ -303,46 +308,68 @@ object AgriOps {
         count(lit(1)).as("n_cells"))
 
   /** A21 composed end-to-end: the reference's EXTRACT→hourly chain on
-    * the FULL 7-variable grid, straight from the DSv2 connector.
-    * Mirrors /root/reference/dask_jobs/aggregate_hourly.py exactly:
-    * spatial mean over lat×lon per (region, hour) FIRST (:70-76),
-    * THEN convert_units on the means (:15-30 — t2m/d2m K→°C, tp
-    * m→mm, wind_speed_10m = sqrt(u10²+v10²) of the MEAN components;
-    * the reference derives wind from the spatially-averaged u10/v10,
-    * not per cell, and so do we).
+    * the FULL VAR_MAP grid (all 13 downloadable variables,
+    * /root/reference/flows/download_era5_land.py:17-31), straight
+    * from the DSv2 connector. Mirrors
+    * /root/reference/dask_jobs/aggregate_hourly.py exactly: spatial
+    * mean over lat×lon per (region, hour) FIRST (:70-76), THEN
+    * convert_units on the means (:15-30 — t2m/d2m K→°C, tp m→mm,
+    * wind_speed_10m = sqrt(u10²+v10²) of the MEAN components; the
+    * reference derives wind from the spatially-averaged u10/v10, not
+    * per cell, and so do we). The water-budget terms follow tp's
+    * m→mm convention under the names the reference's daily spec
+    * anticipates (`pev_mm`, `evavt_mm` —
+    * dask_jobs/aggregate_daily.py:17-18); radiation and LAI pass
+    * through in native units.
     *
     * Exactness protocol: spatial means via [[Exact.avgD]] (exact
     * decimal sum / cell count — one double division), then each
     * conversion is the same short IEEE chain in Spark and DuckDB, so
     * every output double is bit-identical by construction. Scale: one
     * partial-agg'd groupBy over (region, hour) — the shuffle carries
-    * one 7-var decimal row per group per task, never the grid cells.
+    * one 13-var decimal row per group per task, never the grid cells.
     */
   def gridHourly(spark: SparkSession): DataFrame =
     hourlyFromGrid(spark.read.format("graft-grid").load())
 
-  /** The hourly transformation itself, over any 7-var grid frame —
-    * batch (`spark.read`) and streaming (`spark.readStream`, see
+  /** The hourly transformation itself, over any grid frame — batch
+    * (`spark.read`) and streaming (`spark.readStream`, see
     * StreamOps.gridHourlyStream) run this SAME plan: Spark's unified
     * API means mart parity between the two is by construction, and
     * the D-surface spec asserts it empirically.
+    *
+    * PRESENCE-DRIVEN like the reference's guarded convert blocks
+    * (aggregate_hourly.py:15-30 — each conversion runs only
+    * `if col in df.columns`): a grid missing a variable yields a mart
+    * missing that variable's column, never a null column. A
+    * wind_speed_10m needs BOTH components; a partial pair emits
+    * neither.
     */
   def hourlyFromGrid(grid: DataFrame): DataFrame = {
     import graft.sources.grid.GridSource
-    val vars = GridSource.varSpecs.map(_._1)
+    val vars = GridSource.varSpecs.map(_._1).filter(grid.columns.contains)
+    require(vars.nonEmpty, "grid frame carries no known weather variable")
     val means = vars.map(v => Exact.avgD(col(v)).as(s"${v}_raw"))
-    grid
+    val hm = grid
       .groupBy(col("region"), col("ts"))
       .agg(means.head, means.tail: _*)
-      .select(
-        col("region"), col("ts"),
-        (col("t2m_raw") - lit(273.15)).as("t2m"),
-        (col("d2m_raw") - lit(273.15)).as("d2m"),
-        (col("tp_raw") * lit(1000.0)).as("tp"),
-        sqrt(col("u10_raw") * col("u10_raw")
-          + col("v10_raw") * col("v10_raw")).as("wind_speed_10m"),
-        col("swvl1_raw").as("swvl1"),
-        col("swvl2_raw").as("swvl2"))
+    val has = vars.toSet
+    val outs = Seq.newBuilder[org.apache.spark.sql.Column]
+    if (has("t2m")) outs += (col("t2m_raw") - lit(273.15)).as("t2m")
+    if (has("d2m")) outs += (col("d2m_raw") - lit(273.15)).as("d2m")
+    if (has("tp")) outs += (col("tp_raw") * lit(1000.0)).as("tp")
+    if (has("u10") && has("v10"))
+      outs += sqrt(col("u10_raw") * col("u10_raw")
+        + col("v10_raw") * col("v10_raw")).as("wind_speed_10m")
+    if (has("swvl1")) outs += col("swvl1_raw").as("swvl1")
+    if (has("swvl2")) outs += col("swvl2_raw").as("swvl2")
+    if (has("ssrd")) outs += col("ssrd_raw").as("ssrd")
+    if (has("ssr")) outs += col("ssr_raw").as("ssr")
+    if (has("evavt")) outs += (col("evavt_raw") * lit(1000.0)).as("evavt_mm")
+    if (has("pev")) outs += (col("pev_raw") * lit(1000.0)).as("pev_mm")
+    if (has("lai_hv")) outs += col("lai_hv_raw").as("lai_hv")
+    if (has("lai_lv")) outs += col("lai_lv_raw").as("lai_lv")
+    hm.select(col("region") +: col("ts") +: outs.result(): _*)
   }
 
   /** A27: diurnal climatology + anomaly — xarray's
@@ -472,27 +499,65 @@ object AgriOps {
         (datediff(col("season_end"), col("season_start")) + 1).cast("long"))
   }
 
-  /** A21 composed further: hourly mart → daily mart with the
-    * reference's per-column AGG_SPECS
-    * (/root/reference/dask_jobs/aggregate_daily.py:9-18 — t2m
-    * mean/min/max, d2m mean, tp sum, swvl1/swvl2 mean,
-    * wind_speed_10m mean; flattened `{base}_{fn}` names :33-43).
-    * Daily means/sums re-quantize the hourly doubles through the
-    * decimal protocol (order-independent); min/max need no
-    * protocol. This is the whole EXTRACT→TRANSFORM reference
-    * pipeline as ONE declarative plan — connector scan, two
-    * partial-agg'd shuffles, nothing else.
+  /** The reference's per-column daily AGG_SPECS
+    * (/root/reference/dask_jobs/aggregate_daily.py:9-18): core specs
+    * verbatim (t2m mean/min/max, d2m mean, tp sum, swvl1/swvl2 mean,
+    * wind_speed_10m mean) plus the file's own anticipated water-budget
+    * extensions (`pev_mm`/`evavt_mm` sum, :17-18) and means for the
+    * remaining VAR_MAP columns. Spec order fixes output column order;
+    * flattened `{base}_{fn}` names (:33-43).
+    */
+  val dailyAggSpecs: Seq[(String, Seq[String])] = Seq(
+    "t2m" -> Seq("mean", "min", "max"),
+    "d2m" -> Seq("mean"),
+    "tp" -> Seq("sum"),
+    "swvl1" -> Seq("mean"),
+    "swvl2" -> Seq("mean"),
+    "wind_speed_10m" -> Seq("mean"),
+    "ssrd" -> Seq("mean"),
+    "ssr" -> Seq("mean"),
+    "evavt_mm" -> Seq("sum"),
+    "pev_mm" -> Seq("sum"),
+    "lai_hv" -> Seq("mean"),
+    "lai_lv" -> Seq("mean"))
+
+  /** Hourly mart → daily mart under [[dailyAggSpecs]], PRESENCE-DRIVEN
+    * exactly like the reference (aggregate_daily.py:27-29 keeps only
+    * `cols_present` — a schema-drifting backfill with a missing source
+    * column yields an ABSENT output column, never a null one), and the
+    * derived `water_balance = tp_sum − pev_mm_sum` appears only when
+    * both terms do (:46-48's conditional). Daily means/sums
+    * re-quantize the hourly doubles through the decimal protocol
+    * (order-independent); min/max need no protocol; the balance is one
+    * double subtraction of two bit-identical doubles.
+    */
+  def dailyFromHourly(hourly: DataFrame): DataFrame = {
+    val present = hourly.columns.toSet
+    val aggs = dailyAggSpecs.collect { case (c, fns) if present(c) =>
+      fns.map {
+        case "mean" => Exact.avgD(col(c)).as(s"${c}_mean")
+        case "min" => min(col(c)).as(s"${c}_min")
+        case "max" => max(col(c)).as(s"${c}_max")
+        case "sum" => Exact.sumD(col(c)).as(s"${c}_sum")
+      }
+    }.flatten
+    require(aggs.nonEmpty, "hourly frame carries no AGG_SPECS column")
+    val daily = hourly
+      .groupBy(col("region"), date_trunc("day", col("ts")).as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    if (present("tp") && present("pev_mm"))
+      daily.withColumn("water_balance", col("tp_sum") - col("pev_mm_sum"))
+    else daily
+  }
+
+  /** A21/A22 composed further: hourly mart → daily mart, the whole
+    * EXTRACT→TRANSFORM reference pipeline as ONE declarative plan —
+    * connector scan, two partial-agg'd shuffles, nothing else. With
+    * the full VAR_MAP live, the water balance
+    * (aggregate_daily.py:46-48) now flows from the connector scan
+    * end-to-end: tp and pev decode from the grid, convert to mm at
+    * the hourly stage, sum at the daily stage, and difference here.
     */
   def gridPipeline(spark: SparkSession): DataFrame =
-    gridHourly(spark)
-      .groupBy(col("region"), date_trunc("day", col("ts")).as("day"))
-      .agg(
-        Exact.avgD(col("t2m")).as("t2m_mean"),
-        min(col("t2m")).as("t2m_min"),
-        max(col("t2m")).as("t2m_max"),
-        Exact.avgD(col("d2m")).as("d2m_mean"),
-        Exact.sumD(col("tp")).as("tp_sum"),
-        Exact.avgD(col("swvl1")).as("swvl1_mean"),
-        Exact.avgD(col("swvl2")).as("swvl2_mean"),
-        Exact.avgD(col("wind_speed_10m")).as("wind_speed_10m_mean"))
+    dailyFromHourly(gridHourly(spark))
 }

@@ -622,8 +622,11 @@ object DedupOps {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
+    // hoisted: the env lookup (and the timer it gates) must not run
+    // per round in the hot loop
+    val debugLabels = sys.env.contains("GRAFT_DEBUG_LABELS")
     while (!converged && iter < maxIters) {
-      val roundT0 = System.nanoTime()
+      val roundT0 = if (debugLabels) System.nanoTime() else 0L
       val nbrMin = edges.as("e")
         .join(labels.as("l"), col("e.id2") === col("l.doc_id"))
         .groupBy(col("e.id1").as("doc_id"))
@@ -657,7 +660,7 @@ object DedupOps {
       prevSum = s
       labels = next
       iter += 1
-      if (sys.env.contains("GRAFT_DEBUG_LABELS"))
+      if (debugLabels)
         println(f"[labels] round $iter wall=${(System.nanoTime() - roundT0) / 1e9}%.2fs sum=$s converged=$converged")
     }
     graft.CacheRegistry.registerCheckpoint(labels)

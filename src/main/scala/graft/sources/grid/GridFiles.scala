@@ -40,6 +40,7 @@ import java.io.File
 object GridFiles {
   val Magic = 0x47524431
   val Hours = 24
+  private val ZipMagic = 0x504b0304 // "PK\3\4" local-file header
 
   /** A tile that cannot be decoded — torn by a crashed writer,
     * truncated mid-stream, or not a tile at all. A DEFINED error (not
@@ -67,39 +68,62 @@ object GridFiles {
     * final name that a rerun would skip as done.
     */
   def writeTile(dir: String, region: String, rIdx: Int, dayIdx: Int,
-      nLat: Int, nLon: Int, nullCells: Boolean = false): Unit = {
+      nLat: Int, nLon: Int, nullCells: Boolean = false,
+      zipWrapped: Boolean = false): Unit = {
     val f = tileFile(dir, region, dayIdx)
     f.getParentFile.mkdirs()
     val part = new File(f.getPath + ".part")
-    val out = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(part)))
-    try {
-      out.writeInt(Magic)
-      out.writeInt(Hours); out.writeInt(nLat); out.writeInt(nLon)
-      out.writeInt(GridSource.varSpecs.size)
-      GridSource.varSpecs.foreach { case (v, _) => out.writeUTF(v) }
-      GridSource.varSpecs.foreach { case (v, _) =>
-        var h = 0
-        while (h < Hours) {
-          var la = 0
-          while (la < nLat) {
-            var lo = 0
-            while (lo < nLon) {
-              out.writeDouble(
-                if (nullCells && GridSource.cellMasked(v, rIdx, dayIdx, h, la, lo))
-                  Double.NaN
-                else GridSource.varValue(v, rIdx, dayIdx, h, la, lo))
-              lo += 1
-            }
-            la += 1
-          }
-          h += 1
-        }
-      }
-    } finally out.close()
+    if (zipWrapped) {
+      // ZIP-wrapped container: the payload lives as the single
+      // `day=N.grd` entry inside a ZIP at the tile's usual name — the
+      // shape the reference's downloader sometimes leaves behind (a
+      // "NetCDF" month file that is really a ZIP;
+      // /root/reference/dask_jobs/aggregate_hourly.py:32-45 unwraps
+      // the first member transparently, and so does [[openPayload]])
+      val zos = new java.util.zip.ZipOutputStream(
+        new BufferedOutputStream(new FileOutputStream(part)))
+      try {
+        zos.putNextEntry(new java.util.zip.ZipEntry(s"day=$dayIdx.grd"))
+        val out = new DataOutputStream(zos)
+        writePayload(out, rIdx, dayIdx, nLat, nLon, nullCells)
+        out.flush()
+        zos.closeEntry()
+      } finally zos.close()
+    } else {
+      val out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(part)))
+      try writePayload(out, rIdx, dayIdx, nLat, nLon, nullCells)
+      finally out.close()
+    }
     java.nio.file.Files.move(part.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def writePayload(out: DataOutputStream, rIdx: Int, dayIdx: Int,
+      nLat: Int, nLon: Int, nullCells: Boolean): Unit = {
+    out.writeInt(Magic)
+    out.writeInt(Hours); out.writeInt(nLat); out.writeInt(nLon)
+    out.writeInt(GridSource.varSpecs.size)
+    GridSource.varSpecs.foreach { case (v, _) => out.writeUTF(v) }
+    GridSource.varSpecs.foreach { case (v, _) =>
+      var h = 0
+      while (h < Hours) {
+        var la = 0
+        while (la < nLat) {
+          var lo = 0
+          while (lo < nLon) {
+            out.writeDouble(
+              if (nullCells && GridSource.cellMasked(v, rIdx, dayIdx, h, la, lo))
+                Double.NaN
+              else GridSource.varValue(v, rIdx, dayIdx, h, la, lo))
+            lo += 1
+          }
+          la += 1
+        }
+        h += 1
+      }
+    }
   }
 
   /** Materialize the full extent (the "download everything" backfill).
@@ -115,11 +139,13 @@ object GridFiles {
     */
   def write(dir: String, regions: Seq[String], nDays: Int, nLat: Int,
       nLon: Int, nullCells: Boolean = false,
-      skipExisting: Boolean = false): Int = {
+      skipExisting: Boolean = false,
+      zipWrap: (String, Int) => Boolean = (_, _) => false): Int = {
     var written = 0
     for ((r, rIdx) <- regions.zipWithIndex; d <- 0 until nDays)
       if (!(skipExisting && isValidTile(tileFile(dir, r, d)))) {
-        writeTile(dir, r, rIdx, d, nLat, nLon, nullCells)
+        writeTile(dir, r, rIdx, d, nLat, nLon, nullCells,
+          zipWrapped = zipWrap(r, d))
         written += 1
       }
     written
@@ -167,11 +193,62 @@ object GridFiles {
     * [[CorruptTileException]] here, at open time, instead of a
     * mid-scan EOF five joins downstream.
     */
+  /** Is the file a ZIP container rather than a bare GRD payload? */
+  private def isZipContainer(f: File): Boolean = {
+    if (!f.isFile || f.length < 4) return false
+    val in = new DataInputStream(new FileInputStream(f))
+    try in.readInt() == ZipMagic finally in.close()
+  }
+
+  /** Open the tile's GRD payload as (stream, logical payload length),
+    * transparently unwrapping a ZIP container: a tile whose bytes
+    * start with the ZIP magic is opened as an archive and its first
+    * `.grd` member (first member at all, failing that) becomes the
+    * payload — the reference's `_extract_first_nc` behavior
+    * (/root/reference/dask_jobs/aggregate_hourly.py:32-45: a month
+    * "NetCDF" that is actually a ZIP yields its first `*.nc` member).
+    * The length is the member's UNCOMPRESSED size from the central
+    * directory, so the torn-tile check validates the logical payload,
+    * not the container. A broken archive throws the same defined
+    * [[CorruptTileException]] a torn bare tile does.
+    */
+  private def openPayload(f: File): (DataInputStream, Long) =
+    if (isZipContainer(f)) {
+      val zf =
+        try new java.util.zip.ZipFile(f)
+        catch {
+          case e: java.io.IOException => throw new CorruptTileException(
+            s"tile $f looks ZIP-wrapped but the archive is unreadable: " +
+              e.getMessage)
+        }
+      try {
+        import scala.jdk.CollectionConverters._
+        val members = zf.entries.asScala.filterNot(_.isDirectory).toSeq
+        val entry = members.find(_.getName.endsWith(".grd"))
+          .orElse(members.headOption)
+          .getOrElse(throw new CorruptTileException(
+            s"ZIP-wrapped tile $f has no members"))
+        if (entry.getSize < 0)
+          throw new CorruptTileException(
+            s"ZIP-wrapped tile $f member ${entry.getName} has no recorded size")
+        val in = new DataInputStream(
+          new BufferedInputStream(zf.getInputStream(entry))) {
+          override def close(): Unit = { super.close(); zf.close() }
+        }
+        (in, entry.getSize)
+      } catch {
+        case e: Throwable =>
+          try zf.close() catch { case _: Throwable => () }
+          throw e
+      }
+    } else
+      (new DataInputStream(new BufferedInputStream(new FileInputStream(f))),
+        f.length)
+
   def readHeader(f: File): TileHeader = {
     if (!f.isFile)
       throw new CorruptTileException(s"tile $f does not exist")
-    val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(f)))
+    val (in, payloadLen) = openPayload(f)
     val header =
       try readHeader(in)
       catch {
@@ -181,18 +258,22 @@ object GridFiles {
       } finally in.close()
     val expected = header.headerBytes +
       header.varNames.size.toLong * header.blockDoubles * 8L
-    if (f.length != expected)
+    if (payloadLen != expected)
       throw new CorruptTileException(
-        s"tile $f is torn: ${f.length} bytes on disk, " +
+        s"tile $f is torn: $payloadLen payload bytes, " +
           s"layout requires $expected — rerun the backfill " +
           "(a crashed pre-atomic writer or disk fault left it)")
     header
   }
 
-  /** Read one variable's full block from a tile, decoding nothing else. */
+  /** Read one variable's full block from a tile, decoding nothing
+    * else. On a bare tile the skip is a file seek; inside a ZIP
+    * container it decompresses-and-discards up to the block (the
+    * container trades that for transport compression, exactly as the
+    * reference's zipped downloads do).
+    */
   def readVarBlock(file: File, header: TileHeader, name: String): Array[Double] = {
-    val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(file)))
+    val (in, _) = openPayload(file)
     try {
       var toSkip = header.blockOffset(name)
       while (toSkip > 0) {

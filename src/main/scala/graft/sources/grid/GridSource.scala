@@ -36,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * independent splits, no driver-side data. The ScanBuilder
   * implements BOTH DSv2 pushdown surfaces:
   *  - SupportsPushDownRequiredColumns: a `select(region, t2m)` reads
-  *    2 of 11 columns — the reader never computes the other six
+  *    2 of 17 columns — the reader never computes the other twelve
   *    weather variables at all (the DSv2 equivalent of parquet
   *    column pruning, and the reason a one-variable mart over the
   *    7-var grid costs one variable, not seven);
@@ -48,17 +48,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    filtering, under-inclusion cannot happen.
   */
 object GridSource {
-  /** The reference's full 7-variable download list
-    * (/root/reference/dask_jobs/extract_era5.py:14-16): 2 m air +
+  /** The reference's FULL download variable map — the 7-variable core
+    * list (/root/reference/dask_jobs/extract_era5.py:14-16): 2 m air +
     * dew-point temperature [K], total precipitation [m], 10 m wind
-    * components [m/s], and two soil-water layers [m³/m³]. Per var:
-    * (salt, modulus, base, step) of the deterministic integer mix —
-    * value = (base + m*step) / 1000.0 with
+    * components [m/s], two soil-water layers [m³/m³] — plus the six
+    * extended VAR_MAP entries
+    * (/root/reference/flows/download_era5_land.py:17-31): downward /
+    * net surface solar radiation [J/m²], vegetation-transpiration and
+    * potential evaporation [m of water], and high/low-vegetation leaf
+    * area index [m²/m²]. Per var: (salt, modulus, base, step) of the
+    * deterministic integer mix — value = (base + m*step) / 1000.0 with
     * m = (lat*31 + lon*17 + hour*13 + day*11 + rIdx*7 + salt) % mod.
     * Integer numerator + ONE double division → bit-identical in any
     * engine (the §5 protocol); each var gets its own salt and a
     * physically plausible range. t2m keeps the round-2 constants so
-    * every existing oracle/spec value is unchanged.
+    * every existing oracle/spec value is unchanged; the extended six
+    * are APPENDED so core-var block offsets in existing tiles stay put.
     */
   val varSpecs: Seq[(String, (Int, Int, Long, Long))] = Seq(
     "t2m" -> (0, 400, 253150L, 100L), // [253.15, 293.05) K
@@ -67,7 +72,13 @@ object GridSource {
     "u10" -> (163, 400, -20000L, 100L), // [-20.0, 19.9] m/s
     "v10" -> (211, 400, -20000L, 100L),
     "swvl1" -> (37, 400, 50L, 1L), // [0.05, 0.449] m³/m³
-    "swvl2" -> (83, 400, 50L, 1L))
+    "swvl2" -> (83, 400, 50L, 1L),
+    "ssrd" -> (241, 400, 0L, 2000L), // [0, 798] hourly J/m² (scaled)
+    "ssr" -> (283, 400, 0L, 1500L), // net ≲ downward radiation range
+    "evavt" -> (311, 8, 0L, 1L), // [0, 0.007] m of transpired water
+    "pev" -> (349, 8, 0L, 1L), // [0, 0.007] m potential evaporation
+    "lai_hv" -> (397, 400, 0L, 17L), // [0, 6.783] m²/m²
+    "lai_lv" -> (431, 400, 0L, 12L)) // [0, 4.788] m²/m²
 
   // measurement columns are nullable: real ERA5 tiles carry MASKED
   // cells (sea points in a land dataset), surfaced as null — see
@@ -162,6 +173,14 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
   // File-backed tiles carry masking IN the payload (NaN fill value),
   // so the option only drives the synthetic reader.
   private val nullCells = options.getBoolean("nullCells", false)
+  // format=files tile reads run under a bounded retry-with-delay
+  // (graft.sources.Retry — the reference's @task(retries=2,
+  // retry_delay_seconds=30) analog, download_era5_land.py:60): a
+  // torn/corrupt tile a concurrent backfill is re-extracting succeeds
+  // on re-attempt; one that stays broken surfaces the typed
+  // RetryExhaustedException after `retries` extra attempts.
+  private val retries = options.getInt("retries", 2)
+  private val retryDelayMs = options.getLong("retryDelayMs", 30000L)
   require(format == "synthetic" || format == "files",
     s"graft-grid format must be synthetic|files, got $format")
   require(format != "files" || path.nonEmpty,
@@ -220,14 +239,15 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = new GridScan(requiredSchema, regions,
     keepRegions, nDays, nLat, nLon, startEpochSec, tsLo, tsHi,
-    daysPerBatch, format, path, nullCells)
+    daysPerBatch, format, path, nullCells, retries, retryDelayMs)
 }
 
 class GridScan(requiredSchema: StructType, allRegions: Seq[String],
     keepRegions: Set[String], nDays: Int, nLat: Int, nLon: Int,
     startEpochSec: Long, tsLo: Long, tsHi: Long, daysPerBatch: Int = 1,
     format: String = "synthetic", path: String = "",
-    nullCells: Boolean = false)
+    nullCells: Boolean = false, retries: Int = 2,
+    retryDelayMs: Long = 30000L)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -255,7 +275,7 @@ class GridScan(requiredSchema: StructType, allRegions: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     GridReaderFactory(requiredSchema.fieldNames, nLat, nLon, startEpochSec,
-      format, path, nullCells)
+      format, path, nullCells, retries, retryDelayMs)
 
   /** D8: the EXTRACT connector as a STREAMING source — offsets are
     * day indices and admission control caps each micro-batch at
@@ -312,12 +332,14 @@ case class GridInputPartition(rIdx: Int, region: String, dayIdx: Int)
 
 case class GridReaderFactory(fields: Array[String], nLat: Int, nLon: Int,
     startEpochSec: Long, format: String = "synthetic", path: String = "",
-    nullCells: Boolean = false)
+    nullCells: Boolean = false, retries: Int = 2,
+    retryDelayMs: Long = 30000L)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GridInputPartition]
     if (format == "files")
-      new FileGridPartitionReader(gp, fields, nLat, nLon, startEpochSec, path)
+      new FileGridPartitionReader(gp, fields, nLat, nLon, startEpochSec, path,
+        graft.sources.Retry.Policy(retries = retries, delayMs = retryDelayMs))
     else new GridPartitionReader(gp, fields, nLat, nLon, startEpochSec,
       nullCells)
   }
@@ -402,7 +424,8 @@ class GridPartitionReader(p: GridInputPartition, fields: Array[String],
   * corrupt every downstream mart.
   */
 class FileGridPartitionReader(p: GridInputPartition, fields: Array[String],
-    nLat: Int, nLon: Int, startEpochSec: Long, path: String)
+    nLat: Int, nLon: Int, startEpochSec: Long, path: String,
+    retry: graft.sources.Retry.Policy = graft.sources.Retry.noRetry)
     extends PartitionReader[InternalRow] {
 
   private val regionU = UTF8String.fromString(p.region)
@@ -414,11 +437,17 @@ class FileGridPartitionReader(p: GridInputPartition, fields: Array[String],
   // the exec plans but never pulls) does no I/O
   private var blocks: Map[String, Array[Double]] = null
 
-  private def decode(): Unit = {
+  // the whole open-validate-read sequence re-attempts under the scan's
+  // retry policy: a torn tile that a concurrent backfill repairs
+  // between attempts decodes cleanly on the re-open; one that stays
+  // broken throws the typed RetryExhaustedException wrapping the
+  // CorruptTileException. A dimension mismatch is a CONFIG bug
+  // (IllegalArgumentException) — never retried, fails raw.
+  private def decode(): Unit = graft.sources.Retry(retry) {
     val file = GridFiles.tileFile(path, p.region, p.dayIdx)
     // validating overload: a torn/corrupt tile throws the DEFINED
-    // CorruptTileException at open time (file length checked against
-    // the header's layout), never a mid-scan EOF
+    // CorruptTileException at open time (payload length checked
+    // against the header's layout), never a mid-scan EOF
     val header = GridFiles.readHeader(file)
     require(header.nHours == 24 && header.nLat == nLat && header.nLon == nLon,
       s"tile $file is ${header.nHours}x${header.nLat}x${header.nLon}, " +

@@ -79,7 +79,9 @@ class GridSourceSpec extends SparkSpec {
     val daily = graft.operators.AgriOps.gridPipeline(spark)
     assert(daily.columns.toSeq === Seq("region", "day", "t2m_mean",
       "t2m_min", "t2m_max", "d2m_mean", "tp_sum", "swvl1_mean",
-      "swvl2_mean", "wind_speed_10m_mean"))
+      "swvl2_mean", "wind_speed_10m_mean", "ssrd_mean", "ssr_mean",
+      "evavt_mm_sum", "pev_mm_sum", "lai_hv_mean", "lai_lv_mean",
+      "water_balance"))
     val rows = daily.collect()
     assert(rows.length === 9) // 3 regions x 3 days
     rows.foreach { r =>
@@ -88,7 +90,35 @@ class GridSourceSpec extends SparkSpec {
       // °C range sanity after the K→°C conversion
       assert(mn > -30.0 && mx < 30.0)
       assert(r.getDouble(9) >= 0.0) // wind speed is a magnitude
+      // water balance is exactly the difference of its two terms
+      // (aggregate_daily.py:46-48), both already bit-determined
+      assert(r.getDouble(16) ===
+        r.getDouble(r.fieldIndex("tp_sum")) -
+          r.getDouble(r.fieldIndex("pev_mm_sum")))
     }
+  }
+
+  test("daily AGG_SPECS are presence-driven with conditional water balance") {
+    val hourly = graft.operators.AgriOps.gridHourly(spark)
+    // schema-drifting backfill: a missing source column yields an
+    // ABSENT output column (aggregate_daily.py:27-29), and the
+    // balance disappears with its pev term (:46-48)
+    val drifted = graft.operators.AgriOps.dailyFromHourly(hourly.drop("pev_mm"))
+    assert(!drifted.columns.contains("pev_mm_sum"))
+    assert(!drifted.columns.contains("water_balance"))
+    assert(drifted.columns.contains("tp_sum"))
+    // the hourly convert stage is presence-driven too
+    // (aggregate_hourly.py:15-30's guarded blocks): a scan pruned to
+    // two variables converts exactly those, and wind_speed_10m never
+    // appears from a lone component
+    val thinHourly = graft.operators.AgriOps.hourlyFromGrid(
+      spark.read.format("graft-grid").load()
+        .select("region", "ts", "t2m", "tp", "u10"))
+    assert(thinHourly.columns.toSeq === Seq("region", "ts", "t2m", "tp"))
+    val thinDaily = graft.operators.AgriOps.dailyFromHourly(thinHourly)
+    assert(thinDaily.columns.toSeq === Seq("region", "day", "t2m_mean",
+      "t2m_min", "t2m_max", "tp_sum"))
+    assert(thinDaily.count() === 9)
   }
 
   test("format=files reader decodes on-disk tiles bit-identical to the formula") {
@@ -339,5 +369,111 @@ class GridSourceSpec extends SparkSpec {
     // same checkpoint → all day offsets already committed → no new rows
     drain()
     assert(spark.read.parquet(out).count() === 3L * 3 * 24 * 8 * 8)
+  }
+
+  test("ZIP-wrapped tiles decode transparently beside plain ones") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_zip").toString
+    // mixed layout: r0's tiles are ZIP containers, r1/r2 bare GRD —
+    // one extent, two on-disk shapes, ONE reader path
+    GridFiles.write(dir, Seq("r0", "r1", "r2"), 3, 8, 8,
+      zipWrap = (region, _) => region == "r0")
+    def magic(f: java.io.File): Int = {
+      val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
+      try in.readInt() finally in.close()
+    }
+    assert(magic(GridFiles.tileFile(dir, "r0", 0)) === 0x504b0304)
+    assert(magic(GridFiles.tileFile(dir, "r1", 0)) === GridFiles.Magic)
+    // the container genuinely compresses (deflate over the formula grid)
+    assert(GridFiles.tileFile(dir, "r0", 0).length <
+      GridFiles.tileFile(dir, "r1", 0).length)
+    // header validation sees the LOGICAL payload through the container
+    val h = GridFiles.readHeader(GridFiles.tileFile(dir, "r0", 2))
+    assert(h.nLat === 8 && h.varNames === GridSource.varSpecs.map(_._1))
+    // bit-identical to the synthetic grid across the whole mixed extent
+    val files = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir).load()
+    assert(files.count() === 3L * 3 * 24 * 8 * 8)
+    assert(files.except(grid).isEmpty && grid.except(files).isEmpty)
+    // a truncated container is the same DEFINED corrupt-tile state a
+    // torn bare tile is — not a ZipException from codec depths
+    val zt = GridFiles.tileFile(dir, "r0", 1)
+    val ch = java.nio.channels.FileChannel.open(zt.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(zt.length() / 2) finally ch.close()
+    assert(!GridFiles.isValidTile(zt))
+    intercept[GridFiles.CorruptTileException] { GridFiles.readHeader(zt) }
+    // and the backfill rerun treats it as missing, like any torn tile
+    assert(GridFiles.write(dir, Seq("r0", "r1", "r2"), 3, 8, 8,
+      skipExisting = true, zipWrap = (r, _) => r == "r0") === 1)
+    assert(GridFiles.isValidTile(zt))
+  }
+
+  test("retry policy: transient failures recover, exhaustion is typed") {
+    import graft.sources.Retry
+    import graft.sources.grid.GridFiles
+    var calls = 0
+    var sleeps = List.empty[Long]
+    val p = Retry.Policy(retries = 2, delayMs = 30L, sleep = d => sleeps ::= d)
+    // fails twice with the transient corrupt-tile state, then succeeds
+    val out = Retry(p) {
+      calls += 1
+      if (calls < 3) throw new GridFiles.CorruptTileException("injected torn")
+      42
+    }
+    assert(out === 42 && calls === 3 && sleeps === List(30L, 30L))
+    // permanent failure: the typed terminal error wraps the last cause
+    calls = 0
+    val e = intercept[Retry.RetryExhaustedException] {
+      Retry(p) { calls += 1
+        throw new GridFiles.CorruptTileException("always torn") }
+    }
+    assert(e.attempts === 3 && calls === 3)
+    assert(e.getCause.isInstanceOf[GridFiles.CorruptTileException])
+    // a non-transient error is NEVER retried and propagates raw
+    calls = 0
+    intercept[IllegalStateException] {
+      Retry(p) { calls += 1; throw new IllegalStateException("bug") }
+    }
+    assert(calls === 1)
+  }
+
+  test("a torn tile repaired concurrently succeeds under the scan's retry") {
+    import graft.sources.grid.GridFiles
+    val dir = java.nio.file.Files.createTempDirectory("grid_retry").toString
+    GridFiles.write(dir, Seq("r0"), 1, 4, 4)
+    val tile = GridFiles.tileFile(dir, "r0", 0)
+    def tear(): Unit = {
+      val ch = java.nio.channels.FileChannel.open(tile.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(tile.length() / 2) finally ch.close()
+    }
+    tear()
+    def read(retries: Int, delayMs: Int) = spark.read.format("graft-grid")
+      .option("format", "files").option("path", dir)
+      .option("regions", "r0").option("days", "1")
+      .option("nlat", "4").option("nlon", "4")
+      .option("retries", retries.toString)
+      .option("retryDelayMs", delayMs.toString).load()
+    // the concurrent-backfill scenario the delay exists for: the scan's
+    // first attempts hit the torn tile; the repair lands mid-retry
+    val fixer = new Thread(() => {
+      Thread.sleep(200)
+      GridFiles.write(dir, Seq("r0"), 1, 4, 4, skipExisting = true)
+      ()
+    })
+    fixer.start()
+    try assert(read(retries = 20, delayMs = 100).count() === 24L * 4 * 4)
+    finally fixer.join()
+    // permanently torn, no repair: the typed give-up error surfaces
+    // through the scan instead of spinning forever
+    tear()
+    val err = intercept[org.apache.spark.SparkException] {
+      read(retries = 1, delayMs = 10).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(err).exists(
+      _.isInstanceOf[graft.sources.Retry.RetryExhaustedException]))
   }
 }
