@@ -64,11 +64,15 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(k.groupBy("q_id", "rank").count().filter(col("count") > 1).count() === 0)
   }
 
-  test("knnLsh multi-probe recall vs knnBrute truth is >= 0.6") {
+  test("knnLsh multi-probe recall vs knnBrute truth is >= 0.75") {
     // the audit VERDICT r1 asked for: LSH answers measured against
     // exact brute-force truth, with a floor. Query-directed multi-probe
-    // + 2 tables is what lifts recall past the floor (single-table
-    // bucket-only probing measured 0.14 on this near-random corpus).
+    // + independent tables are what lift recall past the floor
+    // (single-table bucket-only probing measured 0.14 on this
+    // near-random corpus). Floor tightened 0.6 → 0.75 (VERDICT r6 #8):
+    // the defaults measure 0.78 here, and the corpus + queries are
+    // deterministic, so the floor is a real regression tripwire, not
+    // slack.
     val nQ = 10
     val truth = SimilarityOps.knnBrute(embeddings, nQueries = nQ, k = 5)
       .select("q_id", "c_id")
@@ -78,7 +82,7 @@ class SimilarityTextOpsSpec extends SparkSpec {
     val hit = truth.join(ann, Seq("q_id", "c_id"), "left_semi").count()
     val recall = hit / nTruth
     info(f"knnLsh recall@5 = $recall%.3f ($hit of ${nTruth.toLong})")
-    assert(recall >= 0.6, f"recall $recall%.3f below floor 0.6")
+    assert(recall >= 0.75, f"recall $recall%.3f below floor 0.75")
   }
 
   test("knnLsh widening the probe set never shrinks per-query results") {
@@ -109,8 +113,9 @@ class SimilarityTextOpsSpec extends SparkSpec {
     info(f"knnIvf recall@5 = $recall%.3f (nProbe=4/nLists=16)")
     // measures 0.94 on the test corpus: data-adaptive centroids beat
     // fixed hyperplanes by a wide margin here (cf. knnLsh's 0.78 at a
-    // much larger probe budget)
-    assert(recall >= 0.6, f"recall $recall%.3f below floor 0.6")
+    // much larger probe budget). Floor tightened 0.6 → 0.9 (VERDICT
+    // r6 #8) — deterministic corpus, so the margin is real.
+    assert(recall >= 0.9, f"recall $recall%.3f below floor 0.9")
   }
 
   test("langId picks a language deterministically") {
