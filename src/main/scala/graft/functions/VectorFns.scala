@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, Md5Hash32, SortedIntersectCount, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -36,4 +36,17 @@ object VectorFns {
   def top_k(e: Column, k: Int): Column =
     bridge.column(TopKAggregate(bridge.expression(e), k)
       .toAggregateExpression())
+
+  /** Media header decode: binary payload → struct(n_bytes, width,
+    * height, n_frames, format), codegen'd — see graftx.MediaMetaExpr.
+    */
+  def media_meta(payload: Column): Column =
+    bridge.column(MediaMetaExpr(bridge.expression(payload)))
+
+  /** Synthetic-media builder: prepend a real PNG/JPEG header with
+    * doc_id-derived dimensions — see graftx.MediaWrapExpr.
+    */
+  def media_wrap(docId: Column, payload: Column, png: Boolean): Column =
+    bridge.column(MediaWrapExpr(bridge.expression(docId),
+      bridge.expression(payload), png))
 }

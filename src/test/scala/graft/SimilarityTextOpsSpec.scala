@@ -207,6 +207,22 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(r.filter(col("out_width") > col("width")).count() === 0)
   }
 
+  test("multimodal decode is a native expression: no object barrier in plan") {
+    // VERDICT r6 #6: the decode used to be three mapPartitions row
+    // maps — Deserialize→closure→Serialize, splitting whole-stage
+    // codegen. As a Catalyst expression the whole build+decode chain
+    // is one fused projection: no object conversion nodes anywhere.
+    val plan = MultimodalOps.extractMetaFrom(spark,
+        MultimodalOps.toPngMediaTable(spark, documents)
+          .union(MultimodalOps.toJpegMediaTable(spark, documents)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      "decode path reintroduced an object-serialization barrier")
+    assert(!plan.contains("DeserializeToObject"))
+    assert(!plan.contains("MapPartitions"))
+    assert(plan.contains("media_meta"), "native decode expression missing")
+  }
+
   test("multimodal stub: metadata schema and stats flow") {
     val m = MultimodalOps.extractMeta(spark, documents)
     assert(m.columns.toSet === Set("doc_id", "n_bytes", "width", "height", "n_frames", "format"))
