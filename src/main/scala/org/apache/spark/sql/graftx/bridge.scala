@@ -61,15 +61,90 @@ object bridge {
     */
   def plainLocalCheckpoint(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
     val ds = df.asInstanceOf[
       org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    val internalRdd = ds.queryExecution.toRdd.map(_.copy())
+    val qe = ds.queryExecution
+    val internalRdd = qe.toRdd.map(_.copy())
     internalRdd.localCheckpoint()
     internalRdd.count()
+    // Unlike origin STATS (the 2^rounds trap above), the executed
+    // plan's output PARTITIONING/ORDERING are O(1) to read and can be
+    // worth carrying (ADVICE r6): a consumer joining/aggregating on
+    // the same keys then elides its exchange. Read AFTER count():
+    // AQE's final plan (and its real partitioning) exists only once
+    // the RDD has materialized; the map(_.copy()) wrapper preserves
+    // partition boundaries and intra-partition order, so the declared
+    // metadata stays truthful. Same firstLeaf unwrap of
+    // PartitioningCollection as Dataset.localCheckpoint's fromDataset.
+    //
+    // CAVEAT (measured, round 7): AQE usually COALESCES a small
+    // checkpointed frame to a handful of partitions. Carrying that
+    // narrow partitioning makes every later join against the
+    // checkpoint co-partition down to it — the big probe side runs at
+    // parallelism 2-4 instead of 32. Bench A/B on the dedup family at
+    // sf0.1: unconditional carry 46.9 s vs no carry 33.4 s
+    // (dedup_groups 14.0 → 6.4 s, dedup_apply 12.5 → 6.0 s). So the
+    // carry is GUARDED: only a partitioning at least as wide as the
+    // session's shuffle parallelism is declared — exchange elision
+    // never comes at the cost of downstream parallelism.
+    val finalPlan = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    @scala.annotation.tailrec
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case o => o
+    }
+    // physical attrs can carry different exprIds than the analyzed
+    // output (optimizer aliasing); remap partitioning/ordering through
+    // Spark's own position-wise assoc, dropping to Unknown/Nil if the
+    // outputs don't align — a wrong declaration here would silently
+    // skip NEEDED exchanges, so misalignment must fail closed
+    // A/B toggle (perf measurement + escape hatch): carrying a LOW
+    // partition count (AQE-coalesced) can force a later big-side join
+    // down to it — if that ever bites, disable the carry per JVM
+    val assoc =
+      if (!java.lang.Boolean.parseBoolean(
+          System.getProperty("graft.checkpoint.carryPartitioning", "true")))
+        None
+      else org.apache.spark.sql.execution.LogicalRDD
+        .buildOutputAssocForRewrite(finalPlan.output, qe.analyzed.output)
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression => CExpr, SortOrder}
+    val minParts = ds.sparkSession.sessionState.conf.numShufflePartitions
+    val (part, ordering) = assoc match {
+      case Some(m) =>
+        def remapAttrs[T <: CExpr](e: T): T =
+          e.transform { case a: Attribute => m.getOrElse(a, a) }
+            .asInstanceOf[T]
+        val p0 =
+          try firstLeaf(finalPlan.outputPartitioning)
+          catch { case _: UnsupportedOperationException => UnknownPartitioning(0) }
+        val p = p0 match {
+          case e: CExpr if p0.numPartitions >= minParts =>
+            remapAttrs(e).asInstanceOf[Partitioning]
+          case _ => UnknownPartitioning(0)
+        }
+        (p, finalPlan.outputOrdering.map(remapAttrs[SortOrder]))
+      case None => (UnknownPartitioning(0), Nil)
+    }
     val lr = org.apache.spark.sql.execution.LogicalRDD(
-      ds.queryExecution.analyzed.output, internalRdd)(ds.sparkSession)
+      qe.analyzed.output, internalRdd, part, ordering)(ds.sparkSession)
     org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, lr)
   }
+
+  /** Declared output partitioning of a checkpoint leaf (spec access —
+    * LogicalRDD is private[sql]).
+    */
+  def checkpointPartitioning(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.catalyst.plans.physical.Partitioning] =
+    analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(lr.outputPartitioning)
+      case _ => None
+    }
 
   /** Drain the listener bus so stage metrics observed by bench
     * listeners are complete before reading them (listener events are

@@ -46,4 +46,29 @@ class CacheRegistrySpec extends SparkSpec {
     assert((persistentRddIds -- before).isEmpty,
       "dedupGroups must not leak blocks past CacheRegistry.unpersistAll")
   }
+
+  test("plainLocalCheckpoint carries the child's hash partitioning") {
+    import org.apache.spark.sql.graftx.bridge
+    // ADVICE r6: the plain LogicalRDD used to declare
+    // UnknownPartitioning, so every consumer re-shuffled data that was
+    // already hash-placed — one avoidable exchange of the carried
+    // labels per label-loop round
+    val df = spark.range(100)
+      .select((col("id") % 10).as("k"), col("id").as("v"))
+      .repartition(4, col("k"))
+    val ck = bridge.plainLocalCheckpoint(df)
+    val part = bridge.checkpointPartitioning(ck)
+      .getOrElse(fail("checkpoint did not produce a LogicalRDD leaf"))
+    assert(part.toString.toLowerCase.contains("hashpartitioning"),
+      s"expected hash partitioning carried through, got $part")
+    // consumer aggregating on the same key: zero exchanges in the
+    // executed plan (4 = the session's shuffle partitions, so the
+    // carried partitioning satisfies the agg's distribution exactly)
+    val agg = ck.groupBy("k").agg(sum("v").as("s"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "groupBy on the carried partitioning key re-shuffled")
+    // release the pinned blocks
+    bridge.checkpointRdd(ck).foreach(_.unpersist(true))
+  }
 }
