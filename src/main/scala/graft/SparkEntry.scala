@@ -196,6 +196,9 @@ object SparkEntry {
       TextOps.trainSplitGrouped(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
     "dedup_apply" -> ((s, d) => DedupOps.dedupApply(Tables.documents(s, d), 0.7)),
+    "dedup_priority" -> ((s, d) => DedupOps.dedupPriority(Tables.documents(s, d), 0.7)),
+    "doc_entropy" -> ((s, d) => TextOps.docEntropy(Tables.documents(s, d))),
+    "ccnet_bucket" -> ((s, d) => TextOps.ccnetBucket(Tables.documents(s, d))),
     "dedup_weights" -> ((s, d) => DedupOps.dedupWeights(Tables.documents(s, d), 0.7)),
     "boilerplate_strip" -> ((s, d) => TextOps.boilerplateStrip(Tables.documents(s, d))),
     "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
@@ -422,6 +425,33 @@ object SparkEntry {
       |  UNION
       |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
       |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id)""".stripMargin
+
+  // C32's full oracle, shared verbatim by lm_score and (as the
+  // scoring CTE) ccnet_bucket — one source of truth for the bigram-LM
+  // determinism protocol
+  private val lmScoreSql =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |bl AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+      |  THEN list_transform(generate_series(1, len(toks) - 1),
+      |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))
+      |  ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END AS bgs FROM t),
+      |bu AS (SELECT doc_id, unnest(bgs) AS p FROM bl),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bu),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
+      |terms AS (SELECT doc_id,
+      |  CAST(-ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE))
+      |    AS DECIMAL(38,18)) AS q
+      |  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(q) AS DOUBLE) / count(*) AS avg_nll
+      |  FROM terms GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |round(sc.avg_nll, 4) AS avg_nll,
+      |round(exp(round(sc.avg_nll, 4)), 4) AS ppl
+      |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_grid_pipeline" -> gridPipelineSql,
@@ -1336,29 +1366,7 @@ object SparkEntry {
     // DECIMAL(38,18) (order-independent sums in both engines); the
     // published mean + ppl use the q_corr round-4 protocol, and ppl
     // exponentiates the ROUNDED mean so exp sees identical inputs
-    "lm_score" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |bl AS (SELECT doc_id, CASE WHEN len(toks) >= 2
-        |  THEN list_transform(generate_series(1, len(toks) - 1),
-        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))
-        |  ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END AS bgs FROM t),
-        |bu AS (SELECT doc_id, unnest(bgs) AS p FROM bl),
-        |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bu),
-        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-        |uc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY 1),
-        |terms AS (SELECT doc_id,
-        |  CAST(-ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE))
-        |    AS DECIMAL(38,18)) AS q
-        |  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)),
-        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(q) AS DOUBLE) / count(*) AS avg_nll
-        |  FROM terms GROUP BY 1)
-        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
-        |round(sc.avg_nll, 4) AS avg_nll,
-        |round(exp(round(sc.avg_nll, 4)), 4) AS ppl
-        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "lm_score" -> lmScoreSql,
     // positional fingerprint: md5-derived 32-bit token hash
     // (md5_number_upper reads the first 8 digest bytes little-endian —
     // the Spark side byte-swaps hex chars 9..16 to match) MULTIPLIED
@@ -1398,6 +1406,58 @@ object SparkEntry {
         |SELECT c.doc_id, d.source, d.n_chars, s.n_members AS n_merged
         |FROM c JOIN s USING (component) JOIN documents d USING (doc_id)
         |WHERE c.doc_id = c.component""".stripMargin,
+    // C50: the same transitive closure, canonical row elected by
+    // (source-tier, longest copy, doc_id) instead of min doc_id; the
+    // tier is the deterministic srcN → N mod 3 stand-in
+    "dedup_priority" -> (closureCteSql +
+      """,
+        |j AS (SELECT c.component, c.doc_id, d.source, d.n_chars,
+        |  CAST(substr(d.source, 4) AS BIGINT) % 3 AS prio
+        |  FROM c JOIN documents d USING (doc_id)),
+        |nm AS (SELECT component, count(*) AS n_members FROM j
+        |  GROUP BY component),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY component
+        |  ORDER BY prio, n_chars DESC, doc_id) AS rn FROM j)
+        |SELECT rk.component, rk.prio, rk.doc_id AS keep_id, rk.source,
+        |rk.n_chars, nm.n_members
+        |FROM rk JOIN nm USING (component) WHERE rn = 1""".stripMargin),
+    // C51: per-character counts from an index unnest (no regex char
+    // split — RE2 has no lookahead and '' splitting disagrees across
+    // engines); each p·ln p term quantized to DECIMAL(38,18) before
+    // the order-independent sum (the C32 protocol), published
+    // rounded to 4 in nats
+    "doc_entropy" ->
+      """WITH ix AS (SELECT doc_id, length(text) AS n,
+        |  unnest(generate_series(1, length(text))) AS i, text
+        |  FROM documents),
+        |ch AS (SELECT doc_id, n,
+        |  substr(text, CAST(i AS INTEGER), 1) AS ch FROM ix),
+        |g AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ch
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |count(*) AS n_distinct_chars,
+        |round(-CAST(sum(CAST((CAST(cnt AS DOUBLE) / n)
+        |  * ln(CAST(cnt AS DOUBLE) / n) AS DECIMAL(38,18))) AS DOUBLE), 4)
+        |  AS entropy_nats
+        |FROM g GROUP BY doc_id""".stripMargin,
+    // C52: C32's scores (shared CTE) cut into per-lang ppl terciles;
+    // the ntile runs only over scored rows so null placement can't
+    // diverge (Spark sorts nulls first ASC, DuckDB last), and the
+    // (round-4 ppl, doc_id) key is a total order
+    "ccnet_bucket" ->
+      s"""WITH base AS ($lmScoreSql),
+         |wl AS (SELECT b.doc_id, d.lang, b.ppl
+         |  FROM base b JOIN documents d USING (doc_id)),
+         |okq AS (SELECT doc_id, lang, ppl, ntile(3) OVER (
+         |  PARTITION BY lang ORDER BY ppl, doc_id) AS t
+         |  FROM wl WHERE ppl IS NOT NULL)
+         |SELECT doc_id, lang, ppl,
+         |CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |  AS bucket
+         |FROM okq
+         |UNION ALL
+         |SELECT doc_id, lang, ppl, 'unscored' AS bucket FROM wl
+         |WHERE ppl IS NULL""".stripMargin,
     // C34: same injected URL, same regex subset; domain = host group
     "url_domains" ->
       """WITH aug AS (SELECT doc_id,

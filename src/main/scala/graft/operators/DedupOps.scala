@@ -806,6 +806,46 @@ object DedupOps {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("n_members").as("n_merged"))
 
+  /** C50: priority-aware canonical selection per near-dup component —
+    * [[dedupApply]]'s "keep min doc_id" rule replaced by the rule
+    * production corpora actually use: within each duplicate cluster
+    * keep the copy from the most-trusted SOURCE tier (curated >
+    * crawled — CCNet/RefinedWeb-style pipelines break near-dup ties
+    * by provenance), then the LONGEST copy inside the best tier (a
+    * truncated mirror of a page loses to the full page), then a
+    * stable id. The tier is derived deterministically from the source
+    * id (`srcN` → N mod 3 — a stand-in for the production lookup
+    * table, kept computable so the oracle can replay it); note the
+    * pair generator blocks on source, so the tier term only
+    * discriminates when labels come from a cross-source clustering —
+    * the LENGTH term is the live rule on [[dedupGroups]] components.
+    * Selection is min(struct(prio, −n_chars, doc_id)) — a total
+    * order, so the kept row is unique on any partitioning.
+    *
+    * Scale shape: clustering is [[dedupGroups]]' plan (the dominant
+    * term — pass a precomputed `labels` frame in production, C31's
+    * contract); the selection itself is one partial-aggregable
+    * struct-min groupBy on the component key — no window, no second
+    * shuffle of the corpus, skew-free (a viral component reduces
+    * map-side to one candidate row per partition).
+    */
+  def dedupPriority(documents: DataFrame, minJaccard: Double = 0.7,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val lbl = labels.getOrElse(dedupGroups(documents, minJaccard))
+    lbl.select(col("doc_id"), col("component"), col("n_members"))
+      .join(documents.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
+      .withColumn("prio",
+        substring(col("source"), 4, 18).cast("long") % 3)
+      .groupBy("component")
+      .agg(min(struct(col("prio"), negate(col("n_chars")).as("neg_len"),
+        col("doc_id"), col("source"))).as("b"),
+        max("n_members").as("n_members"))
+      .select(col("component"), col("b.prio").as("prio"),
+        col("b.doc_id").as("keep_id"), col("b.source").as("source"),
+        negate(col("b.neg_len")).as("n_chars"), col("n_members"))
+  }
+
   /** All k-token word grams of `text` as strings, one per start
     * position (positions with fewer than k following tokens produce
     * none). Built by zip_with-folding k aligned slices — O(n·k) array

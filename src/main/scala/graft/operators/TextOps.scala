@@ -817,6 +817,83 @@ object TextOps {
         lit("@mail.example.com or +1 (555) 010-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
 
+  /** C51: character-level Shannon entropy per document — the cheap
+    * gibberish/encoding-garbage detector quality pipelines run next
+    * to C8/C19 (low entropy ⇒ degenerate repetition or padding; very
+    * high entropy ⇒ binary-in-text or encrypted/compressed spillage;
+    * CCNet and Gopher both gate on signals of this family).
+    *
+    * Entropy is reported in NATS (−Σ p·ln p) deliberately: both
+    * engines compute `ln` directly, with no log2 = ln/ln2 quotient
+    * whose extra rounding would widen the cross-engine wiggle.
+    * Per-character terms are doubles from bit-identical (cnt, n)
+    * integers — a 1-ulp `ln` wiggle moves a term by ~1e-17 — summed
+    * in DECIMAL(38,18) (order-independent, the C32 protocol) and
+    * published rounded to 4.
+    *
+    * Scale shape: the char explode is a generator (no shuffle, ×|doc|
+    * fan-out of 1-char rows); counts partial-aggregate on
+    * (doc_id, char) — maximally spreadable keys, map-side combine
+    * collapses repeats before the wire; doc length rides the explode
+    * projection as a group key so no join-back is needed. The final
+    * per-doc reduce sees ≤ |alphabet| rows per doc.
+    */
+  def docEntropy(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = documents
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("i", explode(sequence(lit(1), length(col("text")))))
+      .select(col("doc_id"), col("n"),
+        expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") / col("n")
+    counts
+      .groupBy("doc_id")
+      .agg(max("n").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(negate(sum((p * log(p)).cast(DecimalType(38, 18)))
+          .cast("double")), 4).as("entropy_nats"))
+  }
+
+  /** C52: CCNet-style perplexity bucketing — the corpus split that
+    * made CCNet (Wenzek et al. 2019 §4.3): per language, rank
+    * documents by LM perplexity and cut into terciles `head` /
+    * `middle` / `tail` (head = lowest-ppl third, the highest-quality
+    * slice; downstream training mixes sample the buckets at
+    * different rates). Scores come from [[lmScore]] (C32, the
+    * corpus-trained bigram LM), so the ranking key is that entry's
+    * already-deterministic round-4 `ppl` with doc_id as the total-
+    * order tiebreak; docs the LM cannot score (< 2 tokens, null ppl)
+    * are bucketed `unscored` OUTSIDE the ntile window — inside it
+    * the engines would disagree on null placement (Spark sorts nulls
+    * first ascending, DuckDB last).
+    *
+    * Scale shape: scoring is C32's plan; the bucket assignment is one
+    * ntile window partitioned by lang. A language's scored rows must
+    * sort within their partition — at 100 TB the per-lang global sort
+    * is the cost, and the standard production cut switches to
+    * approx-percentile ppl thresholds (two broadcastable cut points
+    * per lang) at the price of ±ε bucket-boundary error; the exact
+    * ntile here is the oracle-checkable semantics.
+    */
+  def ccnetBucket(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("ppl"))
+    val w = Window.partitionBy("lang").orderBy(col("ppl").asc, col("doc_id"))
+    val bucketed = scored.filter(col("ppl").isNotNull)
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+    val unscored = scored.filter(col("ppl").isNull)
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        lit("unscored").as("bucket"))
+    bucketed.union(unscored)
+  }
+
   def fingerprint(documents: DataFrame): DataFrame = {
     val K = lit(2654435761L)
     val M = lit(4294967296L)

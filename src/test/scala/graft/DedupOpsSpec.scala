@@ -342,6 +342,44 @@ class DedupOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("dedupPriority keeps the best (tier, longest, doc_id) row per component") {
+    val labels = DedupOps.dedupGroups(documents, 0.7).cache()
+    val out = DedupOps.dedupPriority(documents, 0.7, Some(labels)).cache()
+    // one canonical row per component, n_members carried through
+    val comps = labels.select("component").distinct().count()
+    assert(out.count() === comps)
+    // the kept row really is the struct-min of its component: no other
+    // member may sort strictly below it on (prio, -n_chars, doc_id)
+    val members = labels.select(col("doc_id"), col("component"))
+      .join(documents.select(col("doc_id"), col("source"),
+        col("n_chars").as("m_chars")), "doc_id")
+      .withColumn("mprio", substring(col("source"), 4, 18).cast("long") % 3)
+    val beaten = out.join(members, "component")
+      .filter(col("mprio") < col("prio") ||
+        (col("mprio") === col("prio") && col("m_chars") > col("n_chars")) ||
+        (col("mprio") === col("prio") && col("m_chars") === col("n_chars")
+          && col("doc_id") < col("keep_id")))
+    assert(beaten.count() === 0)
+    labels.unpersist(); out.unpersist()
+    CacheRegistry.unpersistAll()
+    // the election demonstrably differs from C31's min-doc_id rule: a
+    // component whose LATER copy is longer keeps the later doc
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon", "src1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "src1"),
+      (3L, "unrelated words entirely here now", "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+    val kept = DedupOps.dedupPriority(tiny, 0.7).cache()
+    val byComp = kept.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byComp(1L) === 2L) // longest near-dup wins, not min id
+    assert(byComp(3L) === 3L) // singleton keeps itself
+    kept.unpersist()
+    CacheRegistry.unpersistAll()
+  }
+
   test("dedupSubstring hashed-gram scale mode equals the string mode") {
     val byString = DedupOps.dedupSubstring(documents, k = 8)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap

@@ -556,4 +556,53 @@ class SimilarityTextOpsSpec extends SparkSpec {
       .filter(col("n_oov_small") < col("n_oov")).count() === 0)
     out.unpersist()
   }
+
+  test("docEntropy: closed-form values on constructed docs, bounds on corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),       // one symbol: H = 0
+      (2L, "abab"),       // two equiprobable symbols: H = ln 2
+      (3L, "abcd"))       // four equiprobable symbols: H = ln 4
+      .toDF("doc_id", "text")
+    val out = TextOps.docEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0)))
+    assert(out(2L) === ((4L, 2L, math.round(math.log(2) * 1e4) / 1e4)))
+    assert(out(3L) === ((4L, 4L, math.round(math.log(4) * 1e4) / 1e4)))
+    // corpus-wide: one row per doc, 0 <= H <= ln(distinct chars)
+    val full = TextOps.docEntropy(documents).cache()
+    assert(full.count() === documents.count())
+    assert(full.filter(col("entropy_nats") < 0).count() === 0)
+    assert(full.filter(
+      col("entropy_nats") > log(col("n_distinct_chars").cast("double")) + 1e-4)
+      .count() === 0)
+    full.unpersist()
+  }
+
+  test("ccnetBucket: per-lang terciles are balanced, ordered, and total") {
+    val out = TextOps.ccnetBucket(documents).cache()
+    assert(out.count() === documents.count())
+    // scored docs: bucket sizes within a lang differ by at most 1
+    val sizes = out.filter(col("bucket") =!= "unscored")
+      .groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+    assert(sizes.filter(col("spread") > 1).count() === 0)
+    // ordering: within a lang, every head ppl <= every tail ppl
+    val h = out.filter(col("bucket") === "head")
+      .groupBy("lang").agg(max("ppl").as("h_max"))
+    val t = out.filter(col("bucket") === "tail")
+      .groupBy("lang").agg(min("ppl").as("t_min"))
+    assert(h.join(t, "lang").filter(col("h_max") > col("t_min")).count() === 0)
+    out.unpersist()
+    // a doc the LM can't score (one token, no bigrams) lands in
+    // 'unscored', outside the ntile window
+    import spark.implicits._
+    val tiny = Seq((1L, "hello world again", "en"), (2L, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val buckets = TextOps.ccnetBucket(tiny).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(buckets(2L) === "unscored")
+    assert(buckets(1L) !== "unscored")
+  }
 }
