@@ -81,6 +81,9 @@ object SparkEntry {
     "q_threshold_days" -> ((s, d) => AgriOps.thresholdDays(Tables.events(s, d))),
     "q_heat_spell" -> ((s, d) => AgriOps.heatSpell(Tables.events(s, d))),
     "q_growing_season" -> ((s, d) => AgriOps.growingSeason(Tables.events(s, d))),
+    "q_vpd" -> ((s, _) => AgriOps.gridVpd(s)),
+    "q_et0" -> ((s, d) => AgriOps.et0Hargreaves(Tables.events(s, d))),
+    "q_spi" -> ((s, d) => AgriOps.spi(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -342,25 +345,20 @@ object SparkEntry {
   // plan), and the water balance (tp_sum − pev_mm_sum,
   // aggregate_daily.py:46-48) is one double subtraction in an outer
   // select, exactly as Spark's withColumn appends it.
-  private val gridPipelineSql: String = {
+  private def decMeanSql(c: String) =
+    s"CAST(sum(CAST($c AS DECIMAL(20,6))) AS DOUBLE) / count($c)"
+
+  // the CTE prefix through `hc` (13-var grid → spatial means →
+  // unit-converted hourly mart) — shared by q_grid_pipeline and the
+  // hourly-mart-derived entries (q_vpd)
+  private val gridHcCteSql: String = {
     val mix = "lat*31 + lon*17 + hr*13 + day*11 + ridx*7"
     val varExprs = graft.sources.grid.GridSource.varSpecs.map {
       case (v, (salt, mod, base, step)) =>
         s"CAST($base + (($mix + $salt) % $mod) * $step AS DOUBLE) / 1000.0 AS $v"
     }.mkString(",\n  ")
-    def mean(c: String) =
-      s"CAST(sum(CAST($c AS DECIMAL(20,6))) AS DOUBLE) / count($c)"
     val rawMeans = graft.sources.grid.GridSource.varSpecs
-      .map { case (v, _) => s"${mean(v)} AS ${v}_raw" }.mkString(",\n  ")
-    val dailyAggs = graft.operators.AgriOps.dailyAggSpecs.flatMap {
-      case (c, fns) => fns.map {
-        case "mean" => s"${mean(c)} AS ${c}_mean"
-        case "min" => s"min($c) AS ${c}_min"
-        case "max" => s"max($c) AS ${c}_max"
-        case "sum" =>
-          s"CAST(round(sum(CAST($c AS DECIMAL(20,6))), 4) AS DOUBLE) AS ${c}_sum"
-      }
-    }.mkString(",\n  ")
+      .map { case (v, _) => s"${decMeanSql(v)} AS ${v}_raw" }.mkString(",\n  ")
     s"""WITH r AS (SELECT * FROM (VALUES ('r0', 0), ('r1', 1), ('r2', 2)) t(region, ridx)),
        |dd AS (SELECT unnest(generate_series(0, 2)) AS day),
        |h AS (SELECT unnest(generate_series(0, 23)) AS hr),
@@ -378,11 +376,24 @@ object SparkEntry {
        |  swvl1_raw AS swvl1, swvl2_raw AS swvl2,
        |  ssrd_raw AS ssrd, ssr_raw AS ssr,
        |  evavt_raw * 1000.0 AS evavt_mm, pev_raw * 1000.0 AS pev_mm,
-       |  lai_hv_raw AS lai_hv, lai_lv_raw AS lai_lv FROM hm)
-       |SELECT *, tp_sum - pev_mm_sum AS water_balance FROM (
-       |SELECT region, date_trunc('day', ts) AS day,
-       |  $dailyAggs
-       |FROM hc GROUP BY region, date_trunc('day', ts))""".stripMargin
+       |  lai_hv_raw AS lai_hv, lai_lv_raw AS lai_lv FROM hm)""".stripMargin
+  }
+
+  private val gridPipelineSql: String = {
+    val dailyAggs = graft.operators.AgriOps.dailyAggSpecs.flatMap {
+      case (c, fns) => fns.map {
+        case "mean" => s"${decMeanSql(c)} AS ${c}_mean"
+        case "min" => s"min($c) AS ${c}_min"
+        case "max" => s"max($c) AS ${c}_max"
+        case "sum" =>
+          s"CAST(round(sum(CAST($c AS DECIMAL(20,6))), 4) AS DOUBLE) AS ${c}_sum"
+      }
+    }.mkString(",\n  ")
+    gridHcCteSql + "\n" +
+      s"""SELECT *, tp_sum - pev_mm_sum AS water_balance FROM (
+         |SELECT region, date_trunc('day', ts) AS day,
+         |  $dailyAggs
+         |FROM hc GROUP BY region, date_trunc('day', ts))""".stripMargin
   }
 
   // A-surface ETL composition: hourly CTE (A1's own oracle verbatim)
@@ -1148,6 +1159,54 @@ object SparkEntry {
         |CAST(datediff('day', min(day), max(day)) + 1 AS BIGINT)
         |  AS season_len
         |FROM daily WHERE t_mean > 50.0 GROUP BY 1, 2""".stripMargin,
+    // A32: Tetens VPD over the connector's hourly mart (shared hc
+    // CTE); exp sees bit-identical inputs, round-4 absorbs the libm
+    // ulp, and vpd subtracts the two ROUNDED pressures
+    "q_vpd" -> (gridHcCteSql + "\n" +
+      """SELECT region, ts, t2m, d2m,
+        |round(0.6108 * exp(17.27 * t2m / (t2m + 237.3)), 4) AS es_kpa,
+        |round(0.6108 * exp(17.27 * d2m / (d2m + 237.3)), 4) AS ea_kpa,
+        |round(round(0.6108 * exp(17.27 * t2m / (t2m + 237.3)), 4)
+        |  - round(0.6108 * exp(17.27 * d2m / (d2m + 237.3)), 4), 4)
+        |  AS vpd_kpa
+        |FROM hc""".stripMargin),
+    // A33: Hargreaves ET0; Ra's sin is rounded to 6 before use so the
+    // only non-exactly-rounded op can't leak a ulp into the products
+    "q_et0" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean,
+        |  min(value) AS t_min, max(value) AS t_max
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, t_mean, t_min, t_max,
+        |round(25.0 + 12.0 * sin(2.0 * pi()
+        |  * (CAST(dayofyear(day) AS DOUBLE) - 81.0) / 365.25), 6) AS ra,
+        |round(0.0023 * (t_mean + 17.8)
+        |  * sqrt(greatest(t_max - t_min, 0.0))
+        |  * round(25.0 + 12.0 * sin(2.0 * pi()
+        |    * (CAST(dayofyear(day) AS DOUBLE) - 81.0) / 365.25), 6), 4)
+        |  AS et0
+        |FROM daily""".stripMargin,
+    // A34: daily-total standardized anomaly — B28's HUGEINT co-moment
+    // protocol applied one coarsening level up (round-4 decimal daily
+    // sums, ×1e6 stays integral)
+    "q_spi" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |    AS d_total
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(CAST(d_total AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS s1,
+        |  sum(CAST(CAST(d_total AS DECIMAL(20,6)) * 1000000 AS HUGEINT)
+        |    * CAST(CAST(d_total AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS s2
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, d.day, d.d_total,
+        |CAST(m.n * CAST(CAST(d.d_total AS DECIMAL(20,6)) * 1000000 AS HUGEINT)
+        |    - m.s1 AS DOUBLE)
+        |  / (CAST(m.n AS DOUBLE)
+        |     * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+        |            / CAST(m.n * (m.n - 1) AS DOUBLE))) AS spi
+        |FROM d JOIN m ON d.event_type = m.event_type""".stripMargin,
     // C48: grams grouped as strings (collision-free oracle
     // semantics); per-doc span counts via semi join back
     "dedup_substring" ->

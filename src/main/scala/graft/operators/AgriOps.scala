@@ -560,4 +560,93 @@ object AgriOps {
     */
   def gridPipeline(spark: SparkSession): DataFrame =
     dailyFromHourly(gridHourly(spark))
+
+  /** A32: vapor pressure deficit — THE derived agrimet variable the
+    * reference's t2m + d2m pairing exists for (dewpoint is carried
+    * expressly so VPD/relative-humidity analyses can run downstream
+    * of the daily mart; crop stress models consume VPD, not raw
+    * dewpoint). Tetens saturation pressure
+    * es(T) = 0.6108·e^(17.27T/(T+237.3)) kPa at the air and dewpoint
+    * temperatures; VPD = es(t2m) − es(d2m).
+    *
+    * Determinism: the hourly t2m/d2m are bit-identical cross-engine
+    * (decimal-mean protocol), so both engines feed `exp` the same
+    * double; a 1-ulp libm wiggle is absorbed by the round-4 publish
+    * (the C32 ppl protocol), and vpd subtracts the two ROUNDED
+    * pressures so its inputs are bit-identical again.
+    *
+    * Scale shape: a pure per-row map over the hourly mart — no new
+    * shuffle, no join; the mart's partitioning passes through.
+    */
+  def vpdFromHourly(hourly: DataFrame): DataFrame = {
+    def es(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(lit(0.6108) * exp(lit(17.27) * t / (t + lit(237.3))), 4)
+    hourly.select(col("region"), col("ts"), col("t2m"), col("d2m"),
+        es(col("t2m")).as("es_kpa"), es(col("d2m")).as("ea_kpa"))
+      .withColumn("vpd_kpa", round(col("es_kpa") - col("ea_kpa"), 4))
+  }
+
+  /** A32 entry: VPD over the live connector's hourly mart. */
+  def gridVpd(spark: SparkSession): DataFrame =
+    vpdFromHourly(gridHourly(spark))
+
+  /** A33: Hargreaves reference evapotranspiration — the
+    * temperature-only ET0 estimate (FAO-56 eq. 52:
+    * 0.0023·(T_mean+17.8)·√(T_max−T_min)·Ra) field pipelines run
+    * when only the t2m mart exists; the reference carries actual
+    * evapotranspiration (evavt) and potential evaporation (pev) from
+    * ERA5, and Hargreaves is the standard cross-check/fallback
+    * computed FROM the daily temperature mart itself. Extraterrestrial
+    * radiation Ra is the usual seasonal sinusoid of day-of-year
+    * (amplitude/phase constants are mid-latitude textbook values),
+    * rounded to 6 BEFORE use so the one libm `sin` in the chain
+    * cannot leak a ulp into downstream products — after that every
+    * op (+,−,×,√) is IEEE exactly-rounded on bit-identical inputs.
+    *
+    * Scale shape: one partial-agg groupBy to |keys × days| rows, then
+    * a pure map — the A28/A29 daily-mart coarsening shape.
+    */
+  def et0Hargreaves(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("t_mean"),
+        min("value").as("t_min"), max("value").as("t_max"))
+    val doy = dayofyear(col("day")).cast("double")
+    daily
+      .withColumn("ra", round(lit(25.0) + lit(12.0) *
+        sin(lit(2.0) * lit(math.Pi) * (doy - lit(81.0)) / lit(365.25)), 6))
+      .withColumn("et0", round(lit(0.0023) * (col("t_mean") + lit(17.8)) *
+        sqrt(greatest(col("t_max") - col("t_min"), lit(0.0))) * col("ra"), 4))
+  }
+
+  /** A34: standardized precipitation-style anomaly index — each day's
+    * total standardized against the key's own daily-total
+    * distribution (z = (x − μ)/σ over the period), the drought/wet-
+    * spell indicator built on the daily sum mart (SPI-1 at daily
+    * granularity; the month-scale variant is the same plan over A3's
+    * monthly rollup). Daily totals go through [[Exact.sumD]]
+    * (bit-identical), and the standardization reuses B28's scaled-
+    * integer co-moment protocol verbatim — count/Σy/Σy² in
+    * DECIMAL(38,0), one sqrt + one division in double at the end.
+    *
+    * Scale shape: strictly-coarsening partial-agg groupBy (events →
+    * |keys × days|), a |keys|-row broadcast join-back — the daily
+    * frame never re-shuffles (B28's shape, one level coarser).
+    */
+  def spi(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.sumD(col("value")).as("d_total"))
+    def y6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (c.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val stats = daily.groupBy(col("event_type").as("et")).agg(
+      count(lit(1)).as("n"),
+      sum(y6(col("d_total"))).as("s1"),
+      sum(y6(col("d_total")) * y6(col("d_total"))).as("s2"))
+    daily.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_type"), col("day"), col("d_total"),
+        AnalyticsOps.zscoreExpr(col("d_total")).as("spi"))
+  }
 }

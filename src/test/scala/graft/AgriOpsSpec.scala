@@ -211,4 +211,58 @@ class AgriOpsSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("event_type=")))
   }
+
+  test("vpdFromHourly: closed-form Tetens values, saturation at dewpoint") {
+    import spark.implicits._
+    val hourly = Seq(
+      ("r0", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 20.0, 10.0),
+      ("r0", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 15.0, 15.0))
+      .toDF("region", "ts", "t2m", "d2m")
+    val v = AgriOps.vpdFromHourly(hourly).collect()
+      .map(r => r.getTimestamp(1).toString -> r).toMap
+    def es(t: Double) = math.rint(
+      0.6108 * math.exp(17.27 * t / (t + 237.3)) * 1e4) / 1e4
+    val r0 = v("2024-01-01 00:00:00.0")
+    assert(r0.getAs[Double]("es_kpa") === es(20.0))
+    assert(r0.getAs[Double]("ea_kpa") === es(10.0))
+    assert(r0.getAs[Double]("vpd_kpa") > 0.0)
+    // saturated air (t2m == d2m) has zero deficit
+    assert(v("2024-01-01 01:00:00.0").getAs[Double]("vpd_kpa") === 0.0)
+    // over the live grid mart: VPD is never negative (dewpoint <= air
+    // temp in the connector's formula grid would be required — assert
+    // only the algebraic identity es >= ea ⟺ vpd >= 0 holds rowwise)
+    val g = AgriOps.gridVpd(spark)
+    assert(g.filter((col("es_kpa") >= col("ea_kpa")) =!=
+      (col("vpd_kpa") >= 0.0)).count() === 0)
+  }
+
+  test("et0Hargreaves: zero-range days give zero ET0, Ra stays in band") {
+    val out = AgriOps.et0Hargreaves(events).cache()
+    // Ra sinusoid: 25 ± 12
+    assert(out.filter(col("ra") < 13.0 || col("ra") > 37.0).count() === 0)
+    // ET0 is zero iff the diurnal range is zero (sqrt factor)
+    assert(out.filter(col("t_max") === col("t_min"))
+      .filter(col("et0") =!= 0.0).count() === 0)
+    // daily keys match the daily mart's
+    assert(out.count() ===
+      events.select(col("event_type"),
+        date_trunc("day", col("ts"))).distinct().count())
+    out.unpersist()
+  }
+
+  test("spi standardizes daily totals to mean ~0, sd ~1 per key") {
+    val out = AgriOps.spi(events).cache()
+    val stats = out.groupBy("event_type")
+      .agg(avg("spi").as("m"), stddev("spi").as("sd"),
+        count(lit(1)).as("n")).collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-9)
+    }
+    // one row per (key, day)
+    assert(out.count() ===
+      events.select(col("event_type"),
+        date_trunc("day", col("ts"))).distinct().count())
+    out.unpersist()
+  }
 }
