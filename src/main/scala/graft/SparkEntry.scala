@@ -211,6 +211,8 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
+    "q_cusum" -> ((s, d) => AnalyticsOps.cusum(Tables.events(s, d))),
+    "bm25" -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
     "q_skew_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       ScaleOps.saltedJoin(ev,
@@ -1733,6 +1735,62 @@ object SparkEntry {
         |       * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
         |              / CAST(m.n * (m.n - 1) AS DOUBLE)))) > 2.5 AS is_anomaly
         |FROM events e JOIN m ON e.event_type = m.event_type""".stripMargin,
+    // B41: CUSUM change-in-mean — exact-decimal mean; the cumulative
+    // double sum is a few ulps apart cross-engine (DuckDB's windowed
+    // agg is not a strict sequential fold), so the argmax runs
+    // unrounded (gaps are O(x − x̄), ulp-proof) and the published S
+    // values use the round-4 protocol
+    "q_cusum" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS mu, count(*) AS n_events
+        |  FROM events GROUP BY event_type),
+        |s AS (SELECT e.event_type, e.ts, e.event_id, m.n_events,
+        |  sum(e.value - m.mu) OVER (PARTITION BY e.event_type
+        |    ORDER BY e.ts, e.event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+        |  FROM events e JOIN m USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(s_run) DESC, ts DESC, s_run DESC, event_id DESC)
+        |  AS rn FROM s)
+        |SELECT event_type, ts AS cp_ts, round(s_run, 4) AS s_at_cp,
+        |round(abs(s_run), 4) AS max_abs_s, n_events FROM r
+        |WHERE rn = 1""".stripMargin,
+    // C53: BM25 with Lucene idf; every fractional constant CAST to
+    // DOUBLE (a bare 1.2 literal is DECIMAL in DuckDB and would
+    // change the arithmetic domain), per-term DECIMAL(38,18)
+    // quantization before the order-independent sum, rank on the
+    // ROUND-4 score
+    "bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |cs AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(CAST(dl AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl),
+        |dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < 5),
+        |terms AS (SELECT q.q_id, tf.doc_id,
+        |  CAST(ln(1.0 + (CAST(cs.n_docs AS DOUBLE) - dfv.df + 0.5)
+        |      / (CAST(dfv.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |       * (1.0 - CAST(0.75 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / cs.avgdl))
+        |    AS DECIMAL(38,18)) AS term
+        |  FROM tf JOIN q USING (tok) JOIN dfv USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, cs
+        |  WHERE tf.doc_id <> q.q_id),
+        |sc AS (SELECT q_id, doc_id, count(*) AS n_hits,
+        |  round(CAST(sum(term) AS DOUBLE), 4) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_hits
+        |FROM r WHERE rank <= 10""".stripMargin,
     // B29: the salted join must be indistinguishable from the plain one
     "q_skew_join" ->
       """WITH d AS (SELECT event_type, count(*) AS type_total

@@ -454,6 +454,48 @@ object AnalyticsOps {
         zscoreExpr(col("value")).as("z"))
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
 
+  /** B41: CUSUM changepoint detection per key — the classic offline
+    * change-in-mean estimator: S_i = Σ_{j≤i}(x_j − x̄) over the
+    * time-ordered series; the changepoint estimate is the timestamp
+    * maximizing |S_i|, and max|S| is the test statistic a permutation
+    * threshold would be applied to. The level-shift audit B28's
+    * pointwise z-flags can't express (a 0.5σ mean shift never trips a
+    * 2.5σ flag but accumulates linearly in S).
+    *
+    * Determinism: x̄ via [[Exact.avgD]] (bit-identical) and
+    * deviations are one double subtraction each, but the cumulative
+    * window sum is NOT bit-identical cross-engine — measured 3–9 ulp
+    * apart (DuckDB's windowed aggregation does not accumulate as a
+    * strict sequential fold), unlike A28's gdd_cum whose addends are
+    * clamped small. The argmax is still stable (adjacent prefix sums
+    * differ by O(x−x̄) ≈ 10¹⁰ ulps at these magnitudes) and the
+    * published S values go through the round-4 protocol, which
+    * absorbs the wiggle. Ties on |S| break to the latest
+    * (ts, signed S, event_id) — mirrored by the oracle's DESC chain.
+    *
+    * Scale shape: a |keys|-row broadcast join-back (the fact stream
+    * never shuffles for the stats), then ONE window shuffle on the
+    * key and a partial-aggregable struct-max groupBy — no second
+    * pass over the series, no collect.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(Exact.avgD(col("value")).as("mu"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("s_run", sum(col("value") - col("mu")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(struct(abs(col("s_run")).as("mag"), col("ts"),
+        col("s_run"), col("event_id"))).as("m"),
+        max("n_events").as("n_events"))
+      .select(col("event_type"), col("m.ts").as("cp_ts"),
+        round(col("m.s_run"), 4).as("s_at_cp"),
+        round(col("m.mag"), 4).as("max_abs_s"),
+        col("n_events"))
+  }
+
   /** B34: rolling active users — distinct users in the trailing
     * `windowDays` ending at each observed day (rolling WAU). Rolling
     * COUNT DISTINCT doesn't decompose into per-day partials, so the

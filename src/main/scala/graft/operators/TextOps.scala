@@ -266,6 +266,68 @@ object TextOps {
       .select("doc_id", "kw_rank", "tok", "tf", "df")
   }
 
+  /** C53: BM25 retrieval — the ranking function behind corpus search,
+    * contamination sweeps, and retrieval-augmented data curation
+    * (query-by-document here: the terms of each probe doc, doc_id <
+    * nQueries, score every other doc; Robertson/Spärck Jones idf in
+    * the always-positive Lucene form ln(1 + (N−df+0.5)/(df+0.5)),
+    * tf saturation k1 = 1.2, length normalization b = 0.75).
+    *
+    * Determinism: tf/df/dl/N are integers, avgdl is one exact-decimal
+    * quotient; each per-term score is a fixed double chain whose only
+    * non-exactly-rounded op is `ln` — terms are quantized to
+    * DECIMAL(38,18) before the order-independent per-(query, doc) sum
+    * (the C32 protocol) and the published score is round-4; the rank
+    * window orders by the ROUNDED score with doc_id as total-order
+    * tiebreak, so ranking is ulp-proof.
+    *
+    * Scale shape: the classic inverted-index probe — query terms
+    * broadcast onto the (doc, term, tf) postings (candidates = docs
+    * sharing ≥1 term, never a cross product); df joins on the
+    * vocab-sized token key (AQE broadcasts); the per-(query, doc)
+    * reduce is partial-aggregable; top-k via the per-query window
+    * (WindowGroupLimit prunes to k before any sort spills — C24's
+    * shape). Stopword-class postings are the known skew pivot at
+    * corpus scale; production caps df (drop terms in > x% of docs),
+    * which also drops their near-zero idf contribution.
+    */
+  def bm25(documents: DataFrame, nQueries: Int = 5, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val corpStats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast(DecimalType(20, 6))).cast("double")
+        / count(lit(1))).as("avgdl"))
+    val dfv = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val term = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfv, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpStats))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        round(sum(term.cast(DecimalType(38, 18))).cast("double"), 4)
+          .as("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "score", "n_hits")
+  }
+
   /** C22: greedy contiguous sequence packing — the training-prep step
     * that fills fixed token-budget context windows with documents so
     * short docs don't waste padding. Docs are laid out in a

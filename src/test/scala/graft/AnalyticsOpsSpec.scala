@@ -299,4 +299,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     val rf = byCol("l_returnflag")
     assert(rf.getDouble(4) === 1.0 && rf.getDouble(5) === 1.0)
   }
+
+  test("cusum finds the closed-form changepoint of a step series") {
+    import spark.implicits._
+    // 0,0,0,10,10,10: mean 5, S = -5,-10,-15,-10,-5,0 → cp at i=3
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val step = (1 to 6).map(i => (i.toLong,
+      new java.sql.Timestamp(ts0 + i * 3600000L), 1L, "a",
+      if (i <= 3) 0.0 else 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsOps.cusum(step).head()
+    assert(r.getAs[String]("event_type") === "a")
+    assert(r.getAs[java.sql.Timestamp]("cp_ts").getTime ===
+      ts0 + 3 * 3600000L)
+    assert(r.getAs[Double]("s_at_cp") === -15.0)
+    assert(r.getAs[Double]("max_abs_s") === 15.0)
+    assert(r.getAs[Long]("n_events") === 6L)
+    // corpus-wide: one row per key, |s_at_cp| == max_abs_s
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.cusum(events)
+    assert(out.count() ===
+      events.select("event_type").distinct().count())
+    assert(out.filter(abs(col("s_at_cp")) =!= col("max_abs_s"))
+      .count() === 0)
+  }
 }

@@ -557,6 +557,37 @@ class SimilarityTextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bm25: tf saturation ranks, no self-hits, disjoint docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "apple banana"),                 // the query doc (id < 5)
+      (10L, "apple apple cherry"),          // two query-term hits
+      (11L, "apple durian cherry"),         // one hit, same length
+      (12L, "kiwi melon fig"))              // shares nothing
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(corpus, nQueries = 5, k = 10).cache()
+    val byDoc = out.filter(col("q_id") === 0L).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // the doc with higher tf on the query term outranks the single-hit
+    assert(byDoc(10L)._2 > byDoc(11L)._2)
+    assert(byDoc(10L)._1 < byDoc(11L)._1)
+    // disjoint doc never appears; no self-retrieval
+    assert(!byDoc.contains(12L))
+    assert(!byDoc.contains(0L))
+    out.unpersist()
+    // corpus-wide: <= k rows per query, rank dense from 1, score
+    // non-increasing in rank
+    val full = TextOps.bm25(documents).cache()
+    val perQ = full.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(perQ.forall(r => r.getLong(1) <= 10 && r.getLong(2) === r.getLong(1)))
+    val inverted = full.as("a").join(full.as("b"),
+      col("a.q_id") === col("b.q_id") && (col("a.rank") < col("b.rank"))
+        && col("a.score") < col("b.score"))
+    assert(inverted.count() === 0)
+    full.unpersist()
+  }
+
   test("docEntropy: closed-form values on constructed docs, bounds on corpus") {
     import spark.implicits._
     val docs = Seq(
