@@ -133,6 +133,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(Tables.embeddings(s, d))),
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
     "emb_quantize" -> ((s, d) => SimilarityOps.embQuantize(Tables.embeddings(s, d))),
+    "emb_kmeans" -> ((s, d) => SimilarityOps.embKmeans(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => SimilarityOps.knnGraph(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -438,6 +439,39 @@ object SparkEntry {
       |  UNION
       |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
       |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id)""".stripMargin
+
+  // C54: Lloyd's loop unrolled to the same 2 update rounds as the
+  // Spark default — round-6 similarities before each argmax (ulp-
+  // proof ordering), C30's exact ×2^20 integer quantization for the
+  // centroid means, list(… ORDER BY pos) to rebuild the vectors
+  private val embKmeansSql: String = {
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cluster, rsim FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    round(list_cosine_similarity(e.emb, c.cemb), 6) AS rsim,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
+         |        DESC, c.cluster) AS rn
+         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def updateCte(uname: String, cname: String, asg: String) =
+      s"""$uname AS (SELECT cluster, pos,
+         |  CAST(sum(CAST(floor(val * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / (count(*) * 1048576.0) AS cval
+         |  FROM (SELECT $asg.cluster, generate_subscripts(e.emb, 1) AS pos,
+         |      unnest(e.emb) AS val
+         |    FROM e JOIN $asg USING (vec_id)) GROUP BY 1, 2),
+         |$cname AS (SELECT cluster, list(cval ORDER BY pos) AS cemb
+         |  FROM $uname GROUP BY cluster)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < 8),
+       |${assignCte("a0", "c0")},
+       |${updateCte("u1", "c1", "a0")},
+       |${assignCte("a1", "c1")},
+       |${updateCte("u2", "c2", "a1")},
+       |${assignCte("a2", "c2")}
+       |SELECT vec_id, cluster, round(rsim, 3) AS sim FROM a2""".stripMargin
+  }
 
   // C32's full oracle, shared verbatim by lm_score and (as the
   // scoring CTE) ccnet_bucket — one source of truth for the bigram-LM
@@ -892,6 +926,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |  ORDER BY sim DESC, c_id) AS rank FROM sc)
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
+    "emb_kmeans" -> embKmeansSql,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)

@@ -463,6 +463,69 @@ object SimilarityOps {
         count(lit(1)).as("n"))
   }
 
+  /** C54: distributed k-means (Lloyd's) over the embedding corpus —
+    * the TRAINING step C15's IVF index presumes (C15 uses raw seed
+    * vectors as cells; production IVF trains its coarse quantizer
+    * with exactly this loop, then writes the corpus clustered by the
+    * learned cells for partition pruning). `iters` fixed update
+    * rounds from deterministic seeds (vec_id < k), cosine assignment,
+    * final pass emits each vector's cell and similarity.
+    *
+    * Cross-engine determinism, per round: assignment similarities are
+    * rounded to 6 BEFORE the argmax (an unrounded cosine differs by
+    * ulps between engines' accumulation orders; on rounded values the
+    * argmax with the cluster-id tiebreak is a total order), and the
+    * centroid update is C30's exact integer quantization (×2²⁰,
+    * floor, DECIMAL sum, one double division — bit-identical on any
+    * partitioning), so the new centroids feed the next round
+    * bit-identically and the loop cannot drift apart.
+    *
+    * Scale shape: each assignment is corpus × broadcast(k centroids)
+    * — a pure map fan-out of ×k collapsed by a partial-aggregable
+    * struct-max groupBy (NO window: map-side combine reduces to one
+    * candidate row per vector per partition before the shuffle); each
+    * update is C30's posexplode + (cluster, pos) partial agg down to
+    * k·dim rows. Per round: one bounded shuffle of n rows + one of
+    * n·dim narrow rows; nothing quadratic, nothing driver-side. The
+    * plan is statically unrolled (`iters` is small and fixed — a
+    * convergence-driven production loop would materialize assignments
+    * per round via the D11 checkpoint machinery instead).
+    */
+  def embKmeans(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2 && iters >= 0, "need k >= 2 clusters, iters >= 0")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    def cosG(a: Column, b: Column): Column =
+      dotGeneric(a, b) / (sqrt(dotGeneric(a, a)) * sqrt(dotGeneric(b, b)))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("rsim", round(cosG(col("embedding"), col("cemb")), 6))
+        .groupBy("vec_id")
+        .agg(max(struct(col("rsim"), negate(col("cluster")).as("nc"))).as("m"))
+        .select(col("vec_id"), negate(col("m.nc")).as("cluster"),
+          col("m.rsim").as("rsim"))
+    def update(asg: DataFrame): DataFrame = {
+      val q = floor(col("val").cast("double") * lit(1048576.0))
+        .cast(DecimalType(38, 0))
+      e.join(asg.select("vec_id", "cluster"), "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("cluster", "pos")
+        .agg((sum(q).cast("double") / (count(lit(1)) * lit(1048576.0)))
+          .as("cval"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x.getField("cval")).as("cemb"))
+    }
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), v => v.cast("double")).as("cemb"))
+    var asg = assign(init)
+    for (_ <- 1 to iters) asg = assign(update(asg))
+    asg.select(col("vec_id"), col("cluster"),
+      round(col("rsim"), 3).as("sim"))
+  }
+
   /** C37: exact class-balanced oversampling — every label class is
     * brought to exactly n_max rows (the largest class's count) by
     * deterministic replication: each row gets ⌊n_max/n_label⌋ copies,

@@ -557,6 +557,33 @@ class SimilarityTextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embKmeans: closed-form 2-cluster case, objective never degrades") {
+    import spark.implicits._
+    // two tight groups around the axes; seeds are ids 0 and 1
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.8f, 0.2f)), (5L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.embKmeans(tiny, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L))
+    // corpus: total assignment, k cells max, sims in range
+    val out = SimilarityOps.embKmeans(embeddings).cache()
+    assert(out.count() === embeddings.count())
+    assert(out.select("cluster").distinct().count() <= 8)
+    assert(out.filter(col("sim") > 1.001 || col("sim") < -1.001)
+      .count() === 0)
+    // training helps: mean similarity after 2 updates is no worse
+    // than the seed-only assignment (Lloyd's objective direction)
+    val m2 = out.agg(avg("sim")).head.getDouble(0)
+    out.unpersist()
+    val m0 = SimilarityOps.embKmeans(embeddings, iters = 0)
+      .agg(avg("sim")).head.getDouble(0)
+    assert(m2 >= m0 - 1e-6, s"mean sim degraded: $m0 -> $m2")
+  }
+
   test("bm25: tf saturation ranks, no self-hits, disjoint docs absent") {
     import spark.implicits._
     val corpus = Seq(
