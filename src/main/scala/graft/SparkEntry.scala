@@ -84,6 +84,7 @@ object SparkEntry {
     "q_vpd" -> ((s, _) => AgriOps.gridVpd(s)),
     "q_et0" -> ((s, d) => AgriOps.et0Hargreaves(Tables.events(s, d))),
     "q_spi" -> ((s, d) => AgriOps.spi(Tables.events(s, d))),
+    "q_seasonal" -> ((s, d) => AgriOps.seasonalDecompose(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -134,6 +135,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
     "emb_quantize" -> ((s, d) => SimilarityOps.embQuantize(Tables.embeddings(s, d))),
     "emb_kmeans" -> ((s, d) => SimilarityOps.embKmeans(Tables.embeddings(s, d))),
+    "knn_ivf_trained" -> ((s, d) => SimilarityOps.knnIvfTrained(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => SimilarityOps.knnGraph(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -440,38 +442,66 @@ object SparkEntry {
       |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
       |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id)""".stripMargin
 
-  // C54: Lloyd's loop unrolled to the same 2 update rounds as the
-  // Spark default — round-6 similarities before each argmax (ulp-
-  // proof ordering), C30's exact ×2^20 integer quantization for the
-  // centroid means, list(… ORDER BY pos) to rebuild the vectors
-  private val embKmeansSql: String = {
-    def assignCte(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, cluster, rsim FROM (
-         |  SELECT e.vec_id, c.cluster,
-         |    round(list_cosine_similarity(e.emb, c.cemb), 6) AS rsim,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
-         |        DESC, c.cluster) AS rn
-         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
-    def updateCte(uname: String, cname: String, asg: String) =
-      s"""$uname AS (SELECT cluster, pos,
-         |  CAST(sum(CAST(floor(val * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
-         |    / (count(*) * 1048576.0) AS cval
-         |  FROM (SELECT $asg.cluster, generate_subscripts(e.emb, 1) AS pos,
-         |      unnest(e.emb) AS val
-         |    FROM e JOIN $asg USING (vec_id)) GROUP BY 1, 2),
-         |$cname AS (SELECT cluster, list(cval ORDER BY pos) AS cemb
-         |  FROM $uname GROUP BY cluster)""".stripMargin
+  // C54/C55 shared oracle pieces: Lloyd's loop unrolled to the same
+  // 2 update rounds as the Spark default — round-6 similarities
+  // before each argmax (ulp-proof ordering), C30's exact ×2^20
+  // integer quantization for the centroid means, list(… ORDER BY pos)
+  // to rebuild the vectors
+  private def kmAssignCte(name: String, cents: String) =
+    s"""$name AS (SELECT vec_id, cluster, rsim FROM (
+       |  SELECT e.vec_id, c.cluster,
+       |    round(list_cosine_similarity(e.emb, c.cemb), 6) AS rsim,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
+       |        DESC, c.cluster) AS rn
+       |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCte(uname: String, cname: String, asg: String) =
+    s"""$uname AS (SELECT cluster, pos,
+       |  CAST(sum(CAST(floor(val * 1048576.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (count(*) * 1048576.0) AS cval
+       |  FROM (SELECT $asg.cluster, generate_subscripts(e.emb, 1) AS pos,
+       |      unnest(e.emb) AS val
+       |    FROM e JOIN $asg USING (vec_id)) GROUP BY 1, 2),
+       |$cname AS (SELECT cluster, list(cval ORDER BY pos) AS cemb
+       |  FROM $uname GROUP BY cluster)""".stripMargin
+
+  // the training chain through the trained centroid table c2
+  private val kmeansCteSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < 8),
-       |${assignCte("a0", "c0")},
-       |${updateCte("u1", "c1", "a0")},
-       |${assignCte("a1", "c1")},
-       |${updateCte("u2", "c2", "a1")},
-       |${assignCte("a2", "c2")}
+       |${kmAssignCte("a0", "c0")},
+       |${kmUpdateCte("u1", "c1", "a0")},
+       |${kmAssignCte("a1", "c1")},
+       |${kmUpdateCte("u2", "c2", "a1")}""".stripMargin
+
+  private val embKmeansSql: String =
+    s"""$kmeansCteSql,
+       |${kmAssignCte("a2", "c2")}
        |SELECT vec_id, cluster, round(rsim, 3) AS sim FROM a2""".stripMargin
-  }
+
+  // C55: C15's probe plan over the TRAINED cells — corpus assignment
+  // a2, per-query top-3 learned cells on the same round-6 ordering,
+  // exact round-3 cosine inside probed cells only
+  private val knnIvfTrainedSql: String =
+    s"""$kmeansCteSql,
+       |${kmAssignCte("a2", "c2")},
+       |probes AS (SELECT q_id, cluster AS list_id FROM (
+       |  SELECT e.vec_id AS q_id, c.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
+       |        DESC, c.cluster) AS rn
+       |  FROM e, c2 c WHERE e.vec_id < 10) WHERE rn <= 3),
+       |cand AS (SELECT p.q_id, a.vec_id AS c_id FROM probes p
+       |  JOIN a2 a ON a.cluster = p.list_id WHERE p.q_id <> a.vec_id),
+       |sc AS (SELECT c.q_id, c.c_id,
+       |  round(list_cosine_similarity(eq.emb, ec.emb), 3) AS sim
+       |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+       |  JOIN e ec ON ec.vec_id = c.c_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY sim DESC, c_id) AS rank FROM sc)
+       |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin
 
   // C32's full oracle, shared verbatim by lm_score and (as the
   // scoring CTE) ccnet_bucket — one source of truth for the bigram-LM
@@ -927,6 +957,7 @@ object SparkEntry {
         |  ORDER BY sim DESC, c_id) AS rank FROM sc)
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
+    "knn_ivf_trained" -> knnIvfTrainedSql,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)
@@ -1224,6 +1255,30 @@ object SparkEntry {
         |    * (CAST(dayofyear(day) AS DOUBLE) - 81.0) / 365.25), 6), 4)
         |  AS et0
         |FROM daily""".stripMargin,
+    // A35: STL-lite decomposition — the moving mean sums ×1e6
+    // HUGEINT quantized values (exact in any accumulation order; a
+    // double window sum diverges by ulps cross-engine, the B41
+    // lesson), seasonal is the exact-decimal mean of the detrended
+    // series per hour-of-day, residual is pure subtraction
+    "q_seasonal" ->
+      (s"""WITH hourly AS ($hourlyMartSql),
+          |tr AS (SELECT event_type, hour_ts, avg_value,
+          |  CAST(sum(CAST(floor(avg_value * 1000000.0)
+          |      AS HUGEINT)) OVER w AS DOUBLE)
+          |    / (CAST(count(*) OVER w AS DOUBLE) * 1000000.0) AS trend
+          |  FROM hourly WINDOW w AS (PARTITION BY event_type
+          |    ORDER BY hour_ts
+          |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+          |dt AS (SELECT *, avg_value - trend AS detrended FROM tr),
+          |se AS (SELECT event_type, hour(hour_ts) AS hod,
+          |  CAST(sum(CAST(floor(detrended * 1000000.0) AS HUGEINT)) AS DOUBLE)
+          |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS seasonal
+          |  FROM dt GROUP BY 1, 2)
+          |SELECT dt.event_type, dt.hour_ts, dt.avg_value, dt.trend,
+          |se.seasonal,
+          |dt.avg_value - dt.trend - se.seasonal AS resid
+          |FROM dt JOIN se ON dt.event_type = se.event_type
+          |  AND hour(dt.hour_ts) = se.hod""".stripMargin),
     // A34: daily-total standardized anomaly — B28's HUGEINT co-moment
     // protocol applied one coarsening level up (round-4 decimal daily
     // sums, ×1e6 stays integral)

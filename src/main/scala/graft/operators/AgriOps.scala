@@ -619,6 +619,63 @@ object AgriOps {
         sqrt(greatest(col("t_max") - col("t_min"), lit(0.0))) * col("ra"), 4))
   }
 
+  /** A35: trend/seasonal/residual decomposition of the hourly mart —
+    * the STL-lite split (xarray/pandas `seasonal_decompose` family)
+    * agrimet series analysis starts from: trend = centered 24-hour
+    * moving mean, seasonal = mean DETRENDED value per hour-of-day
+    * (A27's climatology, applied after trend removal so a drifting
+    * series doesn't smear its drift into the diurnal profile),
+    * residual = value − trend − seasonal.
+    *
+    * Determinism: the moving mean CANNOT be a double window sum (the
+    * B41 lesson — cross-engine windowed double accumulation differs
+    * by ulps); instead the hourly values are ×10⁶-quantized to
+    * DECIMAL(38,0)/HUGEINT and the window sums INTEGERS (exact,
+    * associative, any accumulation order), with one double division
+    * per row. The seasonal mean quantizes the DERIVED detrended
+    * doubles with floor(x·10⁶) — NOT a decimal cast: DuckDB's
+    * double→DECIMAL cast TRUNCATES toward zero while Spark's rounds
+    * half-up (measured: 14 of 29 full-precision doubles in one
+    * hod-group landed one 1e-6 step apart), so [[Exact.avgD]] is only
+    * safe on limited-decimal inputs; floor of the exactly-rounded
+    * ×10⁶ product is bit-identical by construction (C30's protocol).
+    * The residual is two subtractions of bit-identical doubles.
+    * Nothing needs rounding.
+    *
+    * Scale shape: the window runs over the |keys × hours| MART, never
+    * raw events (A28's coarsen-first shape); the seasonal join-back
+    * is a |keys × 24|-row broadcast — the mart stream shuffles once
+    * for the window and never again.
+    */
+  def seasonalDecompose(events: DataFrame, halfWindow: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    val wT = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(-halfWindow, halfWindow - 1)
+    // floor-quantize, NOT a decimal cast: avg_value is itself a
+    // full-precision quotient, and the double→DECIMAL cast diverges
+    // cross-engine on such inputs (truncate vs half-up — see the
+    // seasonal note below; bit at sf0.1 where per-hour counts stop
+    // being powers of two)
+    val y6 = floor(col("avg_value") * lit(1000000.0)).cast(I)
+    val trended = hourlyMart(events)
+      .select(col("event_type"), col("hour_ts"), col("avg_value"))
+      .withColumn("trend", sum(y6).over(wT).cast("double") /
+        (count(lit(1)).over(wT).cast("double") * lit(1000000.0)))
+      .withColumn("detrended", col("avg_value") - col("trend"))
+    val qd = floor(col("detrended") * lit(1000000.0)).cast(I)
+    val seas = trended
+      .groupBy(col("event_type").as("et"), hour(col("hour_ts")).as("shod"))
+      .agg((sum(qd).cast("double") /
+        (count(lit(1)).cast("double") * lit(1000000.0))).as("seasonal"))
+    trended
+      .join(broadcast(seas), col("event_type") === col("et")
+        && hour(col("hour_ts")) === col("shod"))
+      .select(col("event_type"), col("hour_ts"), col("avg_value"),
+        col("trend"), col("seasonal"),
+        (col("avg_value") - col("trend") - col("seasonal")).as("resid"))
+  }
+
   /** A34: standardized precipitation-style anomaly index — each day's
     * total standardized against the key's own daily-total
     * distribution (z = (x − μ)/σ over the period), the drought/wet-

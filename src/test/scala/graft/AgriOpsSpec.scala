@@ -250,6 +250,26 @@ class AgriOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("seasonalDecompose: additive identity, constant series decomposes to zero") {
+    val out = AgriOps.seasonalDecompose(events).cache()
+    // every hourly mart row appears, decomposition is additive
+    assert(out.count() === AgriOps.hourlyMart(events).count())
+    assert(out.filter(
+      abs(col("avg_value") - (col("trend") + col("seasonal") + col("resid")))
+        > 1e-9).count() === 0)
+    out.unpersist()
+    // a constant series has flat trend, no diurnal profile, no residual
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val const = (0 until 48).map(h => (h.toLong,
+      new java.sql.Timestamp(ts0 + h * 3600000L), 1L, "a", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dec = AgriOps.seasonalDecompose(const)
+    assert(dec.filter(col("trend") =!= 10.0).count() === 0)
+    assert(dec.filter(col("seasonal") =!= 0.0).count() === 0)
+    assert(dec.filter(abs(col("resid")) > 1e-9).count() === 0)
+  }
+
   test("spi standardizes daily totals to mean ~0, sd ~1 per key") {
     val out = AgriOps.spi(events).cache()
     val stats = out.groupBy("event_type")
