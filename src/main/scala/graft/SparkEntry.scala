@@ -1825,27 +1825,29 @@ object SparkEntry {
         |       * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
         |              / CAST(m.n * (m.n - 1) AS DOUBLE)))) > 2.5 AS is_anomaly
         |FROM events e JOIN m ON e.event_type = m.event_type""".stripMargin,
-    // B41: CUSUM change-in-mean — exact-decimal mean; the cumulative
-    // double sum is a few ulps apart cross-engine (DuckDB's windowed
-    // agg is not a strict sequential fold), so the argmax runs
-    // unrounded (gaps are O(x − x̄), ulp-proof) and the published S
-    // values use the round-4 protocol
+    // B41: CUSUM change-in-mean — the fold runs on n-scaled HUGEINT
+    // deviations (n·y6 − Σy6: exact, associative — a double window
+    // fold is 3-9 ulps apart cross-engine), argmax on integers,
+    // publish divides n·1e6 back out (one exact cast, one division)
     "q_cusum" ->
-      """WITH m AS (SELECT event_type,
-        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
-        |    AS mu, count(*) AS n_events
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT)) AS s1
         |  FROM events GROUP BY event_type),
-        |s AS (SELECT e.event_type, e.ts, e.event_id, m.n_events,
-        |  sum(e.value - m.mu) OVER (PARTITION BY e.event_type
+        |s AS (SELECT e.event_type, e.ts, e.event_id, m.n,
+        |  sum(m.n * CAST(CAST(e.value AS DECIMAL(20,6)) * 1000000
+        |      AS HUGEINT) - m.s1) OVER (PARTITION BY e.event_type
         |    ORDER BY e.ts, e.event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_scaled
         |  FROM events e JOIN m USING (event_type)),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |  ORDER BY abs(s_run) DESC, ts DESC, s_run DESC, event_id DESC)
-        |  AS rn FROM s)
-        |SELECT event_type, ts AS cp_ts, round(s_run, 4) AS s_at_cp,
-        |round(abs(s_run), 4) AS max_abs_s, n_events FROM r
-        |WHERE rn = 1""".stripMargin,
+        |  ORDER BY abs(s_scaled) DESC, ts DESC, s_scaled DESC,
+        |    event_id DESC) AS rn FROM s)
+        |SELECT event_type, ts AS cp_ts,
+        |CAST(s_scaled AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |  AS s_at_cp,
+        |CAST(abs(s_scaled) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |  AS max_abs_s,
+        |n AS n_events FROM r WHERE rn = 1""".stripMargin,
     // C53: BM25 with Lucene idf; every fractional constant CAST to
     // DOUBLE (a bare 1.2 literal is DECIMAL in DuckDB and would
     // change the arithmetic domain), per-term DECIMAL(38,18)

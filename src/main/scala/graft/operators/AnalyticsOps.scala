@@ -454,6 +454,26 @@ object AnalyticsOps {
         zscoreExpr(col("value")).as("z"))
       .withColumn("is_anomaly", abs(col("z")) > lit(threshold))
 
+  /** The n-scaled integer CUSUM deviation — `n·y6(x) − Σy6`, an exact
+    * DECIMAL(38,0) integer (S_i·n·10⁶ = Σ of these is associative on
+    * ANY accumulation order or batch split). Needs `n` and `s1` from
+    * [[zscoreStats]] in scope; ONE definition shared by the batch
+    * detector and the streaming monitor (D12), whose whole contract
+    * is folding bit-identically to this.
+    */
+  def cusumDevExpr(valueCol: Column): Column = {
+    val I = DecimalType(38, 0)
+    val y6 = (valueCol.cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    col("n").cast(I) * y6 - col("s1")
+  }
+
+  /** Publish an n-scaled integer S back in the value domain:
+    * one exact decimal→double cast, one double division — the same
+    * quotient in any engine.
+    */
+  def cusumUnscale(sScaled: Column): Column =
+    sScaled.cast("double") / (col("n_events").cast("double") * lit(1000000.0))
+
   /** B41: CUSUM changepoint detection per key — the classic offline
     * change-in-mean estimator: S_i = Σ_{j≤i}(x_j − x̄) over the
     * time-ordered series; the changepoint estimate is the timestamp
@@ -462,15 +482,16 @@ object AnalyticsOps {
     * pointwise z-flags can't express (a 0.5σ mean shift never trips a
     * 2.5σ flag but accumulates linearly in S).
     *
-    * Determinism: x̄ via [[Exact.avgD]] (bit-identical) and
-    * deviations are one double subtraction each, but the cumulative
-    * window sum is NOT bit-identical cross-engine — measured 3–9 ulp
-    * apart (DuckDB's windowed aggregation does not accumulate as a
-    * strict sequential fold), unlike A28's gdd_cum whose addends are
-    * clamped small. The argmax is still stable (adjacent prefix sums
-    * differ by O(x−x̄) ≈ 10¹⁰ ulps at these magnitudes) and the
-    * published S values go through the round-4 protocol, which
-    * absorbs the wiggle. Ties on |S| break to the latest
+    * Determinism: the fold runs ENTIRELY in the scaled-integer domain
+    * — the accumulated quantity is S_i·n·10⁶ = Σ_{j≤i}(n·y6_j − Σy6)
+    * with [[zscoreStats]]' exact co-moments, so the window sum is
+    * exact and associative (a double fold measured 3–9 ulps apart
+    * cross-engine — DuckDB's windowed aggregation is not a strict
+    * sequential fold — and would also break batch-split invariance
+    * for the D12 streaming twin; integers make both exact). The
+    * argmax compares integers; the published S divides out n·10⁶
+    * with one exact cast + one double division — bit-identical, no
+    * rounding protocol needed. Ties on |S| break to the latest
     * (ts, signed S, event_id) — mirrored by the oracle's DESC chain.
     *
     * Scale shape: a |keys|-row broadcast join-back (the fact stream
@@ -479,20 +500,17 @@ object AnalyticsOps {
     * pass over the series, no collect.
     */
   def cusum(events: DataFrame): DataFrame = {
-    val stats = events.groupBy(col("event_type").as("et"))
-      .agg(Exact.avgD(col("value")).as("mu"),
-        count(lit(1)).as("n_events"))
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events.join(broadcast(stats), col("event_type") === col("et"))
-      .withColumn("s_run", sum(col("value") - col("mu")).over(w))
+    events.join(broadcast(zscoreStats(events)), "event_type")
+      .withColumn("s_scaled", sum(cusumDevExpr(col("value"))).over(w))
       .groupBy(col("event_type"))
-      .agg(max(struct(abs(col("s_run")).as("mag"), col("ts"),
-        col("s_run"), col("event_id"))).as("m"),
-        max("n_events").as("n_events"))
+      .agg(max(struct(abs(col("s_scaled")).as("mag_s"), col("ts"),
+        col("s_scaled"), col("event_id"))).as("m"),
+        max("n").as("n_events"))
       .select(col("event_type"), col("m.ts").as("cp_ts"),
-        round(col("m.s_run"), 4).as("s_at_cp"),
-        round(col("m.mag"), 4).as("max_abs_s"),
+        cusumUnscale(col("m.s_scaled")).as("s_at_cp"),
+        cusumUnscale(col("m.mag_s")).as("max_abs_s"),
         col("n_events"))
   }
 

@@ -168,6 +168,111 @@ object StreamOps {
         }
       }
 
+  /** D12: streaming CUSUM monitor — the online half of B41: the
+    * change-in-mean fold applied at ingest, carrying per-key state on
+    * storage (the D11 contract). `stats` is the batch-built co-moment
+    * table ([[graft.operators.AnalyticsOps.zscoreStats]] — the same
+    * offline-model/online-score split as D7). Because the fold runs
+    * in B41's n-scaled INTEGER domain (cusumDevExpr: exact
+    * DECIMAL(38,0) addends), folding micro-batches is exactly
+    * associative — any batch split of the stream lands on state
+    * bit-identical to the batch detector over the union (spec-pinned)
+    * — provided batches arrive in (ts, event_id) order per key, the
+    * ordered-backfill contract D11's fold also assumes. A double-
+    * domain fold could not make this promise (B41's measured 3–9 ulp
+    * engine/batch-split drift).
+    *
+    * State snapshots are written to `stateDir/batch=<id>` and the
+    * fold reads back the LATEST snapshot with `batch < id` — a
+    * replayed micro-batch recomputes from the prior snapshot and
+    * overwrites only its own dir, so crash-replay is idempotent
+    * (D11's self-healing shape).
+    */
+  def streamingCusum(events: DataFrame, stats: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val spark = batch.sparkSession
+        val I = DecimalType(38, 0)
+        val b = batch.select(col("event_id"), col("event_type"), col("ts"),
+          col("value")).localCheckpoint(true)
+        try {
+          val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val scoredB = b.join(broadcast(stats), "event_type")
+            .withColumn("dev_s",
+              graft.operators.AnalyticsOps.cusumDevExpr(col("value")))
+            .withColumn("s_local", sum(col("dev_s")).over(w))
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val cum0 = prior.map(_.select(col("event_type"),
+            col("cum_s").as("cum0")))
+          val withCum = cum0 match {
+            case Some(c) => scoredB.join(broadcast(c), Seq("event_type"), "left")
+              .withColumn("s_scaled",
+                coalesce(col("cum0"), lit(0).cast(I)) + col("s_local"))
+            case None => scoredB.withColumn("s_scaled", col("s_local"))
+          }
+          val bAgg = withCum.groupBy("event_type").agg(
+            max(struct(abs(col("s_scaled")).as("mag_s"), col("ts"),
+              col("s_scaled"), col("event_id"))).as("mb"),
+            sum("dev_s").as("dsum"), count(lit(1)).as("cnt"))
+          val fresh = bAgg.select(col("event_type"),
+            col("dsum").cast(I).as("cum_s"),
+            col("mb.mag_s").as("best_mag"), col("mb.ts").as("best_ts"),
+            col("mb.s_scaled").as("best_s"),
+            col("mb.event_id").as("best_id"), col("cnt").as("n_seen"))
+          val newState = prior match {
+            case None => fresh
+            case Some(p) =>
+              // full outer: keys untouched this batch carry through
+              val pb = when(col("best_ts").isNotNull,
+                struct(col("best_mag").as("mag_s"), col("best_ts").as("ts"),
+                  col("best_s").as("s_scaled"), col("best_id").as("event_id")))
+              p.join(bAgg, Seq("event_type"), "full_outer")
+                .select(col("event_type"),
+                  (coalesce(col("cum_s"), lit(0).cast(I))
+                    + coalesce(col("dsum").cast(I), lit(0).cast(I))).as("cum_s"),
+                  greatest(pb, col("mb")).getField("mag_s").as("best_mag"),
+                  greatest(pb, col("mb")).getField("ts").as("best_ts"),
+                  greatest(pb, col("mb")).getField("s_scaled").as("best_s"),
+                  greatest(pb, col("mb")).getField("event_id").as("best_id"),
+                  (coalesce(col("n_seen"), lit(0L))
+                    + coalesce(col("cnt"), lit(0L))).as("n_seen"))
+          }
+          newState.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The latest carried D12 state snapshot (raw n-scaled integers;
+    * unscale with [[graft.operators.AnalyticsOps.cusumUnscale]]).
+    */
+  def latestCusumState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    all.filter(col("batch") === latest).drop("batch")
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

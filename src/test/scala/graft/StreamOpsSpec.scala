@@ -185,6 +185,41 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D12: streaming CUSUM over 3 ordered micro-batches equals the batch detector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = graft.sources.Tables.events(spark, sf)
+    val stats = graft.operators.AnalyticsOps.zscoreStats(eventsDf)
+      .localCheckpoint(true)
+    // ordered backfill: contiguous (ts, event_id) slices preserve
+    // per-key order — the D12 fold contract
+    val evs = eventsDf.as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val base = java.nio.file.Files.createTempDirectory("d12").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingCusum(stream.toDF(), stats, stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    evs.grouped((evs.size + 2) / 3).foreach { g =>
+      stream.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    // three snapshots; the latest equals the batch detector bit-for-bit
+    assert(new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 3)
+    val state = StreamOps.latestCusumState(spark, stateDir)
+      .withColumnRenamed("n_seen", "n_events")
+      .select(col("event_type"), col("best_ts").as("cp_ts"),
+        graft.operators.AnalyticsOps.cusumUnscale(col("best_s")).as("s_at_cp"),
+        graft.operators.AnalyticsOps.cusumUnscale(col("best_mag")).as("max_abs_s"),
+        col("n_events"))
+    val twin = graft.operators.AnalyticsOps.cusum(eventsDf)
+    assert(state.count() === twin.count())
+    assert(state.except(twin).isEmpty && twin.except(state).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
