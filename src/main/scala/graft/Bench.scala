@@ -156,6 +156,7 @@ object Bench {
     * dominated by the similarity join + label loop).
     */
   private val HeavyQueries = Seq("dedup_groups", "dedup_apply",
+    "dedup_priority", // C50 runs the same clustering as dedup_apply
     "pipeline_curate", "train_split_grouped", "dedup_incremental",
     "dedup_incremental_fold", "dedup_weights",
     // the posexplode-gram family also persists intermediates through

@@ -215,7 +215,11 @@ object SparkEntry {
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
     "q_cusum" -> ((s, d) => AnalyticsOps.cusum(Tables.events(s, d))),
+    "q_theilsen" -> ((s, d) => AnalyticsOps.theilSen(Tables.events(s, d))),
+    "q_autocorr" -> ((s, d) => AnalyticsOps.autocorr(Tables.events(s, d))),
     "bm25" -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
+    "url_dedup" -> ((s, d) =>
+      TextOps.urlDedup(TextOps.withSyntheticCrawlUrl(Tables.documents(s, d)))),
     "q_skew_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       ScaleOps.saltedJoin(ev,
@@ -1848,6 +1852,65 @@ object SparkEntry {
         |CAST(abs(s_scaled) AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
         |  AS max_abs_s,
         |n AS n_events FROM r WHERE rn = 1""".stripMargin,
+    // B42: Theil–Sen — pairwise slopes over the daily mart (exact
+    // numerators/denominators), round-4 median (even-count midpoint
+    // averaging may associate differently across engines)
+    "q_theilsen" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS y
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(datediff('day',
+        |  TIMESTAMP '2024-01-01 00:00:00', day) AS DOUBLE) AS x FROM daily),
+        |p AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM d2 a JOIN d2 b ON a.event_type = b.event_type
+        |    AND a.day < b.day)
+        |SELECT event_type, round(median(slope), 4) AS ts_slope,
+        |count(*) AS n_pairs FROM p GROUP BY 1""".stripMargin,
+    // B43: lag-1 autocorrelation — daily means floor-quantized to
+    // HUGEINT (the A37 protocol), Pearson r from exact co-moments,
+    // two sqrt + one division in double, unrounded
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS y
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, day,
+        |  CAST(floor(y * 1000000.0) AS HUGEINT) AS yq FROM daily),
+        |p AS (SELECT event_type, yq, lag(yq) OVER (
+        |  PARTITION BY event_type ORDER BY day) AS xq FROM q),
+        |f AS (SELECT * FROM p WHERE xq IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n_pairs,
+        |  sum(xq) AS sx, sum(yq) AS sy, sum(xq * yq) AS sxy,
+        |  sum(xq * xq) AS sxx, sum(yq * yq) AS syy
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |  / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r1
+        |FROM s""".stripMargin,
+    // C56: same synthetic crawl URL, same RE2/Java-common regex chain
+    // ('g' where Spark's replace-all semantics could matter)
+    "url_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+        |  'HTTPS://WWW.Host' || (doc_id % 7) || '.Example.COM:443/Docs/'
+        |  || (doc_id % 50) || '/?utm_source=s' || doc_id || '&id='
+        |  || (doc_id % 5) || '&utm_campaign=c#sec' || doc_id AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM aug),
+        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  'utm_[a-z]+=[^&#]*&', '', 'g'), '[?&]utm_[a-z]+=[^&#]*$', '')
+        |  AS u FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM n2),
+        |n4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(u, '^[A-Za-z]+://[^/]*')),
+        |    ':(443|80)$', ''), '^(https?://)www\.', '\1')
+        |  || regexp_replace(regexp_replace(regexp_replace(u,
+        |    '^[A-Za-z]+://[^/]*', ''), '/\?', '?'), '/$', '') AS url_norm
+        |  FROM n3)
+        |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM n4 GROUP BY 1""".stripMargin,
     // C53: BM25 with Lucene idf; every fractional constant CAST to
     // DOUBLE (a bare 1.2 literal is DECIMAL in DuckDB and would
     // change the arithmetic domain), per-term DECIMAL(38,18)

@@ -561,7 +561,7 @@ object AgriOps {
   def gridPipeline(spark: SparkSession): DataFrame =
     dailyFromHourly(gridHourly(spark))
 
-  /** A32: vapor pressure deficit — THE derived agrimet variable the
+  /** A34: vapor pressure deficit — THE derived agrimet variable the
     * reference's t2m + d2m pairing exists for (dewpoint is carried
     * expressly so VPD/relative-humidity analyses can run downstream
     * of the daily mart; crop stress models consume VPD, not raw
@@ -586,11 +586,11 @@ object AgriOps {
       .withColumn("vpd_kpa", round(col("es_kpa") - col("ea_kpa"), 4))
   }
 
-  /** A32 entry: VPD over the live connector's hourly mart. */
+  /** A34 entry: VPD over the live connector's hourly mart. */
   def gridVpd(spark: SparkSession): DataFrame =
     vpdFromHourly(gridHourly(spark))
 
-  /** A33: Hargreaves reference evapotranspiration — the
+  /** A35: Hargreaves reference evapotranspiration — the
     * temperature-only ET0 estimate (FAO-56 eq. 52:
     * 0.0023·(T_mean+17.8)·√(T_max−T_min)·Ra) field pipelines run
     * when only the t2m mart exists; the reference carries actual
@@ -619,7 +619,7 @@ object AgriOps {
         sqrt(greatest(col("t_max") - col("t_min"), lit(0.0))) * col("ra"), 4))
   }
 
-  /** A35: trend/seasonal/residual decomposition of the hourly mart —
+  /** A37: trend/seasonal/residual decomposition of the hourly mart —
     * the STL-lite split (xarray/pandas `seasonal_decompose` family)
     * agrimet series analysis starts from: trend = centered 24-hour
     * moving mean, seasonal = mean DETRENDED value per hour-of-day
@@ -676,7 +676,7 @@ object AgriOps {
         (col("avg_value") - col("trend") - col("seasonal")).as("resid"))
   }
 
-  /** A34: standardized precipitation-style anomaly index — each day's
+  /** A36: standardized precipitation-style anomaly index — each day's
     * total standardized against the key's own daily-total
     * distribution (z = (x − μ)/σ over the period), the drought/wet-
     * spell indicator built on the daily sum mart (SPI-1 at daily

@@ -514,6 +514,74 @@ object AnalyticsOps {
         col("n_events"))
   }
 
+  /** B42: Theil–Sen robust trend slope per key — the median of all
+    * pairwise daily slopes (the outlier-proof alternative to B25's
+    * least-squares fit: one corrupted day moves OLS arbitrarily but
+    * shifts a median of ~n²/2 slopes by one rank). Coarsen-first
+    * makes the quadratic harmless: pairs form over the |keys × days|
+    * DAILY mart, never raw events — |days|²/2 per key is the bound
+    * regardless of event volume (long histories subsample pairs;
+    * the exact form is the oracle-checkable semantics).
+    *
+    * Determinism: daily means are bit-identical (raw values are
+    * limited-decimal, so Exact.avgD's cast is exact), each slope is
+    * (Δy exact)/(Δdays exact) — one correctly-rounded division — and
+    * the published median rounds to 4 (the even-count midpoint
+    * average can associate differently across engines).
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("double"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
+    pairs.groupBy("event_type")
+      .agg(round(median(col("slope")), 4).as("ts_slope"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /** B43: lag-1 autocorrelation of the daily series per key — the
+    * persistence diagnostic (is tomorrow like today?) behind
+    * gap-filling policy and anomaly thresholds. Daily means are
+    * DERIVED full-precision doubles, so they are floor(y·10⁶)
+    * integer-quantized FIRST (the A37 protocol — a decimal cast
+    * truncates vs half-up across engines); the (y_t, y_{t−1}) pairs
+    * come from one lag window over the daily mart, and Pearson r is
+    * computed from exact DECIMAL(38,0) co-moments with two sqrt +
+    * one division in double at the end — bit-identical, unrounded.
+    *
+    * Scale shape: coarsen-first (events → |keys × days|), one window
+    * + one partial-agg groupBy over daily rows only.
+    */
+  def autocorr(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("y"))
+      .withColumn("yq", floor(col("y") * lit(1000000.0)).cast(I))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("xq", lag(col("yq"), 1).over(w))
+      .filter(col("xq").isNotNull)
+    val stats = pairs.groupBy("event_type").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("yq")).as("sxy"),
+      sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("yq") * col("yq")).as("syy"))
+    val n = col("n_pairs").cast(I)
+    stats.select(col("event_type"), col("n_pairs"),
+      ((n * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((n * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("r1"))
+  }
+
   /** B34: rolling active users — distinct users in the trailing
     * `windowDays` ending at each observed day (rolling WAU). Rolling
     * COUNT DISTINCT doesn't decompose into per-day partials, so the

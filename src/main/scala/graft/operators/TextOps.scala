@@ -841,6 +841,61 @@ object TextOps {
         pmod(col("doc_id"), lit(25)).cast("string"),
         lit(".example.org/doc/"), col("doc_id").cast("string")))
 
+  /** A doc_id-derived crawl URL with every canonicalization hazard
+    * baked in — uppercase scheme/host, explicit default port, www
+    * prefix, tracking params, fragment, trailing slash — such that
+    * distinct raw URLs collapse under [[urlNormalize]] exactly when
+    * (doc_id mod 7, doc_id mod 50, doc_id mod 5) agree. Both engines
+    * build the same string, so the normalizer is exercised on real
+    * variance, not vacuously.
+    */
+  def withSyntheticCrawlUrl(documents: DataFrame): DataFrame =
+    documents.withColumn("url",
+      concat(lit("HTTPS://WWW.Host"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".Example.COM:443/Docs/"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit("/?utm_source=s"), col("doc_id").cast("string"),
+        lit("&id="), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("&utm_campaign=c#sec"), col("doc_id").cast("string")))
+
+  /** C56: URL canonicalization — the normalize-before-dedup step every
+    * web-corpus pipeline runs (the same page arrives under thousands
+    * of raw spellings; URL-level dedup without canonicalization
+    * misses most of them): strip fragment, strip `utm_*` tracking
+    * params (tidying separators), lowercase scheme+host, drop default
+    * ports and the `www.` prefix, drop the trailing slash. Pure
+    * regex/builtin map — all patterns in the Java/RE2-common subset
+    * so the oracle replays them verbatim; no UDF, no shuffle.
+    */
+  def urlNormalize(url: Column): Column = {
+    // fragment, then tracking params (mid-query with its '&', then
+    // leading/trailing with its '?'/'&'), then a dangling separator
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[a-z]+=[^&#]*&", ""),
+      "[?&]utm_[a-z]+=[^&#]*$", "")
+    val tidy = regexp_replace(noUtm, "[?&]$", "")
+    // lowercase ONLY scheme://host[:port] (paths are case-sensitive)
+    val head = lower(regexp_extract(tidy, "^[A-Za-z]+://[^/]*", 0))
+    val rest = regexp_replace(tidy, "^[A-Za-z]+://[^/]*", "")
+    val cleanHead = regexp_replace(
+      regexp_replace(head, ":(443|80)$", ""), "^(https?://)www\\.", "$1")
+    // path-trailing slash: both the bare form ".../x/" and the
+    // before-query form ".../x/?id=3"
+    val cleanRest = regexp_replace(
+      regexp_replace(rest, "/\\?", "?"), "/$", "")
+    concat(cleanHead, cleanRest)
+  }
+
+  /** C56 query shape: normalize, then exact dedup on the canonical
+    * URL — keep the lowest doc_id per canonical target (C1's
+    * hash-groupBy plan on the normalized key).
+    */
+  def urlDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), urlNormalize(col("url")).as("url_norm"))
+      .groupBy("url_norm")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** C29: PII redaction — the scrub pass every training corpus runs
     * before anything else: emails and phone-number shapes replaced by
     * typed placeholder tokens, with per-doc match counts for the

@@ -300,6 +300,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rf.getDouble(4) === 1.0 && rf.getDouble(5) === 1.0)
   }
 
+  test("theilSen recovers an exact linear slope; outlier leaves it unmoved") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def series(vs: Seq[Double], typ: String) = vs.zipWithIndex.map {
+      case (v, i) => (i.toLong + (if (typ == "b") 100L else 0L),
+        new java.sql.Timestamp(ts0 + i * 86400000L), 1L, typ, v, "{}")
+    }
+    val events = (series(Seq(10, 12, 14, 16, 18), "a") // slope 2 exactly
+      ++ series(Seq(10, 12, 14, 16, 999), "b"))        // one corrupted day
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.theilSen(events).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out("a") === ((2.0, 10L))) // C(5,2) pairs, all slope 2
+    // the robust point: 4 of 10 pairs touch the outlier, the median
+    // of the untouched majority still reads 2
+    assert(out("b")._1 === 2.0)
+  }
+
+  test("autocorr: alternating series gives exactly r1 = -1") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val alt = (0 until 4).map(i => (i.toLong,
+      new java.sql.Timestamp(ts0 + i * 86400000L), 1L, "a",
+      if (i % 2 == 0) 1.0 else -1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsOps.autocorr(alt).head()
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    // the sqrt·sqrt denominator rounds: -1 up to a ulp
+    assert(math.abs(r.getAs[Double]("r1") + 1.0) < 1e-12)
+    // corpus: r1 bounded, one row per key with >= 2 days
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.autocorr(events)
+    assert(out.filter(col("r1") > 1.0 || col("r1") < -1.0).count() === 0)
+    assert(out.count() ===
+      events.select("event_type").distinct().count())
+  }
+
   test("cusum finds the closed-form changepoint of a step series") {
     import spark.implicits._
     // 0,0,0,10,10,10: mean 5, S = -5,-10,-15,-10,-5,0 → cp at i=3

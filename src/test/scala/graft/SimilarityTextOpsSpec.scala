@@ -557,6 +557,34 @@ class SimilarityTextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("urlNormalize collapses tracking variants; urlDedup groups by target") {
+    import spark.implicits._
+    // 83 and 433 agree on (mod 7, mod 50, mod 5) → same canonical URL
+    val docs = Seq((83L, "a"), (433L, "b"), (7L, "c")).toDF("doc_id", "text")
+    val aug = TextOps.withSyntheticCrawlUrl(docs)
+    val norm = aug.select(col("doc_id"),
+      TextOps.urlNormalize(col("url")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(83L) === "https://host6.example.com/Docs/33?id=3")
+    assert(norm(433L) === norm(83L))
+    assert(norm(7L) === "https://host0.example.com/Docs/7?id=2")
+    val kept = TextOps.urlDedup(aug).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(kept(norm(83L)) === ((83L, 2L)))
+    assert(kept(norm(7L)) === ((7L, 1L)))
+    // hazard checklist, one per rule
+    def n1(u: String) = TextOps.urlNormalize(lit(u))
+    val checks = docs.limit(1).select(
+      n1("http://A.B/x#frag").as("frag"),
+      n1("https://h.com/p?utm_source=a&utm_medium=b").as("allutm"),
+      n1("https://WWW.H.com:80/P/").as("port"),
+      n1("https://h.com/a/?id=1").as("slashq")).head()
+    assert(checks.getString(0) === "http://a.b/x")
+    assert(checks.getString(1) === "https://h.com/p")
+    assert(checks.getString(2) === "https://h.com/P")
+    assert(checks.getString(3) === "https://h.com/a?id=1")
+  }
+
   test("embKmeans: closed-form 2-cluster case, objective never degrades") {
     import spark.implicits._
     // two tight groups around the axes; seeds are ids 0 and 1
