@@ -117,7 +117,24 @@ object ScaleSmoke {
       // + doc-keyed reassembly; disjoint copies add no cross-copy
       // boilerplate, so the hot-side stays per-copy-sized
       ("boilerplate_strip", (d, _, _) => TextOps.boilerplateStrip(d)),
-      ("q_climatology", (_, e, _) => AgriOps.climatology(e)))
+      ("q_climatology", (_, e, _) => AgriOps.climatology(e)),
+      // r7 adds — the new family's shapes under replication:
+      // postings grow ×k but the query-term side stays fixed, so the
+      // candidate join is linear in the corpus
+      ("bm25", (d, _, _) => TextOps.bm25(d)),
+      // per round: corpus × broadcast(k cells) map + two partial aggs
+      ("emb_kmeans", (_, _, m) => SimilarityOps.embKmeans(m)),
+      // pure map + (doc, char) partial agg — expect ratio ≈ k
+      ("doc_entropy", (d, _, _) => TextOps.docEntropy(d)),
+      // regex map + hash groupBy on the canonical key
+      ("url_dedup", (d, _, _) =>
+        TextOps.urlDedup(TextOps.withSyntheticCrawlUrl(d))),
+      // the evaluation grid is |keys × distinct values| — replication
+      // repeats values, so the grid (and the window pass over it)
+      // must stay FLAT while only the count scan grows
+      ("q_ks_test", (_, e, _) => AnalyticsOps.ksTest(e)),
+      // C32 scoring plan + one per-lang ntile
+      ("ccnet_bucket", (d, _, _) => TextOps.ccnetBucket(d)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -216,6 +216,8 @@ object SparkEntry {
     "q_zscore" -> ((s, d) => AnalyticsOps.zscoreFlags(Tables.events(s, d))),
     "q_cusum" -> ((s, d) => AnalyticsOps.cusum(Tables.events(s, d))),
     "q_theilsen" -> ((s, d) => AnalyticsOps.theilSen(Tables.events(s, d))),
+    "q_ks_test" -> ((s, d) => AnalyticsOps.ksTest(Tables.events(s, d))),
+    "q_gini" -> ((s, d) => AnalyticsOps.gini(Tables.events(s, d))),
     "q_autocorr" -> ((s, d) => AnalyticsOps.autocorr(Tables.events(s, d))),
     "bm25" -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
     "url_dedup" -> ((s, d) =>
@@ -1888,6 +1890,49 @@ object SparkEntry {
         |CAST(n_pairs * sxy - sx * sy AS DOUBLE)
         |  / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
         |     * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r1
+        |FROM s""".stripMargin,
+    // B44: key-vs-rest KS — sup computed on the integer cross-product
+    // form (cum_k·n_rest − cum_rest·n_k), value-ASC tie chain, one
+    // division publishes D
+    "q_ks_test" ->
+      """WITH vals AS (SELECT DISTINCT value FROM events),
+        |keys AS (SELECT DISTINCT event_type FROM events),
+        |cnt AS (SELECT event_type, value, count(*) AS c FROM events
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT k.event_type, v.value, coalesce(cnt.c, 0) AS c
+        |  FROM keys k CROSS JOIN vals v
+        |  LEFT JOIN cnt USING (event_type, value)),
+        |ck AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |  ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum_k FROM grid),
+        |ck2 AS (SELECT *, sum(cum_k) OVER (PARTITION BY value) AS cum_all
+        |  FROM ck),
+        |nk AS (SELECT event_type, count(*) AS n_k FROM events GROUP BY 1),
+        |na AS (SELECT count(*) AS n_all FROM events),
+        |sc AS (SELECT ck2.event_type, ck2.value, nk.n_k,
+        |  na.n_all - nk.n_k AS n_rest,
+        |  abs(ck2.cum_k * (na.n_all - nk.n_k)
+        |    - (ck2.cum_all - ck2.cum_k) * nk.n_k) AS d_num
+        |  FROM ck2 JOIN nk USING (event_type), na),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY d_num DESC, value ASC) AS rn FROM sc)
+        |SELECT event_type, n_k, n_rest, value AS d_at_value,
+        |CAST(d_num AS DOUBLE)
+        |  / (CAST(n_k AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_d
+        |FROM r WHERE rn = 1""".stripMargin,
+    // B45: Gini — ×1e6 HUGEINT rank dot product, one division; tie
+    // blocks make intra-tie order irrelevant
+    "q_gini" ->
+      """WITH rk AS (SELECT event_type, value,
+        |  CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS xq,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS i
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(xq) AS sx,
+        |  sum((2 * i - 1) * xq) AS swx FROM rk GROUP BY 1)
+        |SELECT event_type, n,
+        |CAST(swx - n * sx AS DOUBLE)
+        |  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
         |FROM s""".stripMargin,
     // C56: same synthetic crawl URL, same RE2/Java-common regex chain
     // ('g' where Spark's replace-all semantics could matter)

@@ -582,6 +582,95 @@ object AnalyticsOps {
         .as("r1"))
   }
 
+  /** B44: two-sample Kolmogorov–Smirnov statistic, each key vs the
+    * pooled rest — the distribution-drift detector (did this key's
+    * value distribution diverge from everyone else's?) behind data-
+    * quality monitors and A/B sanity checks; B28/B41 flag level
+    * shifts, KS flags SHAPE changes they can't see.
+    *
+    * Exactness: D = sup_v |F_k(v) − F_rest(v)| is evaluated on the
+    * observed-value grid with the sup argmax computed on the INTEGER
+    * cross-product form |cum_k·n_rest − cum_rest·n_k| (no doubles in
+    * the ordering), then ONE division publishes D. The tie chain
+    * (value ASC on the argmax) is mirrored by the oracle.
+    *
+    * Scale shape: the evaluation grid is |keys × distinct values| —
+    * value domains are quantized/bounded in practice (these are
+    * 2-decimal readings), so the grid coarsens the event volume the
+    * same way the daily mart does; per-(key,value) counts partial-
+    * aggregate before the one window pass.
+    */
+  def ksTest(events: DataFrame): DataFrame = {
+    val vals = events.select(col("value")).distinct()
+    val keys = events.select(col("event_type")).distinct()
+    val cnt = events.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    val grid = keys.crossJoin(vals)
+      .join(cnt, Seq("event_type", "value"), "left")
+      .na.fill(0L, Seq("c"))
+    val wK = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum_all(v) = Σ_keys cum_k(v): the grid carries every key at
+    // every value, so the pooled CDF is a VALUE-partitioned window
+    // over the per-key cumulatives — no global (single-partition)
+    // prefix sum anywhere in the plan
+    val cumK = grid.withColumn("cum_k", sum("c").over(wK))
+      .withColumn("cum_all",
+        sum("cum_k").over(Window.partitionBy("value")))
+    val nK = events.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n_k"))
+    val nTot = events.agg(count(lit(1)).as("n_all"))
+    val scored = cumK
+      .join(broadcast(nK), col("event_type") === col("et"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_rest", col("n_all") - col("n_k"))
+      .withColumn("d_num",
+        abs(col("cum_k") * col("n_rest")
+          - (col("cum_all") - col("cum_k")) * col("n_k")))
+    scored.groupBy("event_type")
+      .agg(max(struct(col("d_num"), negate(col("value")).as("nv"))).as("m"),
+        max("n_k").as("n_k"), max("n_rest").as("n_rest"))
+      .select(col("event_type"), col("n_k"), col("n_rest"),
+        negate(col("m.nv")).as("d_at_value"),
+        (col("m.d_num").cast("double")
+          / (col("n_k").cast("double") * col("n_rest").cast("double")))
+          .as("ks_d"))
+  }
+
+  /** B45: Gini coefficient per key — concentration/inequality of the
+    * value mass (is the load spread evenly or carried by a few?),
+    * the standard skew summary next to B38's top-share audit.
+    * G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over the value-sorted sample —
+    * computed ENTIRELY on ×10⁶-scaled integers (raw readings are
+    * limited-decimal, so the decimal cast is exact): rank window,
+    * integer dot product, one double division at the end. Tie blocks
+    * make the rank weights sum identically regardless of intra-tie
+    * order, so the statistic is partition-order-proof.
+    *
+    * Scale shape: one window shuffle on the key + a partial-agg
+    * groupBy; nothing quadratic (the naive definitional form is the
+    * all-pairs |xᵢ−xⱼ| mean — this is its sort form).
+    */
+  def gini(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val xq = (col("value").cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("xq", xq)
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"),
+        sum((lit(2) * col("i") - lit(1)).cast(I) * col("xq")).as("swx"))
+      .select(col("event_type"), col("n"),
+        // Σ(2i−n−1)xᵢ = Σ(2i−1)xᵢ − n·Σxᵢ
+        ((col("swx") - col("n").cast(I) * col("sx")).cast("double")
+          / (col("n").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+  }
+
   /** B34: rolling active users — distinct users in the trailing
     * `windowDays` ending at each observed day (rolling WAU). Rolling
     * COUNT DISTINCT doesn't decompose into per-day partials, so the

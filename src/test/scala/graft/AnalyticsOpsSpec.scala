@@ -337,6 +337,42 @@ class AnalyticsOpsSpec extends SparkSpec {
       events.select("event_type").distinct().count())
   }
 
+  test("ksTest: disjoint supports give D = 1 at the crossing value") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val two = Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 4.0, "b"))
+      .map { case (id, v, t) =>
+        (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.ksTest(two).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("ks_d") === 1.0)
+    assert(out("a").getAs[Double]("d_at_value") === 2.0)
+    assert(out("b").getAs[Double]("ks_d") === 1.0)
+    // corpus: D in [0, 1], one row per key
+    val events = Tables.events(spark, sf)
+    val full = AnalyticsOps.ksTest(events)
+    assert(full.filter(col("ks_d") < 0.0 || col("ks_d") > 1.0).count() === 0)
+    assert(full.count() === events.select("event_type").distinct().count())
+  }
+
+  test("gini: zero for equal values, closed-form for a skewed triple") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val rows = Seq((1L, 10.0, "a"), (2L, 10.0, "a"), (3L, 10.0, "a"),
+      (4L, 1.0, "b"), (5L, 1.0, "b"), (6L, 18.0, "b"))
+      .map { case (id, v, t) =>
+        (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.gini(rows).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("a") === 0.0)
+    assert(math.abs(out("b") - 34.0 / 60.0) < 1e-12)
+    // corpus: 0 <= G < 1 on positive readings
+    val full = AnalyticsOps.gini(Tables.events(spark, sf))
+    assert(full.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() === 0)
+  }
+
   test("cusum finds the closed-form changepoint of a step series") {
     import spark.implicits._
     // 0,0,0,10,10,10: mean 5, S = -5,-10,-15,-10,-5,0 → cp at i=3
