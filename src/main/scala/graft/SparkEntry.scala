@@ -218,6 +218,7 @@ object SparkEntry {
     "q_theilsen" -> ((s, d) => AnalyticsOps.theilSen(Tables.events(s, d))),
     "q_ks_test" -> ((s, d) => AnalyticsOps.ksTest(Tables.events(s, d))),
     "q_gini" -> ((s, d) => AnalyticsOps.gini(Tables.events(s, d))),
+    "q_benford" -> ((s, d) => AnalyticsOps.benford(Tables.events(s, d))),
     "q_autocorr" -> ((s, d) => AnalyticsOps.autocorr(Tables.events(s, d))),
     "bm25" -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
     "url_dedup" -> ((s, d) =>
@@ -1920,6 +1921,21 @@ object SparkEntry {
         |CAST(d_num AS DOUBLE)
         |  / (CAST(n_k AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_d
         |FROM r WHERE rn = 1""".stripMargin,
+    // B46: Benford — leading digit from the ×1e6 HUGEINT's decimal
+    // string (never double→string formatting), exact share quotient,
+    // round-6 reference p
+    "q_benford" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(substr(CAST(CAST(CAST(value AS DECIMAL(20,6)) * 1000000
+        |    AS HUGEINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE value > 0.0),
+        |g AS (SELECT event_type, digit, count(*) AS n FROM d
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS n_total FROM g GROUP BY 1)
+        |SELECT g.event_type, g.digit, g.n,
+        |CAST(g.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+        |round(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)), 6) AS benford_p
+        |FROM g JOIN t USING (event_type)""".stripMargin,
     // B45: Gini — ×1e6 HUGEINT rank dot product, one division; tie
     // blocks make intra-tie order irrelevant
     "q_gini" ->

@@ -671,6 +671,37 @@ object AnalyticsOps {
           .as("gini"))
   }
 
+  /** B46: Benford leading-digit audit per key — the classic
+    * fabricated-data / unit-mixup screen (naturally-occurring
+    * positive measurements follow P(d) = log10(1 + 1/d); injected or
+    * re-scaled values don't). The leading digit is extracted from
+    * the ×10⁶ INTEGER's decimal string (scaling by a power of ten
+    * preserves the leading digit) — never from double→string
+    * formatting, whose shortest-repr rules differ across engines.
+    * Observed share is one exact integer quotient; the Benford
+    * reference p is round-6 (one libm log10).
+    *
+    * Scale shape: (key, digit) partial-agg counts — ≤ 9 rows per key
+    * — plus a \|keys\|-row broadcast join-back for totals.
+    */
+  def benford(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val xq = (col("value").cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val digits = events
+      .filter(col("value") > 0.0)
+      .select(col("event_type"),
+        substring(xq.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+    val totals = digits.groupBy(col("event_type").as("et"))
+      .agg(sum("n").as("n_total"))
+    digits.join(broadcast(totals), col("event_type") === col("et"))
+      .select(col("event_type"), col("digit"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_p"))
+  }
+
   /** B34: rolling active users — distinct users in the trailing
     * `windowDays` ending at each observed day (rolling WAU). Rolling
     * COUNT DISTINCT doesn't decompose into per-day partials, so the

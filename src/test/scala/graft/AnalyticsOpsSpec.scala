@@ -373,6 +373,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(full.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() === 0)
   }
 
+  test("benford: digit extraction survives magnitudes, shares sum to 1") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val rows = Seq((1L, 1.0), (2L, 19.0), (3L, 2.5), (4L, 0.3))
+      .map { case (id, v) =>
+        (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, "a", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.benford(rows).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 0.5)))  // 1.0 and 19.0
+    assert(out(2L) === ((1L, 0.25))) // 2.5
+    assert(out(3L) === ((1L, 0.25))) // 0.3 → leading digit 3
+    // reference p for digit 1 is log10(2)
+    val p1 = AnalyticsOps.benford(rows).filter(col("digit") === 1)
+      .head.getAs[Double]("benford_p")
+    assert(p1 === math.rint(math.log10(2.0) * 1e6) / 1e6)
+    // corpus: per-key shares sum to ~1, digits in 1..9
+    val full = AnalyticsOps.benford(Tables.events(spark, sf)).cache()
+    assert(full.filter(col("digit") < 1 || col("digit") > 9).count() === 0)
+    val sums = full.groupBy("event_type").agg(sum("share").as("s")).collect()
+    assert(sums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    full.unpersist()
+  }
+
   test("cusum finds the closed-form changepoint of a step series") {
     import spark.implicits._
     // 0,0,0,10,10,10: mean 5, S = -5,-10,-15,-10,-5,0 → cp at i=3
