@@ -1591,13 +1591,17 @@ object SparkEntry {
         |ch AS (SELECT doc_id, n,
         |  substr(text, CAST(i AS INTEGER), 1) AS ch FROM ix),
         |g AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ch
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
-        |count(*) AS n_distinct_chars,
-        |round(-CAST(sum(CAST((CAST(cnt AS DOUBLE) / n)
-        |  * ln(CAST(cnt AS DOUBLE) / n) AS DECIMAL(38,18))) AS DOUBLE), 4)
-        |  AS entropy_nats
-        |FROM g GROUP BY doc_id""".stripMargin,
+        |  GROUP BY 1, 2, 3),
+        |e AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  round(-CAST(sum(CAST((CAST(cnt AS DOUBLE) / n)
+        |    * ln(CAST(cnt AS DOUBLE) / n) AS DECIMAL(38,18))) AS DOUBLE), 4)
+        |    AS entropy_nats
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars,
+        |coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+        |coalesce(e.entropy_nats, 0.0) AS entropy_nats
+        |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
     // C52: C32's scores (shared CTE) cut into per-lang ppl terciles;
     // the ntile runs only over scored rows so null placement can't
     // diverge (Spark sorts nulls first ASC, DuckDB last), and the

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -36,6 +36,12 @@ object VectorFns {
   def top_k(e: Column, k: Int): Column =
     bridge.column(TopKAggregate(bridge.expression(e), k)
       .toAggregateExpression())
+
+  /** One-pass character entropy: string → struct(n_chars,
+    * n_distinct_chars, entropy_nats) — see graftx.CharEntropy.
+    */
+  def char_entropy(s: Column): Column =
+    bridge.column(CharEntropy(bridge.expression(s)))
 
   /** Media header decode: binary payload → struct(n_bytes, width,
     * height, n_frames, format), codegen'd — see graftx.MediaMetaExpr.

@@ -942,40 +942,28 @@ object TextOps {
     *
     * Entropy is reported in NATS (−Σ p·ln p) deliberately: both
     * engines compute `ln` directly, with no log2 = ln/ln2 quotient
-    * whose extra rounding would widen the cross-engine wiggle.
-    * Per-character terms are doubles from bit-identical (cnt, n)
-    * integers — a 1-ulp `ln` wiggle moves a term by ~1e-17 — summed
-    * in DECIMAL(38,18) (order-independent, the C32 protocol) and
-    * published rounded to 4.
+    * whose extra rounding would widen the cross-engine wiggle; the
+    * published value is round-4 (the expression's fixed ascending-
+    * bucket fold and the oracle's order-free quantized-decimal sum
+    * land within ~1e-15 of each other).
     *
-    * Scale shape: the char explode is a generator (no shuffle, ×|doc|
-    * fan-out of 1-char rows); counts partial-aggregate on
-    * (doc_id, char) — maximally spreadable keys, map-side combine
-    * collapses repeats before the wire; doc length rides the explode
-    * projection as a group key so no join-back is needed. The final
-    * per-doc reduce sees ≤ |alphabet| rows per doc.
+    * Scale shape: a PURE MAP — the whole histogram + entropy runs
+    * inside one codegen'd expression per row (graftx.CharEntropy),
+    * no explode, no shuffle. The first two formulations exploded one
+    * row per character and ScaleSmoke measured the explode volume
+    * itself at ratio ~17 at 10× (both the substring-walk and the
+    * split form — the (doc, char) partial agg was never the
+    * problem); the native kernel is the same fix MultimodalOps took
+    * for binary decode.
     */
-  def docEntropy(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    // split(text, "") is O(doc) total; the index+substring form reads
-    // as O(1) per char but UTF8String walks bytes from offset 0 on
-    // every call — O(doc²) per doc, measured ratio 18.0 at 10× in
-    // ScaleSmoke vs ~12 for the O(n) char stream. (The ORACLE keeps
-    // generate_series+substr — code-point semantics agree on this
-    // corpus; both sides split between code points.)
-    val counts = documents
+  def docEntropy(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"),
-        length(col("text")).cast("long").as("n"),
-        explode(filter(split(col("text"), ""), c => c =!= "")).as("ch"))
-      .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("cnt"))
-    val p = col("cnt").cast("double") / col("n")
-    counts
-      .groupBy("doc_id")
-      .agg(max("n").as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        round(negate(sum((p * log(p)).cast(DecimalType(38, 18)))
-          .cast("double")), 4).as("entropy_nats"))
-  }
+        graft.functions.VectorFns.char_entropy(col("text")).as("s"))
+      .select(col("doc_id"),
+        col("s.n_chars").as("n_chars"),
+        col("s.n_distinct_chars").as("n_distinct_chars"),
+        round(col("s.entropy_nats"), 4).as("entropy_nats"))
 
   /** C52: CCNet-style perplexity bucketing — the corpus split that
     * made CCNet (Wenzek et al. 2019 §4.3): per language, rank
