@@ -136,6 +136,8 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => SimilarityOps.embQuantize(Tables.embeddings(s, d))),
     "emb_kmeans" -> ((s, d) => SimilarityOps.embKmeans(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => SimilarityOps.knnIvfTrained(Tables.embeddings(s, d))),
+    "dedup_semantic" -> ((s, d) => SimilarityOps.dedupSemantic(Tables.embeddings(s, d))),
+    "cluster_purity" -> ((s, d) => SimilarityOps.clusterPurity(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => SimilarityOps.knnGraph(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(Tables.documents(s, d))),
@@ -965,6 +967,41 @@ object SparkEntry {
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
+    // C57: C12's exact round-3 pair condition under a recursive
+    // transitive closure (the C21 oracle pattern in embedding space)
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
+        |  AS emb FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.emb, b.emb), 3) >= 0.4),
+        |ed AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+        |r AS (SELECT vec_id AS id, vec_id AS lbl FROM e
+        |  UNION
+        |  SELECT ed.id1, r.lbl FROM ed JOIN r ON r.id = ed.id2),
+        |c AS (SELECT id AS vec_id, min(lbl) AS component FROM r
+        |  GROUP BY id),
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.vec_id, c.component, s.n_members,
+        |c.vec_id = c.component AS is_canonical
+        |FROM c JOIN s USING (component)""".stripMargin,
+    // C58: trained cells vs ground-truth labels; majority ties break
+    // to the smallest label
+    "cluster_purity" ->
+      (s"""$kmeansCteSql,
+          |${kmAssignCte("a2", "c2")},
+          |j AS (SELECT a2.cluster, CAST(emb0.label AS BIGINT) AS label
+          |  FROM a2 JOIN embeddings emb0 USING (vec_id)),
+          |g AS (SELECT cluster, label, count(*) AS n FROM j GROUP BY 1, 2),
+          |m AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_members
+          |  FROM g GROUP BY 1),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+          |  ORDER BY n DESC, label ASC) AS rn FROM g)
+          |SELECT r.cluster, m.n_members, r.label AS major_label,
+          |r.n AS n_major,
+          |CAST(r.n AS DOUBLE) / CAST(m.n_members AS DOUBLE) AS purity
+          |FROM r JOIN m USING (cluster) WHERE rn = 1""".stripMargin),
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings)

@@ -602,7 +602,7 @@ object DedupOps {
     * DFS write of a 2-long-column frame per round — the right trade
     * on a 100 TB corpus where a round is minutes of work).
     */
-  private def propagateMin(edges: DataFrame, maxIters: Int,
+  private[operators] def propagateMin(edges: DataFrame, maxIters: Int,
       checkpointDir: Option[String] = None,
       reliableEvery: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -602,6 +602,71 @@ object SimilarityOps {
       .select("q_id", "rank", "c_id", "sim")
   }
 
+  /** C57: SEMANTIC dedup — transitive closure over embedding-space
+    * near-dup pairs (cosine ≥ τ), the modern pipeline step exact and
+    * lexical near-dup passes miss (a translation or paraphrase shares
+    * no n-grams but sits next to its source in embedding space;
+    * SemDeDup-style pipelines cluster and keep one representative per
+    * semantic group). Pair generation is C12's exact scorer at gate
+    * scale (quarantined O(n²) audit); production passes `candidates`
+    * from the C36 kNN-graph buckets — the closure kernel is
+    * identical. Components via [[DedupOps.propagateMin]] — the SAME
+    * battle-tested min-label loop (pointer halving, eager plain
+    * checkpoints, deterministic block release) the lexical family
+    * runs, so its 100 TB evidence (giant-component / k=100
+    * ScaleSmoke) carries over unchanged.
+    */
+  def dedupSemantic(embeddings: DataFrame, minCosine: Double = 0.4,
+      maxExactRows: Long = 100000L,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val pairs = candidates.getOrElse(
+      embeddingNearDups(embeddings, minCosine, maxExactRows)
+        .select(col("id1"), col("id2")))
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
+    val labels = DedupOps.propagateMin(edges, 50, None, 10)
+      .withColumnRenamed("doc_id", "vec_id")
+    val all = embeddings.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+    org.apache.spark.sql.graftx.bridge.checkpointRdd(edges)
+      .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    val sizes = all.groupBy("component").agg(count(lit(1)).as("n_members"))
+    all.join(sizes, "component")
+      .select(col("vec_id"), col("component"), col("n_members"),
+        (col("vec_id") === col("component")).as("is_canonical"))
+  }
+
+  /** C58: cluster-quality audit — [[embKmeans]]' cells scored against
+    * the ground-truth `label` column: per cell, its size, majority
+    * label, and purity (majority share). The evaluation every
+    * clustering deployment runs before trusting cells for routing /
+    * IVF layout / dedup grouping; exact integer counts, one division
+    * per cell, ties on the majority break to the smallest label
+    * (oracle-mirrored).
+    *
+    * Scale shape: C54's training plan, then one (cell, label)
+    * partial-agg groupBy (≤ k·|labels| rows) and a k-row reduce.
+    */
+  def clusterPurity(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val asg = embKmeans(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val cl = asg
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster"), col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    cl.groupBy("cluster")
+      .agg(sum("n").as("n_members"),
+        max(struct(col("n"), negate(col("label")).as("nl"))).as("m"))
+      .select(col("cluster"), col("n_members"),
+        negate(col("m.nl")).as("major_label"), col("m.n").as("n_major"),
+        (col("m.n").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+  }
+
   /** C37: exact class-balanced oversampling — every label class is
     * brought to exactly n_max rows (the largest class's count) by
     * deterministic replication: each row gets ⌊n_max/n_label⌋ copies,

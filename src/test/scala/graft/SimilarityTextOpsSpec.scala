@@ -585,6 +585,56 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(checks.getString(3) === "https://h.com/a?id=1")
   }
 
+  test("dedupSemantic: transitive chain merges below-threshold endpoints") {
+    import spark.implicits._
+    // cos(0,1) = cos(1,2) = 0.5 >= 0.4 but cos(0,2) = -0.5 < 0.4:
+    // the component must close transitively; 3 is orthogonal alone
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.866f)),
+      (2L, Seq(-0.5f, 0.866f)), (3L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.dedupSemantic(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out(0L) === ((0L, 3L, true)))
+    assert(out(1L) === ((0L, 3L, false)))
+    assert(out(2L) === ((0L, 3L, false)))
+    assert(out(3L) === ((3L, 1L, true)))
+    CacheRegistry.unpersistAll()
+    // corpus: total assignment; every near-dup pair is co-labeled
+    val labels = SimilarityOps.dedupSemantic(embeddings).cache()
+    assert(labels.count() === embeddings.count())
+    val pairs = SimilarityOps.embeddingNearDups(embeddings)
+    val split = pairs
+      .join(labels.select(col("vec_id").as("id1"), col("component").as("c1")), "id1")
+      .join(labels.select(col("vec_id").as("id2"), col("component").as("c2")), "id2")
+      .filter(col("c1") =!= col("c2"))
+    assert(split.count() === 0)
+    labels.unpersist()
+    CacheRegistry.unpersistAll()
+  }
+
+  test("clusterPurity: closed-form purities on the labeled 2-cluster fixture") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (2L, Seq(0.9f, 0.1f), 1),
+      (4L, Seq(0.8f, 0.2f), 2),
+      (1L, Seq(0.0f, 1.0f), 7), (3L, Seq(0.1f, 0.9f), 7),
+      (5L, Seq(0.2f, 0.8f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.clusterPurity(tiny, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) === ((3L, 1L, 2L, 2.0 / 3.0)))
+    assert(out(1L) === ((3L, 7L, 3L, 1.0)))
+    // corpus: purities in (0, 1], members total the corpus
+    val full = SimilarityOps.clusterPurity(embeddings).cache()
+    assert(full.filter(col("purity") <= 0.0 || col("purity") > 1.0)
+      .count() === 0)
+    assert(full.agg(sum("n_members")).head.getLong(0) === embeddings.count())
+    full.unpersist()
+  }
+
   test("embKmeans: closed-form 2-cluster case, objective never degrades") {
     import spark.implicits._
     // two tight groups around the axes; seeds are ids 0 and 1
