@@ -157,6 +157,7 @@ object Bench {
     */
   private val HeavyQueries = Seq("dedup_groups", "dedup_apply",
     "dedup_priority", // C50 runs the same clustering as dedup_apply
+    "dedup_semantic", // C57 runs the same label loop over cosine pairs
     "pipeline_curate", "train_split_grouped", "dedup_incremental",
     "dedup_incremental_fold", "dedup_weights",
     // the posexplode-gram family also persists intermediates through

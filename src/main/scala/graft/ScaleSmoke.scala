@@ -135,7 +135,14 @@ object ScaleSmoke {
       // must stay FLAT while only the count scan grows
       ("q_ks_test", (_, e, _) => AnalyticsOps.ksTest(e)),
       // C32 scoring plan + one per-lang ntile
-      ("ccnet_bucket", (d, _, _) => TextOps.ccnetBucket(d)))
+      ("ccnet_bucket", (d, _, _) => TextOps.ccnetBucket(d)),
+      // C57's PRODUCTION path: ANN candidates from the auto-bucketed
+      // kNN graph feed the closure — never the exact O(n²) scorer
+      ("dedup_semantic_ann", (_, _, m) => SimilarityOps.dedupSemantic(m,
+        candidates = Some(SimilarityOps.knnGraph(m)
+          .filter(col("rank") > 0)
+          .filter(col("sim") >= 0.4)
+          .select(col("src").as("id1"), col("nbr").as("id2"))))))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
