@@ -225,6 +225,9 @@ object SparkEntry {
     "bm25" -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
     "url_dedup" -> ((s, d) =>
       TextOps.urlDedup(TextOps.withSyntheticCrawlUrl(Tables.documents(s, d)))),
+    "mix_schedule" -> ((s, d) => TextOps.mixSchedule(Tables.documents(s, d),
+      Map("src0" -> 2000L, "src1" -> 9000L))),
+    "pack_efficiency" -> ((s, d) => TextOps.packEfficiency(Tables.documents(s, d))),
     "q_skew_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       ScaleOps.saltedJoin(ev,
@@ -538,6 +541,22 @@ object SparkEntry {
       |round(sc.avg_nll, 4) AS avg_nll,
       |round(exp(round(sc.avg_nll, 4)), 4) AS ppl
       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  // C22's oracle, shared verbatim as C60's packing CTE
+  private val packSequencesSql =
+    """WITH t AS (SELECT source, doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum_before FROM t)
+      |SELECT source, CAST(cum_before // 256 AS BIGINT) AS bin_id,
+      |CAST(row_number() OVER (PARTITION BY source, cum_before // 256
+      |  ORDER BY doc_id) AS BIGINT) AS pos_in_bin,
+      |doc_id, n_tokens
+      |FROM c""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_grid_pipeline" -> gridPipelineSql,
@@ -1146,20 +1165,41 @@ object SparkEntry {
         |WHERE kw_rank <= 3""".stripMargin,
     // greedy contiguous packing as a prefix sum — all integer (DIV,
     // counts), so bins are identical across engines/partitionings
-    "pack_sequences" ->
-      """WITH t AS (SELECT source, doc_id,
+    "pack_sequences" -> packSequencesSql,
+    // C60: two coarsening rollups over C22's shared CTE; fill ratio
+    // is one division of exact integers
+    "pack_efficiency" ->
+      (s"""WITH packed AS ($packSequencesSql),
+          |bins AS (SELECT source, bin_id,
+          |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+          |  count(*) AS n_docs
+          |  FROM packed GROUP BY 1, 2)
+          |SELECT source, count(*) AS n_bins,
+          |CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+          |CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          |count(CASE WHEN bin_tokens > 256 THEN 1 END) AS n_overfull,
+          |CAST(sum(bin_tokens) AS DOUBLE)
+          |  / (CAST(count(*) AS DOUBLE) * 256.0) AS fill_ratio
+          |FROM bins GROUP BY source""".stripMargin),
+    // C59: ceil via integer (b + t - 1) // t; sources without a
+    // budget run one epoch
+    "mix_schedule" ->
+      """WITH dt AS (SELECT doc_id, source,
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
-        |c AS (SELECT source, doc_id, n_tokens,
-        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS cum_before FROM t)
-        |SELECT source, CAST(cum_before // 256 AS BIGINT) AS bin_id,
-        |CAST(row_number() OVER (PARTITION BY source, cum_before // 256
-        |  ORDER BY doc_id) AS BIGINT) AS pos_in_bin,
-        |doc_id, n_tokens
-        |FROM c""".stripMargin,
+        |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM dt GROUP BY 1),
+        |e AS (SELECT dt.doc_id, dt.source, dt.n_tokens,
+        |  CAST(CASE
+        |    WHEN dt.source = 'src0'
+        |      THEN (2000 + st.src_tokens - 1) // st.src_tokens
+        |    WHEN dt.source = 'src1'
+        |      THEN (9000 + st.src_tokens - 1) // st.src_tokens
+        |    ELSE 1 END AS BIGINT) AS epochs
+        |  FROM dt JOIN st USING (source))
+        |SELECT doc_id, source, n_tokens, epochs,
+        |n_tokens * epochs AS sched_tokens FROM e""".stripMargin,
     // integer-domain repetition stats; keep rule by integer
     // cross-multiplication (dup ratio ≤ 0.5, top-bigram share ≤ 0.1)
     "text_repetition" ->

@@ -328,6 +328,65 @@ object TextOps {
       .select("q_id", "rank", "doc_id", "score", "n_hits")
   }
 
+  /** C59: multi-epoch mix schedule — the data-constrained regime's
+    * counterpart to C41's downsampling (Muennighoff et al. 2023:
+    * when a source is SMALLER than its token budget you repeat it):
+    * per source, epochs = ⌈budget / source tokens⌉ (sources without a
+    * budget run once), emitted per doc with its scheduled token
+    * contribution. Pure integer arithmetic (ceil as
+    * (b + t − 1) DIV t), bit-exact anywhere.
+    *
+    * Scale shape: one partial-agg groupBy to |sources| rows,
+    * broadcast back onto the doc stream (the C41/B28 join-back
+    * shape) — the corpus never shuffles.
+    */
+  def mixSchedule(documents: DataFrame,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0))
+    val docToks = documents.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val srcTot = docToks.groupBy(col("source").as("src"))
+      .agg(sum("n_tokens").as("src_tokens"))
+    val bs = budgets.toSeq
+    val budget = bs.tail
+      .foldLeft(when(col("source") === bs.head._1, lit(bs.head._2))) {
+        case (w, (src, b)) => w.when(col("source") === src, lit(b))
+      }.otherwise(lit(null).cast("long"))
+    docToks
+      .join(broadcast(srcTot), col("source") === col("src"))
+      .withColumn("budget", budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("budget").isNull, lit(1L))
+          .otherwise(expr("(budget + src_tokens - 1) DIV src_tokens"))
+          .as("epochs"))
+      .withColumn("sched_tokens", col("n_tokens") * col("epochs"))
+  }
+
+  /** C60: packing-efficiency audit over [[packSequences]] — per pack
+    * stream: bin count, token mass, FILL RATIO against the bin
+    * budget, and the overfull-bin count (greedy contiguous fill lets
+    * a boundary-spanning doc overshoot its start bin; training
+    * packers need to know how often, because overshoot becomes
+    * truncation). Integer counts + one division — exact.
+    *
+    * Scale shape: two strictly-coarsening partial aggs over C22's
+    * output (docs → bins → streams).
+    */
+  def packEfficiency(documents: DataFrame, budget: Int = 256): DataFrame = {
+    val packed = packSequences(documents, budget)
+    val bins = packed.groupBy("source", "bin_id")
+      .agg(sum("n_tokens").as("bin_tokens"),
+        count(lit(1)).as("n_docs"))
+    bins.groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("total_tokens"),
+        sum("n_docs").as("n_docs"),
+        count(when(col("bin_tokens") > budget, 1)).as("n_overfull"))
+      .withColumn("fill_ratio",
+        col("total_tokens").cast("double")
+          / (col("n_bins").cast("double") * lit(budget.toDouble)))
+  }
+
   /** C22: greedy contiguous sequence packing — the training-prep step
     * that fills fixed token-budget context windows with documents so
     * short docs don't waste padding. Docs are laid out in a

@@ -557,6 +557,48 @@ class SimilarityTextOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mixSchedule: budgeted sources repeat by exact ceil, others run once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e", "big"),   // big: 10 tokens total
+      (2L, "f g h i j", "big"),
+      (3L, "k l m", "small"),     // small: 3 tokens
+      (4L, "n o p q", "none"))    // no budget
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.mixSchedule(docs,
+      Map("big" -> 25L, "small" -> 3L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(1L) === ((5L, 3L, 15L))) // ceil(25/10) = 3 epochs
+    assert(out(3L) === ((3L, 1L, 3L)))  // budget == tokens: 1 epoch
+    assert(out(4L) === ((4L, 1L, 4L)))  // unbudgeted: 1 epoch
+    // scheduled mass per source is at least its budget (that is the
+    // point of repeating)
+    val mass = TextOps.mixSchedule(docs, Map("big" -> 25L, "small" -> 3L))
+      .groupBy("source").agg(sum("sched_tokens").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("big") >= 25L && mass("small") >= 3L)
+  }
+
+  test("packEfficiency: bins account for every token, fill ratio bounded") {
+    val budget = 256
+    val out = TextOps.packEfficiency(documents, budget).cache()
+    val toks = TextOps.tokenCount(documents)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("ws_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("total_tokens") === toks(src)) // conservation
+      val fill = r.getAs[Double]("fill_ratio")
+      // greedy contiguous fill wastes at most one doc per boundary;
+      // with docs far under the budget, fill stays near 1
+      assert(fill > 0.0 && fill <= 2.0)
+      assert(r.getAs[Long]("n_overfull") <= r.getAs[Long]("n_bins"))
+    }
+    out.unpersist()
+  }
+
   test("urlNormalize collapses tracking variants; urlDedup groups by target") {
     import spark.implicits._
     // 83 and 433 agree on (mod 7, mod 50, mod 5) → same canonical URL
