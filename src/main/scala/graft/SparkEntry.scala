@@ -207,6 +207,8 @@ object SparkEntry {
     "dedup_priority" -> ((s, d) => DedupOps.dedupPriority(Tables.documents(s, d), 0.7)),
     "doc_entropy" -> ((s, d) => TextOps.docEntropy(Tables.documents(s, d))),
     "ccnet_bucket" -> ((s, d) => TextOps.ccnetBucket(Tables.documents(s, d))),
+    "ccnet_bucket_approx" -> ((s, d) =>
+      TextOps.ccnetBucketApprox(Tables.documents(s, d))),
     "dedup_weights" -> ((s, d) => DedupOps.dedupWeights(Tables.documents(s, d), 0.7)),
     "boilerplate_strip" -> ((s, d) => TextOps.boilerplateStrip(Tables.documents(s, d))),
     "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
@@ -219,6 +221,7 @@ object SparkEntry {
     "q_cusum" -> ((s, d) => AnalyticsOps.cusum(Tables.events(s, d))),
     "q_theilsen" -> ((s, d) => AnalyticsOps.theilSen(Tables.events(s, d))),
     "q_ks_test" -> ((s, d) => AnalyticsOps.ksTest(Tables.events(s, d))),
+    "q_ks_binned" -> ((s, d) => AnalyticsOps.ksTestBinned(Tables.events(s, d))),
     "q_gini" -> ((s, d) => AnalyticsOps.gini(Tables.events(s, d))),
     "q_benford" -> ((s, d) => AnalyticsOps.benford(Tables.events(s, d))),
     "q_autocorr" -> ((s, d) => AnalyticsOps.autocorr(Tables.events(s, d))),
@@ -276,6 +279,7 @@ object SparkEntry {
     "sample_balance" -> ((s, d) => SimilarityOps.sampleBalance(Tables.embeddings(s, d))),
     "oov_rate" -> ((s, d) => TextOps.oovRate(Tables.documents(s, d))),
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
+    "q_mad_approx" -> ((s, d) => AnalyticsOps.madFlagsApprox(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -1697,6 +1701,24 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, lang, ppl, 'unscored' AS bucket FROM wl
          |WHERE ppl IS NULL""".stripMargin,
+    // C52 approx twin: the hashed columns are the EXACT entry's; the
+    // oracle asserts the in-row band predicate TRUE on every row —
+    // Spark's threshold-cut path must agree with the exact terciles
+    // outside the cut-vs-edge interval
+    "ccnet_bucket_approx" ->
+      s"""WITH base AS ($lmScoreSql),
+         |wl AS (SELECT b.doc_id, d.lang, b.ppl
+         |  FROM base b JOIN documents d USING (doc_id)),
+         |okq AS (SELECT doc_id, lang, ppl, ntile(3) OVER (
+         |  PARTITION BY lang ORDER BY ppl, doc_id) AS t
+         |  FROM wl WHERE ppl IS NOT NULL)
+         |SELECT doc_id, lang, ppl,
+         |CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |  AS bucket, TRUE AS approx_ok
+         |FROM okq
+         |UNION ALL
+         |SELECT doc_id, lang, ppl, 'unscored' AS bucket, TRUE AS approx_ok
+         |FROM wl WHERE ppl IS NULL""".stripMargin,
     // C34: same injected URL, same regex subset; domain = host group
     "url_domains" ->
       """WITH aug AS (SELECT doc_id,
@@ -1993,8 +2015,8 @@ object SparkEntry {
         |na AS (SELECT count(*) AS n_all FROM events),
         |sc AS (SELECT ck2.event_type, ck2.value, nk.n_k,
         |  na.n_all - nk.n_k AS n_rest,
-        |  abs(ck2.cum_k * (na.n_all - nk.n_k)
-        |    - (ck2.cum_all - ck2.cum_k) * nk.n_k) AS d_num
+        |  abs(CAST(ck2.cum_k AS HUGEINT) * (na.n_all - nk.n_k)
+        |    - CAST(ck2.cum_all - ck2.cum_k AS HUGEINT) * nk.n_k) AS d_num
         |  FROM ck2 JOIN nk USING (event_type), na),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
         |  ORDER BY d_num DESC, value ASC) AS rn FROM sc)
@@ -2002,14 +2024,49 @@ object SparkEntry {
         |CAST(d_num AS DOUBLE)
         |  / (CAST(n_k AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_d
         |FROM r WHERE rn = 1""".stripMargin,
-    // B46: Benford — leading digit from the ×1e6 HUGEINT's decimal
-    // string (never double→string formatting), exact share quotient,
-    // round-6 reference p
+    // B44 binned production variant: floor-quantized bins (width
+    // 10^-2) bound the grid by construction; same integer cross-
+    // product sup, bin-ASC tie chain, lower edge published
+    "q_ks_binned" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS bin FROM events),
+        |bins AS (SELECT DISTINCT bin FROM b),
+        |keys AS (SELECT DISTINCT event_type FROM b),
+        |cnt AS (SELECT event_type, bin, count(*) AS c FROM b
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT k.event_type, v.bin, coalesce(cnt.c, 0) AS c
+        |  FROM keys k CROSS JOIN bins v
+        |  LEFT JOIN cnt USING (event_type, bin)),
+        |ck AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |  ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum_k FROM grid),
+        |ck2 AS (SELECT *, sum(cum_k) OVER (PARTITION BY bin) AS cum_all
+        |  FROM ck),
+        |nk AS (SELECT event_type, count(*) AS n_k FROM b GROUP BY 1),
+        |na AS (SELECT count(*) AS n_all FROM b),
+        |sc AS (SELECT ck2.event_type, ck2.bin, nk.n_k,
+        |  na.n_all - nk.n_k AS n_rest,
+        |  abs(CAST(ck2.cum_k AS HUGEINT) * (na.n_all - nk.n_k)
+        |    - CAST(ck2.cum_all - ck2.cum_k AS HUGEINT) * nk.n_k) AS d_num
+        |  FROM ck2 JOIN nk USING (event_type), na),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY d_num DESC, bin ASC) AS rn FROM sc)
+        |SELECT event_type, n_k, n_rest,
+        |CAST(bin AS DOUBLE) / 100.0 AS d_at_bin,
+        |CAST(d_num AS DOUBLE)
+        |  / (CAST(n_k AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_d
+        |FROM r WHERE rn = 1""".stripMargin,
+    // B46: Benford — leading digit from the floor(value·1e6 + 0.5)
+    // BIGINT's decimal string (round-half-up in pure double ops is
+    // bit-identical across engines; never double→string formatting);
+    // xq > 0 filter so sub-1e-6 values can't produce digit 0; exact
+    // share quotient, round-6 reference p
     "q_benford" ->
-      """WITH d AS (SELECT event_type,
-        |  CAST(substr(CAST(CAST(CAST(value AS DECIMAL(20,6)) * 1000000
-        |    AS HUGEINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        |  FROM events WHERE value > 0.0),
+      """WITH q AS (SELECT event_type,
+        |  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS xq FROM events),
+        |d AS (SELECT event_type,
+        |  CAST(substr(CAST(xq AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM q WHERE xq > 0),
         |g AS (SELECT event_type, digit, count(*) AS n FROM d
         |  GROUP BY 1, 2),
         |t AS (SELECT event_type, sum(n) AS n_total FROM g GROUP BY 1)
@@ -2195,6 +2252,25 @@ object SparkEntry {
         |CASE WHEN st.mad <> 0
         |  THEN abs((e.value - st.med) / (1.4826 * st.mad)) > 3.0 END
         |  AS is_outlier
+        |FROM events e JOIN st USING (event_type)""".stripMargin,
+    // B37 approx twin: hashed columns are the exact scorer's; the
+    // oracle asserts flags_match TRUE — the sketch-median path may
+    // only disagree inside the boundary band around k
+    "q_mad_approx" ->
+      """WITH med AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT e.event_type, m.med,
+        |  round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+        |CASE WHEN st.mad <> 0
+        |  THEN (e.value - st.med) / (1.4826 * st.mad) END AS robust_z,
+        |CASE WHEN st.mad <> 0
+        |  THEN abs((e.value - st.med) / (1.4826 * st.mad)) > 3.0 END
+        |  AS is_outlier,
+        |TRUE AS flags_match
         |FROM events e JOIN st USING (event_type)""".stripMargin,
     // A21: DuckDB rebuilds the connector's deterministic grid from
     // generate_series — same integer formula, same exact-decimal mean.

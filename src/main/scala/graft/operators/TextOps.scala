@@ -1062,6 +1062,53 @@ object TextOps {
     bucketed.union(unscored)
   }
 
+  /** C52 100 TB variant (VERDICT r7 #2): the documented production
+    * cut made real — per-lang approx_percentile tercile CUT POINTS
+    * (two broadcastable values per lang, from a mergeable sketch;
+    * partial-agg shape, NO per-lang global sort) assign buckets by
+    * threshold instead of the exact ntile ranking.
+    *
+    * Gate (B10/B20 pattern): published columns are the EXACT entry's
+    * (doc_id, lang, ppl, bucket — deterministic, hashable) plus an
+    * in-row `approx_ok` predicate. A threshold-vs-ntile disagreement
+    * is legitimate ONLY for a doc whose ppl lies between the approx
+    * cut point and the true tercile edge (the ±ε rank-error region,
+    * which also absorbs ntile's doc_id tie-splitting at an edge) —
+    * the predicate excuses exactly that interval per boundary, so a
+    * mis-bucketing anywhere else fails the oracle hash.
+    */
+  def ccnetBucketApprox(documents: DataFrame): DataFrame = {
+    val exact = ccnetBucket(documents)
+    val scoredNN = exact.filter(col("ppl").isNotNull)
+    // true tercile edges from the exact assignment: max ppl in head,
+    // max ppl in head∪middle
+    val edges = scoredNN.groupBy(col("lang").as("lang_e"))
+      .agg(max(when(col("bucket") === "head", col("ppl"))).as("b1_edge"),
+        max(when(col("bucket") =!= "tail", col("ppl"))).as("b2_edge"))
+    val cuts = scoredNN.groupBy(col("lang").as("lang_c"))
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3.0), lit(2.0 / 3.0)), lit(10000)).as("cs"))
+      .select(col("lang_c"), col("cs").getItem(0).as("cut1"),
+        col("cs").getItem(1).as("cut2"))
+    val checked = scoredNN
+      .join(broadcast(cuts), col("lang") === col("lang_c"))
+      .join(broadcast(edges), col("lang") === col("lang_e"))
+      .withColumn("bucket_a",
+        when(col("ppl") <= col("cut1"), "head")
+          .when(col("ppl") <= col("cut2"), "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"),
+        coalesce(col("bucket_a") === col("bucket")
+            || (col("ppl") >= least(col("cut1"), col("b1_edge"))
+              && col("ppl") <= greatest(col("cut1"), col("b1_edge")))
+            || (col("ppl") >= least(col("cut2"), col("b2_edge"))
+              && col("ppl") <= greatest(col("cut2"), col("b2_edge"))),
+          lit(false)).as("approx_ok"))
+    val unscored = exact.filter(col("ppl").isNull)
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"),
+        lit(true).as("approx_ok"))
+    checked.union(unscored)
+  }
+
   def fingerprint(documents: DataFrame): DataFrame = {
     val K = lit(2654435761L)
     val M = lit(4294967296L)

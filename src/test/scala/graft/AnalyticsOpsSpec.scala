@@ -356,6 +356,63 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(full.count() === events.select("event_type").distinct().count())
   }
 
+  test("ksTest: distinct-value guard quarantines continuous domains") {
+    val events = Tables.events(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsOps.ksTest(events, maxGridValues = 10L)
+    }
+    assert(e.getMessage.contains("ksTestBinned"),
+      s"guard must name the scale-safe alternative: ${e.getMessage}")
+    // raising the bound explicitly re-admits the exact grid
+    assert(AnalyticsOps.ksTest(events, maxGridValues = Long.MaxValue)
+      .count() > 0)
+  }
+
+  test("ksTestBinned: runs where the exact grid is quarantined, tracks exact D") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    // disjoint supports: binned sup is still 1 (bin edges preserve it)
+    val two = Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"), (4L, 4.0, "b"))
+      .map { case (id, v, t) =>
+        (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.ksTestBinned(two).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("ks_d") === 1.0)
+    assert(out("a").getAs[Double]("d_at_bin") === 2.0)
+    // a CONTINUOUS domain (per-row jitter makes distinct values ≈ n):
+    // the exact form refuses, the binned form runs — with the SAME
+    // bounded grid as the unjittered corpus — and stays close to the
+    // unjittered exact statistic (the jitter is sub-bin-width)
+    val events = Tables.events(spark, sf)
+    val jittered = events.withColumn("value",
+      col("value") + pmod(col("event_id"), lit(997)) * lit(1e-9))
+    intercept[IllegalArgumentException] {
+      AnalyticsOps.ksTest(jittered,
+        maxGridValues = events.count() / 2)
+    }
+    val binned = AnalyticsOps.ksTestBinned(jittered)
+    val exact = AnalyticsOps.ksTest(events)
+      .select(col("event_type"), col("ks_d").as("ks_exact"))
+    val drift = binned.join(exact, "event_type")
+      .select(max(abs(col("ks_d") - col("ks_exact")))).head.getDouble(0)
+    assert(drift < 0.05, s"binned KS drifted $drift from exact")
+  }
+
+  test("madFlagsApprox: flag set matches the exact scorer on the corpus") {
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.madFlagsApprox(events).cache()
+    try {
+      assert(out.count() === events.count())
+      assert(out.filter(!col("flags_match")).count() === 0,
+        "sketch-median flags disagreed with the exact scorer outside the band")
+      // the published columns are the exact scorer's, bit-for-bit
+      val exact = AnalyticsOps.madFlags(events)
+      assert(out.drop("flags_match").except(exact).isEmpty
+        && exact.except(out.drop("flags_match")).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("gini: zero for equal values, closed-form for a skewed triple") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime

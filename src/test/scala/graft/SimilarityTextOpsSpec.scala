@@ -812,4 +812,17 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(buckets(2L) === "unscored")
     assert(buckets(1L) !== "unscored")
   }
+
+  test("ccnetBucketApprox: threshold cut agrees with exact terciles outside the band") {
+    val out = TextOps.ccnetBucketApprox(documents).cache()
+    try {
+      assert(out.count() === documents.count())
+      assert(out.filter(!col("approx_ok")).count() === 0,
+        "approx cut mis-bucketed a doc outside the cut-vs-edge interval")
+      // the published bucket column IS the exact assignment
+      val exact = TextOps.ccnetBucket(documents)
+      assert(out.drop("approx_ok").except(exact).isEmpty
+        && exact.except(out.drop("approx_ok")).isEmpty)
+    } finally out.unpersist()
+  }
 }
