@@ -2097,14 +2097,15 @@ object SparkEntry {
         |  || (doc_id % 5) || '&utm_campaign=c#sec' || doc_id AS url
         |  FROM documents),
         |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM aug),
-        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |  'utm_[a-z]+=[^&#]*&', '', 'g'), '[?&]utm_[a-z]+=[^&#]*$', '')
-        |  AS u FROM n1),
+        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |  '&utm_[a-z]+=[^&#]*', '', 'g'), '\?utm_[a-z]+=[^&#]*&', '?'),
+        |  '\?utm_[a-z]+=[^&#]*$', '') AS u FROM n1),
         |n3 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM n2),
         |n4 AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
         |    lower(regexp_extract(u, '^[A-Za-z]+://[^/]*')),
-        |    ':(443|80)$', ''), '^(https?://)www\.', '\1')
+        |    '^(https://[^/:]+):443$', '\1'), '^(http://[^/:]+):80$', '\1'),
+        |    '^(https?://)www\.', '\1')
         |  || regexp_replace(regexp_replace(regexp_replace(u,
         |    '^[A-Za-z]+://[^/]*', ''), '/\?', '?'), '/$', '') AS url_norm
         |  FROM n3)

@@ -529,12 +529,24 @@ object AnalyticsOps {
     * the published median rounds to 4 (the even-count midpoint
     * average can associate differently across engines).
     */
-  def theilSen(events: DataFrame): DataFrame = {
+  def theilSen(events: DataFrame, maxDaysPerKey: Long = 4000L): DataFrame = {
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(Exact.avgD(col("value")).as("y"))
       .withColumn("x",
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("double"))
+    // |days|²/2 pairs per key is bounded by calendar span, not data
+    // volume — but a multi-decade span would still be ~10⁸ pairs per
+    // key, so the exact form carries the C5-style fail-fast guard
+    // (VERDICT r7 #6). The count is one coarse daily-mart job — noise
+    // next to the pairwise work it gates.
+    val maxDays = daily.groupBy("event_type").count()
+      .agg(coalesce(max("count"), lit(0L)).as("m")).head.getLong(0)
+    require(maxDays <= maxDaysPerKey,
+      s"theilSen forms |days|^2/2 exact slope pairs per key, quarantined " +
+        s"to <= $maxDaysPerKey daily points per key, got $maxDays; " +
+        s"coarsen to weekly means or subsample day pairs (median-of-" +
+        s"sampled-slopes) at this span, or raise maxDaysPerKey explicitly")
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type")
           && col("a.day") < col("b.day"))

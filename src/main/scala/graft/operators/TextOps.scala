@@ -926,18 +926,32 @@ object TextOps {
     * so the oracle replays them verbatim; no UDF, no shuffle.
     */
   def urlNormalize(url: Column): Column = {
-    // fragment, then tracking params (mid-query with its '&', then
-    // leading/trailing with its '?'/'&'), then a dangling separator
+    // fragment first, then tracking params — each strip ANCHORED at a
+    // real separator (ADVICE r7: the old unanchored 'utm_…&' pattern
+    // half-deleted a non-utm param whose NAME merely ends in "utm_",
+    // e.g. '?xutm_source=a&id=1' → '?xid=1', silently merging distinct
+    // URLs). RE2 has no lookaround, so the anchored decomposition is:
+    // every NON-LEADING utm param starts with '&' (replace-all handles
+    // consecutive runs), then the one possible leading utm param is
+    // either followed by another param (keep the '?') or alone.
     val noFrag = regexp_replace(url, "#.*$", "")
     val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[a-z]+=[^&#]*&", ""),
-      "[?&]utm_[a-z]+=[^&#]*$", "")
+      regexp_replace(
+        regexp_replace(noFrag, "&utm_[a-z]+=[^&#]*", ""),
+        "\\?utm_[a-z]+=[^&#]*&", "?"),
+      "\\?utm_[a-z]+=[^&#]*$", "")
     val tidy = regexp_replace(noUtm, "[?&]$", "")
     // lowercase ONLY scheme://host[:port] (paths are case-sensitive)
     val head = lower(regexp_extract(tidy, "^[A-Za-z]+://[^/]*", 0))
     val rest = regexp_replace(tidy, "^[A-Za-z]+://[^/]*", "")
+    // strip ONLY the scheme-matching default port (ADVICE r7: :443 on
+    // http or :80 on https is a NON-default port naming a different
+    // resource — conflating them corrupts the dedup key)
     val cleanHead = regexp_replace(
-      regexp_replace(head, ":(443|80)$", ""), "^(https?://)www\\.", "$1")
+      regexp_replace(
+        regexp_replace(head, "^(https://[^/:]+):443$", "$1"),
+        "^(http://[^/:]+):80$", "$1"),
+      "^(https?://)www\\.", "$1")
     // path-trailing slash: both the bare form ".../x/" and the
     // before-query form ".../x/?id=3"
     val cleanRest = regexp_replace(

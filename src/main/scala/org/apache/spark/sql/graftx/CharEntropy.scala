@@ -20,12 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocation beyond the 3-field result row), one byte scan, one
   * 256-bucket fold in ascending byte order.
   *
-  * Semantics: the histogram is BYTE-level, identical to code-point
-  * level on ASCII text (the oracle's generate_series+substr form is
-  * code-point level — they agree on this corpus; n_chars is always
-  * the code-point count). Entropy terms p·ln p sum in fixed
-  * ascending-bucket order; the oracle's order-free quantized-decimal
-  * sum lands within ~1e-15 and the published value is round-4.
+  * Semantics: the histogram is CODE-POINT-level everywhere (ADVICE
+  * r7: the original byte-level histogram silently diverged from the
+  * code-point oracle — and from its own n_chars — on any non-ASCII
+  * document; only the all-ASCII test corpus kept it green). The
+  * all-ASCII fast path keeps the zero-allocation int[256] scan; a
+  * document with any byte ≥ 0x80 takes the rare decoded path, whose
+  * ascending-code-point TreeMap fold preserves the deterministic
+  * summation order. p = count / n_code_points, so entropy and
+  * n_distinct_chars agree with n_chars by construction. Entropy
+  * terms p·ln p sum in fixed ascending order; the oracle's
+  * order-free quantized-decimal sum lands within ~1e-15 and the
+  * published value is round-4.
   */
 case class CharEntropy(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -57,26 +63,57 @@ object CharEntropy {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def stats(s: UTF8String): InternalRow = {
-    val h = hist.get()
-    java.util.Arrays.fill(h, 0)
     val nb = s.numBytes()
+    var ascii = true
     var i = 0
-    while (i < nb) {
-      h(s.getByte(i) & 0xFF) += 1
+    while (ascii && i < nb) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
       i += 1
     }
-    var distinct = 0L
-    var ent = 0.0
-    var b = 0
-    while (b < 256) {
-      val c = h(b)
-      if (c > 0) {
-        distinct += 1
-        val p = c.toDouble / nb
+    if (ascii) {
+      // bytes == code points: the zero-allocation histogram scan
+      val h = hist.get()
+      java.util.Arrays.fill(h, 0)
+      i = 0
+      while (i < nb) {
+        h(s.getByte(i) & 0xFF) += 1
+        i += 1
+      }
+      var distinct = 0L
+      var ent = 0.0
+      var b = 0
+      while (b < 128) {
+        val c = h(b)
+        if (c > 0) {
+          distinct += 1
+          val p = c.toDouble / nb
+          ent -= p * java.lang.Math.log(p)
+        }
+        b += 1
+      }
+      new GenericInternalRow(Array[Any](nb.toLong, distinct, ent))
+    } else {
+      // decoded path: histogram over CODE POINTS, folded in ascending
+      // code-point order (TreeMap iteration) for a fixed summation
+      // order; n is the code-point count, matching n_chars
+      val str = s.toString
+      val m = new java.util.TreeMap[Integer, Integer]()
+      var j = 0
+      var n = 0L
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        val prev = m.get(cp)
+        m.put(cp, if (prev == null) 1 else prev + 1)
+        j += Character.charCount(cp)
+        n += 1
+      }
+      var ent = 0.0
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / n
         ent -= p * java.lang.Math.log(p)
       }
-      b += 1
+      new GenericInternalRow(Array[Any](n, m.size().toLong, ent))
     }
-    new GenericInternalRow(Array[Any](s.numChars().toLong, distinct, ent))
   }
 }

@@ -316,6 +316,13 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the robust point: 4 of 10 pairs touch the outlier, the median
     // of the untouched majority still reads 2
     assert(out("b")._1 === 2.0)
+    // |days|-per-key guard: the pairwise stage refuses a span past
+    // the bound and names the fallback; raising the bound re-admits
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsOps.theilSen(events, maxDaysPerKey = 3L)
+    }
+    assert(e.getMessage.contains("maxDaysPerKey"))
+    assert(AnalyticsOps.theilSen(events, maxDaysPerKey = 5L).count() === 2L)
   }
 
   test("autocorr: alternating series gives exactly r1 = -1") {

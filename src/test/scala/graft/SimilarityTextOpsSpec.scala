@@ -619,12 +619,29 @@ class SimilarityTextOpsSpec extends SparkSpec {
     val checks = docs.limit(1).select(
       n1("http://A.B/x#frag").as("frag"),
       n1("https://h.com/p?utm_source=a&utm_medium=b").as("allutm"),
-      n1("https://WWW.H.com:80/P/").as("port"),
+      n1("http://WWW.H.com:80/P/").as("port"),
       n1("https://h.com/a/?id=1").as("slashq")).head()
     assert(checks.getString(0) === "http://a.b/x")
     assert(checks.getString(1) === "https://h.com/p")
-    assert(checks.getString(2) === "https://h.com/P")
+    assert(checks.getString(2) === "http://h.com/P")
     assert(checks.getString(3) === "https://h.com/a?id=1")
+    // ADVICE r7 hazards: a non-utm param whose name merely ENDS in
+    // "utm_" must survive intact, and only the scheme-matching
+    // default port may be stripped (http:443 / https:80 name
+    // different resources)
+    val adv = docs.limit(1).select(
+      n1("https://h.com/p?xutm_source=a&id=1").as("notutm"),
+      n1("https://h.com/p?utm_a=1&utm_b=2&id=3").as("utmrun"),
+      n1("http://h.com:443/x").as("http443"),
+      n1("https://h.com:80/x").as("https80"),
+      n1("https://h.com:443/x").as("https443"),
+      n1("http://h.com:8080/x").as("odd")).head()
+    assert(adv.getString(0) === "https://h.com/p?xutm_source=a&id=1")
+    assert(adv.getString(1) === "https://h.com/p?id=3")
+    assert(adv.getString(2) === "http://h.com:443/x")
+    assert(adv.getString(3) === "https://h.com:80/x")
+    assert(adv.getString(4) === "https://h.com/x")
+    assert(adv.getString(5) === "http://h.com:8080/x")
   }
 
   test("dedupSemantic: transitive chain merges below-threshold endpoints") {
@@ -777,6 +794,17 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(out(1L) === ((4L, 1L, 0.0)))
     assert(out(2L) === ((4L, 2L, math.round(math.log(2) * 1e4) / 1e4)))
     assert(out(3L) === ((4L, 4L, math.round(math.log(4) * 1e4) / 1e4)))
+    // ADVICE r7: non-ASCII must histogram CODE POINTS, not UTF-8
+    // bytes — "ééaa" is 2 equiprobable symbols (a byte histogram
+    // would see 3: 0xC3, 0xA9, 'a'), and a supplementary-plane
+    // emoji is ONE symbol (4 UTF-8 bytes, 2 UTF-16 units)
+    val nonAscii = Seq((10L, "ééaa"), (11L, "😀😀"))
+      .toDF("doc_id", "text")
+    val na = TextOps.docEntropy(nonAscii).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(na(10L) === ((4L, 2L, math.round(math.log(2) * 1e4) / 1e4)))
+    assert(na(11L) === ((2L, 1L, 0.0)))
     // corpus-wide: one row per doc, 0 <= H <= ln(distinct chars)
     val full = TextOps.docEntropy(documents).cache()
     assert(full.count() === documents.count())
