@@ -154,8 +154,14 @@ class GridScanBuilder(options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
+  // Region list, in priority order: a config-file catalog (the
+  // reference's config/regions.yaml analog — adding a region is a
+  // config edit that plans new splits with NO code change), then the
+  // inline `regions` option, then the pinned default.
+  private val regionsFile = options.getOrDefault("regionsFile", "")
   private val regions: Seq[String] =
-    options.getOrDefault("regions", "r0,r1,r2")
+    if (regionsFile.nonEmpty) RegionCatalog.load(regionsFile).map(_.name)
+    else options.getOrDefault("regions", "r0,r1,r2")
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
   private val nDays = options.getInt("days", 3)
   private val nLat = options.getInt("nlat", 8)

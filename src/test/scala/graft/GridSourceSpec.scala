@@ -294,6 +294,46 @@ class GridSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("scan expects")))
   }
 
+  test("config-file region catalog drives split planning without code changes") {
+    import graft.sources.grid.RegionCatalog
+    val f = java.nio.file.Files.createTempFile("regions", ".yaml")
+    java.nio.file.Files.writeString(f,
+      """# region catalog (the reference's config/regions.yaml shape)
+        |moscow_oblast:
+        |  area: [56.90, 34.80, 54.20, 40.80]
+        |krasnodar:
+        |  area: [46.30, 37.20, 43.20, 41.40]
+        |""".stripMargin)
+    def cat = spark.read.format("graft-grid")
+      .option("regionsFile", f.toString).load()
+    assert(cat.select("region").distinct().collect().map(_.getString(0)).sorted
+      === Array("krasnodar", "moscow_oblast"))
+    assert(scanOf(cat).planInputPartitions().length === 2 * 3)
+    assert(cat.count() === 2L * 3 * 24 * 8 * 8)
+    // region pushdown composes with the catalog
+    val one = cat.filter(col("region") === "krasnodar")
+    assert(scanOf(one).planInputPartitions().length === 3)
+    // an operator ADDS a region by editing config only — the next
+    // plan sees its splits with no code change
+    java.nio.file.Files.writeString(f,
+      java.nio.file.Files.readString(f) +
+        "belarus:\n  area: [56.2, 23.1, 51.2, 32.8]\n")
+    assert(scanOf(cat).planInputPartitions().length === 3 * 3)
+    assert(cat.count() === 3L * 3 * 24 * 8 * 8)
+    // catalog API: file order kept, ERA5 [N, W, S, E] validated,
+    // 0.1°-resolution extent math for download sizing
+    val regions = RegionCatalog.load(f.toString)
+    assert(regions.map(_.name) === Seq("moscow_oblast", "krasnodar", "belarus"))
+    assert(regions.head.gridExtent() === ((28, 61)))
+    intercept[IllegalArgumentException] { // N < S must fail loudly
+      RegionCatalog.parse(Seq("bad:", "  area: [1.0, 2.0, 3.0, 4.0]"))
+    }
+    intercept[IllegalArgumentException] { // name without an area line
+      RegionCatalog.parse(Seq("only_name:"))
+    }
+    java.nio.file.Files.delete(f)
+  }
+
   test("an over-narrowed region filter yields zero partitions, not wrong rows") {
     val none = grid.filter(col("region") === "nope")
     assert(scanOf(none).planInputPartitions().isEmpty)
