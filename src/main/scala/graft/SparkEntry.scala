@@ -170,6 +170,17 @@ object SparkEntry {
           .union(MultimodalOps.toJpegMediaTable(s, docs))
           .union(MultimodalOps.toMediaTable(docs)))
     }),
+    // C11 oracle-gated twin (VERDICT r7 #5): the REAL-format decode
+    // paths (PNG IHDR + JPEG SOFn) produce deterministic doc_id-derived
+    // metadata, so the per-item projection is fully DuckDB-expressible
+    // — rows+schema+hash gated; only the fake-decode fallback and the
+    // binary payload itself stay spec-gated in multimodal_stub
+    "multimodal_meta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      MultimodalOps.extractMetaFrom(s,
+        MultimodalOps.toPngMediaTable(s, docs)
+          .union(MultimodalOps.toJpegMediaTable(s, docs)))
+    }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
@@ -1719,6 +1730,25 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, lang, ppl, 'unscored' AS bucket, TRUE AS approx_ok
          |FROM wl WHERE ppl IS NULL""".stripMargin,
+    // C11 metadata twin: DuckDB rebuilds what the byte-level decoders
+    // must extract — PNG header is 33 bytes (8 sig + 4 len + 17
+    // IHDR + 4 CRC) and JPEG 39 (SOI + 18 APP0 + 19 SOF0), dims are
+    // the wrap expression's doc_id formulas, payload body is the
+    // UTF-8 text bytes (strlen = byte length in DuckDB)
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |CAST(33 + strlen(text) AS INTEGER) AS n_bytes,
+        |CAST(64 + doc_id % 512 AS INTEGER) AS width,
+        |CAST(64 + (doc_id * 31) % 512 AS INTEGER) AS height,
+        |CAST(1 AS INTEGER) AS n_frames, 'png' AS format
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |CAST(39 + strlen(text) AS INTEGER) AS n_bytes,
+        |CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS width,
+        |CAST(64 + (doc_id * 13) % 512 AS INTEGER) AS height,
+        |CAST(1 AS INTEGER) AS n_frames, 'jpeg' AS format
+        |FROM documents""".stripMargin,
     // C34: same injected URL, same regex subset; domain = host group
     "url_domains" ->
       """WITH aug AS (SELECT doc_id,
