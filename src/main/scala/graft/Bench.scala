@@ -184,7 +184,11 @@ object Bench {
       "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
     val fe = forkHeavy.collect { case (k, Left(err)) =>
       "\"" + k + "\":\"" + err + "\"" }.mkString("{", ",", "}")
+    // n_queries makes the headline self-describing: SURVEY/commit
+    // prose regenerates from the artifact instead of hand-counting
+    // (VERDICT r7 #8 — the 162.0s/137 vs 152.7s/139 bookkeeping drift)
     val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","n_queries":${timings.size},"n_errors":${errors.size}""" +
       s""","queries":${map1(_._1)},"stage_ms":${map1(_._2)}""" +
       s""","gc_ms":${map1(_._3)},"heap_delta_mb":${map1(v => math.rint(v._4))}""" +
       s""","fork_wall":$fw,"fork_errors":$fe""" +

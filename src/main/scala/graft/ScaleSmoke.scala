@@ -142,7 +142,23 @@ object ScaleSmoke {
         candidates = Some(SimilarityOps.knnGraph(m)
           .filter(col("rank") > 0)
           .filter(col("sim") >= 0.4)
-          .select(col("src").as("id1"), col("nbr").as("id2"))))))
+          .select(col("src").as("id1"), col("nbr").as("id2"))))),
+      // r8 adds (VERDICT r7 #7):
+      // coarsen-first: Theil–Sen pairs form over |keys × days|, so
+      // k× EVENT volume at a FIXED calendar span must cost only the
+      // daily-agg scan growth — the |days| guard covers span growth
+      ("q_theilsen", (_, e, _) => AnalyticsOps.theilSen(e)),
+      // post-fix KS: per-row jitter makes distinct raw values ≈ n
+      // (grows with k — the domain the exact grid now REFUSES); the
+      // binned grid stays FLAT, only the count scan grows
+      ("q_ks_binned_hicard", (_, e, _) => AnalyticsOps.ksTestBinned(
+        e.withColumn("value",
+          col("value") + pmod(col("event_id"), lit(99991)) * lit(1e-9)))),
+      // GROWING query side (5 probe docs per copy, so |queries| = 5k):
+      // candidates are postings sharing a term — the join must scale
+      // with queries × per-term posting length, never corpus × queries
+      ("bm25_growq", (d, _, _) => TextOps.bm25(d,
+        queryPred = Some(pmod(col("doc_id"), lit(10000000L)) < 5))))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

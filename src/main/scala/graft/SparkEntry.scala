@@ -85,6 +85,8 @@ object SparkEntry {
     "q_et0" -> ((s, d) => AgriOps.et0Hargreaves(Tables.events(s, d))),
     "q_spi" -> ((s, d) => AgriOps.spi(Tables.events(s, d))),
     "q_seasonal" -> ((s, d) => AgriOps.seasonalDecompose(Tables.events(s, d))),
+    "q_seasonal_strength" -> ((s, d) =>
+      AgriOps.seasonalStrength(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -182,6 +184,8 @@ object SparkEntry {
           .union(MultimodalOps.toJpegMediaTable(s, docs)))
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
+    "gopher_quality" -> ((s, d) =>
+      TextOps.gopherQuality(TextOps.withSyntheticSlop(Tables.documents(s, d)))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
     // C43: cluster 90% of the corpus first, then fold the remaining
@@ -291,6 +295,7 @@ object SparkEntry {
     "oov_rate" -> ((s, d) => TextOps.oovRate(Tables.documents(s, d))),
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_mad_approx" -> ((s, d) => AnalyticsOps.madFlagsApprox(Tables.events(s, d))),
+    "q_heavy_hitters" -> ((s, d) => AnalyticsOps.heavyHitters(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -1378,6 +1383,40 @@ object SparkEntry {
           |dt.avg_value - dt.trend - se.seasonal AS resid
           |FROM dt JOIN se ON dt.event_type = se.event_type
           |  AND hour(dt.hour_ts) = se.hod""".stripMargin),
+    // A38: seasonal strength over the A35 decomposition — resid and
+    // detrended floor-quantized BEFORE squaring (derived doubles),
+    // exact HUGEINT co-moment variances, one division + max at the end
+    "q_seasonal_strength" ->
+      (s"""WITH hourly AS ($hourlyMartSql),
+          |tr AS (SELECT event_type, hour_ts, avg_value,
+          |  CAST(sum(CAST(floor(avg_value * 1000000.0)
+          |      AS HUGEINT)) OVER w AS DOUBLE)
+          |    / (CAST(count(*) OVER w AS DOUBLE) * 1000000.0) AS trend
+          |  FROM hourly WINDOW w AS (PARTITION BY event_type
+          |    ORDER BY hour_ts
+          |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+          |dt AS (SELECT *, avg_value - trend AS detrended FROM tr),
+          |se AS (SELECT event_type, hour(hour_ts) AS hod,
+          |  CAST(sum(CAST(floor(detrended * 1000000.0) AS HUGEINT)) AS DOUBLE)
+          |    / (CAST(count(*) AS DOUBLE) * 1000000.0) AS seasonal
+          |  FROM dt GROUP BY 1, 2),
+          |res AS (SELECT dt.event_type, dt.detrended,
+          |  dt.avg_value - dt.trend - se.seasonal AS resid
+          |  FROM dt JOIN se ON dt.event_type = se.event_type
+          |    AND hour(dt.hour_ts) = se.hod),
+          |q AS (SELECT event_type,
+          |  CAST(floor(resid * 1000000.0) AS HUGEINT) AS rq,
+          |  CAST(floor(detrended * 1000000.0) AS HUGEINT) AS dq FROM res),
+          |s AS (SELECT event_type, count(*) AS n_hours,
+          |  sum(rq) AS r1, sum(rq * rq) AS r2,
+          |  sum(dq) AS d1, sum(dq * dq) AS d2 FROM q GROUP BY 1)
+          |SELECT event_type, n_hours,
+          |CASE WHEN CAST(n_hours * d2 - d1 * d1 AS DOUBLE) > 0.0
+          |  THEN round(greatest(0.0,
+          |    1.0 - CAST(n_hours * r2 - r1 * r1 AS DOUBLE)
+          |    / CAST(n_hours * d2 - d1 * d1 AS DOUBLE)), 6) END
+          |  AS seasonal_strength
+          |FROM s""".stripMargin),
     // A34: daily-total standardized anomaly — B28's HUGEINT co-moment
     // protocol applied one coarsening level up (round-4 decimal daily
     // sums, ×1e6 stays integral)
@@ -1730,6 +1769,39 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, lang, ppl, 'unscored' AS bucket, TRUE AS approx_ok
          |FROM wl WHERE ppl IS NULL""".stripMargin,
+    // C61: Gopher rule gates — same tokenization, same integer
+    // cross-multiplication rules, same injected slop tail (doc_id ≡ 0
+    // mod 7) so the symbol-ratio rule fires on real variance
+    "gopher_quality" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' ### ### ### ... ... ...' ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS toks FROM aug),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(toks, x -> strlen(x))), 0)
+        |    AS BIGINT) AS word_chars,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |    AS BIGINT) AS alpha_words,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+        |    AS n_symbols,
+        |  CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words, word_chars, alpha_words, n_symbols, n_stop,
+        |(n_words >= 30 AND n_words <= 100000
+        |  AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |  AND 10 * n_symbols <= n_words
+        |  AND 5 * alpha_words >= 4 * n_words
+        |  AND n_stop >= 2) AS keep
+        |FROM s""".stripMargin,
     // C11 metadata twin: DuckDB rebuilds what the byte-level decoders
     // must extract — PNG header is 33 bytes (8 sig + 4 len + 17
     // IHDR + 4 CRC) and JPEG 39 (SOI + 18 APP0 + 19 SOF0), dims are
@@ -2303,6 +2375,15 @@ object SparkEntry {
         |  AS is_outlier,
         |TRUE AS flags_match
         |FROM events e JOIN st USING (event_type)""".stripMargin,
+    // B47: exact top-k heavy hitters published; the oracle asserts the
+    // SpaceSaving sketch's est/err bracket held on every row
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY n_events DESC, user_id) AS rank FROM c)
+        |SELECT event_type, rank, user_id, n_events, TRUE AS sketch_ok
+        |FROM r WHERE rank <= 15""".stripMargin,
     // A21: DuckDB rebuilds the connector's deterministic grid from
     // generate_series — same integer formula, same exact-decimal mean.
     // Day 2 of regions r0,r1 → dayIdx=1, ridx∈{0,1}

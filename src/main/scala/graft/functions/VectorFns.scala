@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, SpaceSavingAggregate, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -35,6 +35,16 @@ object VectorFns {
     */
   def top_k(e: Column, k: Int): Column =
     bridge.column(TopKAggregate(bridge.expression(e), k)
+      .toAggregateExpression())
+
+  /** SpaceSaving heavy-hitters summary: string items → bounded array
+    * of struct(item, est, err) with est ≥ true ≥ est − err — see
+    * graftx.SpaceSavingAggregate. Map-side combinable; shuffle
+    * payload is `capacity` counters per group regardless of item
+    * cardinality.
+    */
+  def space_saving(e: Column, capacity: Int): Column =
+    bridge.column(SpaceSavingAggregate(bridge.expression(e), capacity)
       .toAggregateExpression())
 
   /** One-pass character entropy: string → struct(n_chars,

@@ -676,6 +676,47 @@ object AgriOps {
         (col("avg_value") - col("trend") - col("seasonal")).as("resid"))
   }
 
+  /** A38: seasonal-strength index — Hyndman & Athanasopoulos'
+    * F_s = max(0, 1 − Var(resid)/Var(detrended)) over the A37
+    * decomposition: how much of the detrended variance the hour-of-
+    * day profile explains (≈1 strongly diurnal, ≈0 profile-free) —
+    * the one-number screen for whether A37's seasonal correction is
+    * worth applying per key.
+    *
+    * Exactness: resid and detrended are bit-identical doubles (A37's
+    * protocol); both are floor(×10⁶)-quantized BEFORE squaring (they
+    * are derived full-precision doubles — the decimal cast diverges
+    * cross-engine), variances come from exact DECIMAL(38,0)
+    * co-moments n·Σx²−(Σx)², one double division + max, and the
+    * index publishes ROUND-6: the co-moments exceed 2⁵³, and DuckDB's
+    * HUGEINT→DOUBLE cast is NOT correctly rounded there (measured one
+    * ulp low on 4.2e19 at sf0.1) while Spark's decimal cast is — the
+    * round absorbs that cast gap. A flat detrended series (zero
+    * variance) yields null, not a division blow-up.
+    *
+    * Scale shape: A37's plan plus one strictly-coarsening partial-agg
+    * groupBy to |keys| rows — nothing new shuffles.
+    */
+  def seasonalStrength(events: DataFrame, halfWindow: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    val dec = seasonalDecompose(events, halfWindow)
+    val rq = floor(col("resid") * lit(1000000.0)).cast(I)
+    val dq = floor((col("avg_value") - col("trend")) * lit(1000000.0)).cast(I)
+    val stats = dec
+      .select(col("event_type"), rq.as("rq"), dq.as("dq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("rq")).as("r1"), sum(col("rq") * col("rq")).as("r2"),
+        sum(col("dq")).as("d1"), sum(col("dq") * col("dq")).as("d2"))
+    val n = col("n_hours").cast(I)
+    val vr = (n * col("r2") - col("r1") * col("r1")).cast("double")
+    val vd = (n * col("d2") - col("d1") * col("d1")).cast("double")
+    stats.select(col("event_type"), col("n_hours"),
+      when(vd > 0.0, round(greatest(lit(0.0), lit(1.0) - vr / vd), 6))
+        .as("seasonal_strength"))
+  }
+
   /** A36: standardized precipitation-style anomaly index — each day's
     * total standardized against the key's own daily-total
     * distribution (z = (x − μ)/σ over the period), the drought/wet-

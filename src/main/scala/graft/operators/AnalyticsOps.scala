@@ -991,6 +991,54 @@ object AnalyticsOps {
           lit(false)).as("flags_match"))
   }
 
+  /** B47: heavy hitters per key — which items (users here) carry the
+    * most events, the abuse/skew detector behind rate limiting and
+    * salting decisions. The EXACT top-k is published (count table +
+    * WindowGroupLimit top-k, deterministic (n desc, user) order); a
+    * SpaceSaving sketch (graftx.SpaceSavingAggregate) runs beside it
+    * and an in-row `sketch_ok` predicate asserts the sketch's
+    * contract on every published row: a resident item's est/err
+    * bracket contains the true count, and a MISSING item's true count
+    * is below the n/capacity guarantee line. The oracle asserts the
+    * predicate TRUE — the B10/B20 band-gate shape.
+    *
+    * Scale shape: the exact path shuffles one row per distinct
+    * (key, item) — fine while items are bounded; the sketch path is
+    * the 100 TB swap (capacity counters per task per key, item
+    * cardinality irrelevant) and this entry proves its bounds against
+    * the exact truth on every run.
+    */
+  def heavyHitters(events: DataFrame, k: Int = 15,
+      capacity: Int = 4096): DataFrame = {
+    val exact = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id"))
+    val topk = exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    val sk = events.groupBy(col("event_type").as("et"))
+      .agg(graft.functions.VectorFns
+        .space_saving(col("user_id").cast("string"), capacity).as("hh"))
+    val entries = sk
+      .select(col("et"), explode(col("hh")).as("e"))
+      .select(col("et"), col("e.item").cast("long").as("s_user"),
+        col("e.est").as("est"), col("e.err").as("err"))
+    val totals = events.groupBy(col("event_type").as("et2"))
+      .agg(count(lit(1)).as("n_type"))
+    topk
+      .join(entries, col("event_type") === col("et")
+        && col("user_id") === col("s_user"), "left")
+      .join(broadcast(totals), col("event_type") === col("et2"))
+      .select(col("event_type"), col("rank"), col("user_id"),
+        col("n_events"),
+        when(col("est").isNotNull,
+          col("est") >= col("n_events")
+            && col("est") - col("err") <= col("n_events"))
+          .otherwise(
+            col("n_events") * lit(capacity.toLong) <= col("n_type"))
+          .as("sketch_ok"))
+  }
+
   /** B36: one-pass column profiler — per-column presence, null count,
     * exact distinct count, min/max — the data-quality summary every
     * ingest step should emit before a mart build (the reference

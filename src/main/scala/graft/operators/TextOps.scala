@@ -146,6 +146,54 @@ object TextOps {
             coalesce(col("n_bigrams"), lit(0L))).as("keep"))
   }
 
+  /** Deterministic slop augmentation for C61's query entry: docs with
+    * doc_id ≡ 0 (mod 7) get a tail of hash/ellipsis symbol words so
+    * the symbol-ratio rule fires on real variance (the synthetic
+    * corpus carries no slop). Both engines build the same string.
+    */
+  def withSyntheticSlop(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" ### ### ### ... ... ...")))
+        .otherwise(col("text")))
+
+  /** C61: Gopher-style rule gates (Rae et al. 2021 §A1.1) — the
+    * full document-level quality screen next to C8's ratios and C19's
+    * repetition signals: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (hash marks / ellipses), alphabetic-word
+    * fraction, and a minimum count of DISTINCT stopwords (the "real
+    * prose" tell). Every rule is integer cross-multiplication on
+    * exact counts — `3n ≤ chars ≤ 10n`, `10·symbols ≤ n`,
+    * `5·alpha ≥ 4n` — so the keep flag is bit-reproducible across
+    * engines with zero float risk.
+    *
+    * Scale shape: a PURE MAP — every signal folds inside per-row
+    * array expressions (no explode, no shuffle, no UDF); the gate
+    * runs at scan speed on any corpus size.
+    */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopHits = stopwords.map(s =>
+      when(array_contains(toks, s), 1L).otherwise(0L)).reduce(_ + _)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("word_chars"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+        .as("alpha_words"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+        .as("n_symbols"),
+      stopHits.as("n_stop"))
+      .withColumn("keep",
+        col("n_words") >= 30 && col("n_words") <= 100000 &&
+          lit(3L) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_symbols") <= col("n_words") &&
+          lit(5L) * col("alpha_words") >= lit(4L) * col("n_words") &&
+          col("n_stop") >= 2L)
+  }
+
   /** C20: temperature-flattened multi-source sampling — the
     * multilingual-training resampling step (alpha-sampling, α = 0.5):
     * big sources are down-sampled toward the small ones so no single
@@ -292,7 +340,8 @@ object TextOps {
     * which also drops their near-zero idf contribution.
     */
   def bm25(documents: DataFrame, nQueries: Int = 5, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      queryPred: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val tf = documents
@@ -303,7 +352,9 @@ object TextOps {
       (sum(col("dl").cast(DecimalType(20, 6))).cast("double")
         / count(lit(1))).as("avgdl"))
     val dfv = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val qterms = tf.filter(col("doc_id") < nQueries)
+    // queryPred overrides the default probe-set selection (ScaleSmoke
+    // uses it to grow the query side with the corpus)
+    val qterms = tf.filter(queryPred.getOrElse(col("doc_id") < nQueries))
       .select(col("doc_id").as("q_id"), col("tok"))
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5))

@@ -1,0 +1,175 @@
+package org.apache.spark.sql.graftx
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitters sketch (Metwally/Agrawal/El Abbadi,
+  * ICDT'05) as a native TypedImperativeAggregate: a bounded summary of
+  * at most `capacity` (item, est, err) counters per group, where
+  * `est` OVERCOUNTS the item's true frequency by at most `err`
+  * (est ≥ true ≥ est − err, per counter). An item seen more than
+  * n/capacity times in one summary is guaranteed resident; under
+  * distributed merge the bound loosens to the standard mergeable-
+  * summaries factor but the per-counter est/err bracket ALWAYS holds —
+  * which is exactly what the band gate asserts.
+  *
+  * Why a sketch: exact per-(group, item) counting shuffles one row
+  * per DISTINCT item — at 100 TB a high-cardinality item domain (user
+  * ids, URLs, tokens) makes the count table itself the dominant
+  * shuffle. This buffer is map-side combinable and caps shuffle
+  * payload at `capacity` counters per task per group, independent of
+  * item cardinality — the B10/B20 accuracy-for-bounded-memory trade
+  * for the top-k question.
+  *
+  * Eviction scans the counter table for the min (O(capacity), only on
+  * a miss at capacity); the classic stream-summary bucket list makes
+  * that O(1) but for the capacities this engine uses (≤ 2¹⁴) the scan
+  * is cache-resident and not the bottleneck next to the shuffle it
+  * removes.
+  */
+case class SpaceSavingAggregate(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingAggregate.Buffer] {
+
+  require(capacity > 0, "space_saving requires capacity > 0")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = SpaceSavingAggregate.resultType
+  override def prettyName: String = "space_saving"
+
+  override def createAggregationBuffer(): SpaceSavingAggregate.Buffer =
+    new SpaceSavingAggregate.Buffer(capacity)
+
+  override def update(buffer: SpaceSavingAggregate.Buffer,
+      input: InternalRow): SpaceSavingAggregate.Buffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String], 1L, 0L)
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingAggregate.Buffer,
+      other: SpaceSavingAggregate.Buffer): SpaceSavingAggregate.Buffer = {
+    other.foreach((k, c, e) => buffer.add(k, c, e))
+    buffer
+  }
+
+  /** Entries sorted (est desc, item asc) — a deterministic order for
+    * any fixed multiset of counters.
+    */
+  override def eval(buffer: SpaceSavingAggregate.Buffer): Any =
+    new GenericArrayData(buffer.sorted.map { case (k, c, e) =>
+      new GenericInternalRow(Array[Any](k, c, e)): Any
+    })
+
+  override def serialize(buffer: SpaceSavingAggregate.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { (k, c, e) =>
+      val bytes = k.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+      out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingAggregate.Buffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      buf.add(UTF8String.fromBytes(kb), in.readLong(), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingAggregate =
+    copy(child = newChildren.head)
+}
+
+object SpaceSavingAggregate {
+  val resultType: ArrayType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  /** Counter table: item → [est, err]. `add` is the SpaceSaving
+    * step generalized to weighted inserts so the same code path
+    * serves update (weight 1) and summary merge (the entry's full
+    * est/err): resident items accumulate; a miss below capacity
+    * inserts; a miss AT capacity evicts the min-est counter, whose
+    * est becomes part of the newcomer's est AND err (the newcomer may
+    * have been that evicted item's mass, so est stays an upper bound
+    * and err brackets the overcount).
+    */
+  final class Buffer(capacity: Int) {
+    private val m = new java.util.HashMap[UTF8String, Array[Long]]()
+
+    def add(k: UTF8String, est: Long, err: Long): Unit = {
+      val cur = m.get(k)
+      if (cur != null) { cur(0) += est; cur(1) += err }
+      else if (m.size < capacity) m.put(k.clone(), Array(est, err))
+      else {
+        var minK: UTF8String = null
+        var minV: Array[Long] = null
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val en = it.next()
+          if (minV == null || en.getValue()(0) < minV(0)) {
+            minK = en.getKey; minV = en.getValue
+          }
+        }
+        m.remove(minK)
+        m.put(k.clone(), Array(est + minV(0), err + minV(0)))
+      }
+    }
+
+    def size: Int = m.size
+
+    def foreach(f: (UTF8String, Long, Long) => Unit): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        f(en.getKey, en.getValue()(0), en.getValue()(1))
+      }
+    }
+
+    def sorted: Array[(UTF8String, Long, Long)] = {
+      val arr = new Array[(UTF8String, Long, Long)](m.size)
+      var i = 0
+      foreach { (k, c, e) => arr(i) = (k, c, e); i += 1 }
+      java.util.Arrays.sort(arr,
+        new java.util.Comparator[(UTF8String, Long, Long)] {
+          override def compare(a: (UTF8String, Long, Long),
+              b: (UTF8String, Long, Long)): Int = {
+            val byEst = java.lang.Long.compare(b._2, a._2)
+            if (byEst != 0) byEst else a._1.compareTo(b._1)
+          }
+        })
+      arr
+    }
+  }
+}

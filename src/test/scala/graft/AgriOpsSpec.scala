@@ -270,6 +270,32 @@ class AgriOpsSpec extends SparkSpec {
     assert(dec.filter(abs(col("resid")) > 1e-9).count() === 0)
   }
 
+  test("seasonalStrength: diurnal series reads ~1, flat series reads null") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 6 days of a pure hour-of-day profile: after detrending, the
+    // hour profile explains (almost) all variance — F_s near 1 (the
+    // moving-mean trend leaks a little at the series edges)
+    val diurnal = (0 until 144).map(h => (h.toLong,
+      new java.sql.Timestamp(ts0 + h * 3600000L), 1L, "a",
+      10.0 + (h % 24).toDouble, "{}"))
+    // flat series: zero detrended variance → null, not a blow-up
+    val flat = (0 until 144).map(h => (1000L + h,
+      new java.sql.Timestamp(ts0 + h * 3600000L), 1L, "b", 5.0, "{}"))
+    val ev = (diurnal ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AgriOps.seasonalStrength(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("seasonal_strength") > 0.8)
+    assert(out("a").getAs[Long]("n_hours") === 144L)
+    assert(out("b").isNullAt(2))
+    // corpus: one row per key, F_s within [0, 1] wherever defined
+    val full = AgriOps.seasonalStrength(events)
+    assert(full.count() === events.select("event_type").distinct().count())
+    assert(full.filter(col("seasonal_strength") < 0.0
+      || col("seasonal_strength") > 1.0).count() === 0)
+  }
+
   test("spi standardizes daily totals to mean ~0, sd ~1 per key") {
     val out = AgriOps.spi(events).cache()
     val stats = out.groupBy("event_type")

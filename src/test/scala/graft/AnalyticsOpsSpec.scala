@@ -420,6 +420,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("heavyHitters: SpaceSaving bounds hold under real eviction at tiny capacity") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    // skewed stream: user 1 carries 60 of 100 events, users 2..41 one
+    // each — at capacity 8 the table churns through 40 distinct users,
+    // and user 1 (60 > n/capacity = 12.5) is GUARANTEED resident
+    val rows = ((1 to 60).map(_ => 1L) ++ (2 to 41).map(_.toLong))
+      .zipWithIndex.map { case (u, i) =>
+        (i.toLong, new java.sql.Timestamp(ts0 + i * 1000L), u, "a", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sk = rows.groupBy("event_type")
+      .agg(graft.functions.VectorFns
+        .space_saving(col("user_id").cast("string"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err")).collect()
+    assert(sk.length <= 8)
+    val u1 = sk.find(_.getString(0) == "1")
+      .getOrElse(fail("dominant item evicted — capture guarantee broken"))
+    assert(u1.getLong(1) >= 60L && u1.getLong(1) - u1.getLong(2) <= 60L)
+    // the operator's band gate: every published row's predicate holds
+    // even when most counters were evicted
+    val out = AnalyticsOps.heavyHitters(rows, k = 3, capacity = 8).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getBoolean(4)), "sketch contract violated")
+    assert(out.find(_.getLong(1) === 1L).get.getAs[Long]("user_id") === 1L)
+    // corpus: 15 per key, all brackets green at the default capacity
+    val events = Tables.events(spark, sf)
+    val full = AnalyticsOps.heavyHitters(events)
+    assert(full.filter(!col("sketch_ok")).count() === 0)
+    assert(full.count() ===
+      events.select("event_type").distinct().count() * 15)
+  }
+
   test("gini: zero for equal values, closed-form for a skewed triple") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime

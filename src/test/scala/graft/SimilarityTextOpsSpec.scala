@@ -815,6 +815,31 @@ class SimilarityTextOpsSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("gopherQuality: rule gates fire per signal; pure-map plan, no shuffle") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a $filler"),                    // prose-shaped: keep
+      (2L, "too short to pass"),                 // word count < 30
+      (3L, s"the a $filler ### ### ### ### ##"), // symbol ratio > 0.1
+      (4L, s"the $filler"),                      // only 1 distinct stopword
+      (5L, ("the a " + (1 to 40).map(_ => "x").mkString(" "))) // mean len < 3
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+    // corpus + slop augmentation: both classes occur, and the gate is
+    // a pure map — NO exchange anywhere in the plan
+    val full = TextOps.gopherQuality(
+      TextOps.withSyntheticSlop(documents))
+    val plan = full.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+    val counts = full.groupBy("keep").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(true, 0L) > 0L && counts.getOrElse(false, 0L) > 0L)
+  }
+
   test("ccnetBucket: per-lang terciles are balanced, ordered, and total") {
     val out = TextOps.ccnetBucket(documents).cache()
     assert(out.count() === documents.count())
