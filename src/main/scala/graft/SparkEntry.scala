@@ -161,6 +161,15 @@ object SparkEntry {
       DedupOps.decontaminate(docs,
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), 0.5)
     }),
+    // C62: the same benchmark split, audited from the benchmark's
+    // side — corpus EXCLUDES the benchmark docs so coverage is earned
+    // through genuine overlap, not self-matches
+    "ngram_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.ngramCoverage(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    }),
     // union of the synthetic-PNG table (REAL IHDR byte parsing), the
     // synthetic-JPEG table (REAL SOFn marker-segment scan), and the
     // raw-text table (declared fake-decode fallback): the rows check
@@ -296,6 +305,7 @@ object SparkEntry {
     "q_mad" -> ((s, d) => AnalyticsOps.madFlags(Tables.events(s, d))),
     "q_mad_approx" -> ((s, d) => AnalyticsOps.madFlagsApprox(Tables.events(s, d))),
     "q_heavy_hitters" -> ((s, d) => AnalyticsOps.heavyHitters(Tables.events(s, d))),
+    "q_welch" -> ((s, d) => AnalyticsOps.welchDrift(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -1158,6 +1168,24 @@ object SparkEntry {
         |SELECT doc_id, n_grams, CAST(n_hits AS BIGINT) AS n_hits,
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
+        |FROM j""".stripMargin,
+    // C62: gram strings in the oracle (hash-free semantics, identical
+    // counts — C16's argument), benchmark split mirrored
+    "ngram_coverage" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |d AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+        |bd AS (SELECT DISTINCT doc_id, gm FROM d WHERE doc_id % 20 = 0),
+        |c AS (SELECT DISTINCT gm FROM d WHERE doc_id % 20 <> 0),
+        |j AS (SELECT bd.doc_id, count(*) AS n_grams, count(c.gm) AS n_covered
+        |  FROM bd LEFT JOIN c ON bd.gm = c.gm GROUP BY bd.doc_id)
+        |SELECT doc_id, n_grams, CAST(n_covered AS BIGINT) AS n_covered,
+        |round(n_covered * 1.0 / n_grams, 4) AS coverage
         |FROM j""".stripMargin,
     "vocab_topk" ->
       """WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
@@ -2375,6 +2403,38 @@ object SparkEntry {
         |  AS is_outlier,
         |TRUE AS flags_match
         |FROM events e JOIN st USING (event_type)""".stripMargin,
+    // B48: Welch's t, odd vs even days — exact HUGEINT co-moments per
+    // (key, parity), the identical fixed double chain for mean /
+    // variance / t / dof in both engines, round-6 published (the
+    // co-moments exceed 2^53: the A38 HUGEINT→DOUBLE cast finding)
+    "q_welch" ->
+      """WITH q AS (SELECT event_type, day(ts) % 2 AS p,
+        |  CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS HUGEINT) AS xq
+        |  FROM events),
+        |g AS (SELECT event_type, p, count(*) AS n, sum(xq) AS s1,
+        |  sum(xq * xq) AS s2 FROM q GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+        |  b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+        |  FROM g a JOIN g b ON a.event_type = b.event_type
+        |    AND a.p = 1 AND b.p = 0),
+        |z AS (SELECT event_type, na, nb,
+        |  CAST(s1a AS DOUBLE) / (CAST(na AS DOUBLE) * 1000000.0) AS ma,
+        |  CAST(s1b AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0) AS mb,
+        |  CAST(na * s2a - s1a * s1a AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)
+        |       * 1000000000000.0) / CAST(na AS DOUBLE) AS sea,
+        |  CAST(nb * s2b - s1b * s1b AS DOUBLE)
+        |    / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)
+        |       * 1000000000000.0) / CAST(nb AS DOUBLE) AS seb
+        |  FROM j)
+        |SELECT event_type, na AS n_odd, nb AS n_even,
+        |CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0.0
+        |  THEN round((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
+        |CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0.0
+        |  THEN round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+        |       + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) END AS dof
+        |FROM z""".stripMargin,
     // B47: exact top-k heavy hitters published; the oracle asserts the
     // SpaceSaving sketch's est/err bracket held on every row
     "q_heavy_hitters" ->

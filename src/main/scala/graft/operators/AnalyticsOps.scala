@@ -1039,6 +1039,63 @@ object AnalyticsOps {
           .as("sketch_ok"))
   }
 
+  /** B48: Welch's two-sample t statistic per key, odd- vs even-
+    * numbered days — the mean-drift A/B screen next to B44's shape
+    * test (KS sees any distributional change; t isolates a LEVEL
+    * difference with unequal variances). The day-parity split is
+    * deterministic and span-proof (no median date to agree on), and
+    * under the null both halves interleave the same regime, so |t|
+    * flags calendar-correlated drift.
+    *
+    * Exactness: raw values are limited-decimal so the ×10⁶ decimal
+    * cast is exact; per-group co-moments (n, Σx, Σx²) accumulate in
+    * DECIMAL(38,0); the t statistic and Welch–Satterthwaite dof are
+    * fixed double chains on those exact integers, published ROUND-6
+    * (the co-moments exceed 2⁵³ where DuckDB's HUGEINT→DOUBLE cast
+    * can sit one ulp off — the A38 finding).
+    *
+    * Scale shape: ONE partial-agg groupBy over (key, parity) — the
+    * events stream never shuffles twice, output is 2·|keys| partials
+    * folded to |keys| rows.
+    */
+  def welchDrift(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val xq = (col("value").cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
+    val par = pmod(dayofmonth(col("ts")), lit(2))
+    val g = events
+      .select(col("event_type"), par.as("p"), xq.as("xq"))
+      .groupBy("event_type", "p")
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s1"),
+        sum(col("xq") * col("xq")).as("s2"))
+    def side(p: Int, suffix: String) = g.filter(col("p") === p)
+      .select(col("event_type").as(s"et$suffix"), col("n").as(s"n$suffix"),
+        col("s1").as(s"s1$suffix"), col("s2").as(s"s2$suffix"))
+    val j = side(1, "a").join(side(0, "b"),
+      col("eta") === col("etb"))
+    def nD(c: Column) = c.cast("double")
+    // per-side mean and unbiased variance, each ONE cast + fixed ops
+    def mean(n: Column, s1: Column) =
+      s1.cast("double") / (nD(n) * 1e6)
+    def varN(n: Column, s1: Column, s2: Column) =
+      (n.cast(I) * s2 - s1 * s1).cast("double") /
+        (nD(n) * (nD(n) - 1.0) * 1e12)
+    val va = varN(col("na"), col("s1a"), col("s2a"))
+    val vb = varN(col("nb"), col("s1b"), col("s2b"))
+    val sea = va / nD(col("na"))
+    val seb = vb / nD(col("nb"))
+    val t = (mean(col("na"), col("s1a")) - mean(col("nb"), col("s1b"))) /
+      sqrt(sea + seb)
+    val dof = (sea + seb) * (sea + seb) /
+      (sea * sea / (nD(col("na")) - 1.0) + seb * seb / (nD(col("nb")) - 1.0))
+    // degenerate splits (a single-row side or two zero-variance
+    // sides) publish null, not ±Inf/NaN
+    val ok = col("na") > 1 && col("nb") > 1 && (sea + seb) > 0.0
+    j.select(col("eta").as("event_type"),
+      col("na").as("n_odd"), col("nb").as("n_even"),
+      when(ok, round(t, 6)).as("t_stat"),
+      when(ok, round(dof, 6)).as("dof"))
+  }
+
   /** B36: one-pass column profiler — per-column presence, null count,
     * exact distinct count, min/max — the data-quality summary every
     * ingest step should emit before a mart build (the reference

@@ -368,6 +368,36 @@ object DedupOps {
           .as("keep"))
   }
 
+  /** C62: n-gram coverage — C16's audit from the BENCHMARK's side:
+    * per benchmark doc, what fraction of its DISTINCT word trigrams
+    * appears anywhere in the training corpus (the eval-leakage
+    * report an eval owner reads before trusting a score; C16 answers
+    * "which corpus docs to drop", this answers "which eval items are
+    * already compromised"). Same 8-byte gram-hash domain as C16.
+    *
+    * Scale shape: the corpus side is a LEFT-SEMI probe — benchmark
+    * grams (small) semi-join the corpus gram stream, so the corpus
+    * never builds a distinct set and never carries a payload column;
+    * two partial-agg groupBys on the benchmark side publish the
+    * per-doc ratio.
+    */
+  def ngramCoverage(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchGrams = benchmark.select(col("doc_id"),
+      explode(array_distinct(
+        transform(shingles(col("text")), g => xxhash64(g)))).as("g"))
+    val corpGrams = corpus
+      .select(explode(transform(shingles(col("text")), g => xxhash64(g))).as("g"))
+    val totals = benchGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = benchGrams.join(corpGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .select(col("doc_id"), col("n_grams"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_grams"), 4)
+          .as("coverage"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** doc_id + 64-bit SimHash: per bit, sum ±1 over token hashes; bit

@@ -420,6 +420,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("welchDrift: closed-form t and dof; degenerate split reads null") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, typ, v, "{}")
+    // odd days {1,3} vs even {2,4}: means 2 vs 7, variances 2 vs 8 →
+    // t = −5/√5 = −√5, dof = 25/17
+    val rows = Seq(
+      ev(1, 1, "a", 1.0), ev(2, 3, "a", 3.0),
+      ev(3, 2, "a", 5.0), ev(4, 4, "a", 9.0),
+      // constant series: zero pooled variance → null, not ±Inf
+      ev(5, 1, "b", 7.0), ev(6, 3, "b", 7.0),
+      ev(7, 2, "b", 7.0), ev(8, 4, "b", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.welchDrift(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_odd") === 2L)
+    assert(out("a").getAs[Double]("t_stat") ===
+      math.round(-math.sqrt(5.0) * 1e6) / 1e6)
+    assert(out("a").getAs[Double]("dof") === math.round(25.0 / 17.0 * 1e6) / 1e6)
+    assert(out("b").isNullAt(3) && out("b").isNullAt(4))
+    // corpus: one row per key with both parities, dof within
+    // [min(n)−1, n_odd+n_even−2]
+    val events = Tables.events(spark, sf)
+    val full = AnalyticsOps.welchDrift(events)
+    assert(full.count() === events.select("event_type").distinct().count())
+    assert(full.filter(col("dof") > col("n_odd") + col("n_even") - 2).count() === 0)
+  }
+
   test("heavyHitters: SpaceSaving bounds hold under real eviction at tiny capacity") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime

@@ -34,6 +34,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(3L)._2 === true)
   }
 
+  test("ngramCoverage: per-benchmark-doc coverage against a disjoint corpus") {
+    import spark.implicits._
+    val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "a b c d"),     // grams {a b c, b c d} ⊂ corpus grams
+      (2L, "x y z w"),     // disjoint
+      (3L, "a b c x y"))   // {a b c, b c x, c x y} → 1 of 3
+      .toDF("doc_id", "text")
+    val out = DedupOps.ngramCoverage(corpus, bench).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((3L, 1L, 0.3333)))
+    // corpus-wide: the C16 split, one row per benchmark doc, ratios
+    // within [0, 1], n_covered ≤ n_grams
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = DedupOps.ngramCoverage(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    assert(full.count() ===
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0).count())
+    assert(full.filter(col("n_covered") > col("n_grams")).count() === 0)
+  }
+
   /** Tiny corpus with a planted exact dup + near dup for recall checks. */
   lazy val planted = {
     import spark.implicits._
