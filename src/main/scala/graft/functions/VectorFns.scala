@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, SpaceSavingAggregate, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, SpaceSavingAggregate, SpaceSavingMergeAggregate, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -45,6 +45,16 @@ object VectorFns {
     */
   def space_saving(e: Column, capacity: Int): Column =
     bridge.column(SpaceSavingAggregate(bridge.expression(e), capacity)
+      .toAggregateExpression())
+
+  /** Weighted-input SpaceSaving fold over already-summarized
+    * (item, est, err) counter rows — merges persisted summaries with
+    * new per-batch sketches (the streamable form, D13).
+    */
+  def space_saving_merge(item: Column, est: Column, err: Column,
+      capacity: Int): Column =
+    bridge.column(SpaceSavingMergeAggregate(bridge.expression(item),
+      bridge.expression(est), bridge.expression(err), capacity)
       .toAggregateExpression())
 
   /** One-pass character entropy: string → struct(n_chars,

@@ -273,6 +273,78 @@ object StreamOps {
     all.filter(col("batch") === latest).drop("batch")
   }
 
+  /** D13: streaming heavy hitters — B47's SpaceSaving sketch as a
+    * LIVE monitor. Per micro-batch: sketch the batch (bounded
+    * `capacity` counters per key), union the PRIOR state's counters,
+    * and fold both through the weighted SpaceSaving merge — possible
+    * precisely because the summary is MERGEABLE (est/err bracket
+    * survives any merge order), which exact per-item counting at
+    * 100 TB item cardinality is not (its state grows with distinct
+    * items; this state is fixed at capacity rows per key forever).
+    *
+    * State snapshots under `stateDir/batch=<id>` with latest-prior
+    * reads — D11/D12's idempotent crash-replay shape. The bracket the
+    * batch operator proves per run (est ≥ true ≥ est − err, dominant
+    * items resident) carries to the folded state; the spec checks it
+    * against exact whole-history counts after a multi-batch drain.
+    */
+  def streamingHeavyHitters(events: DataFrame, stateDir: String,
+      capacity: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("event_type"), col("user_id"))
+          .localCheckpoint(true)
+        try {
+          val batchCounters = b
+            .groupBy("event_type")
+            .agg(graft.functions.VectorFns
+              .space_saving(col("user_id").cast("string"), capacity).as("hh"))
+            .select(col("event_type"), explode(col("hh")).as("e"))
+            .select(col("event_type"), col("e.item").as("item"),
+              col("e.est").as("est"), col("e.err").as("err"))
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => batchCounters
+            case Some(p) => p.unionByName(batchCounters)
+              .groupBy("event_type")
+              .agg(graft.functions.VectorFns.space_saving_merge(
+                col("item"), col("est"), col("err"), capacity).as("hh"))
+              .select(col("event_type"), explode(col("hh")).as("e"))
+              .select(col("event_type"), col("e.item").as("item"),
+                col("e.est").as("est"), col("e.err").as("err"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The latest folded D13 sketch state. */
+  def latestHeavyHittersState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    all.filter(col("batch") === latest).drop("batch")
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

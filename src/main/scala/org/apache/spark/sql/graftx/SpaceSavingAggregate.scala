@@ -71,7 +71,90 @@ case class SpaceSavingAggregate(
       new GenericInternalRow(Array[Any](k, c, e)): Any
     })
 
-  override def serialize(buffer: SpaceSavingAggregate.Buffer): Array[Byte] = {
+  override def serialize(buffer: SpaceSavingAggregate.Buffer): Array[Byte] =
+    SpaceSavingAggregate.serializeBuffer(buffer)
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingAggregate.Buffer =
+    SpaceSavingAggregate.deserializeBuffer(bytes, capacity)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingAggregate =
+    copy(child = newChildren.head)
+}
+
+/** Weighted-input twin of [[SpaceSavingAggregate]]: each input row is
+  * an already-summarized (item, est, err) counter — the shape a
+  * PERSISTED summary or a per-batch sketch explodes to — and the
+  * aggregate folds them through the identical weighted SpaceSaving
+  * step. This is what makes the sketch STREAMABLE: a micro-batch
+  * pipeline unions the prior state's counters with the new batch's
+  * and re-aggregates, and the est/err bracket survives any merge
+  * order (the D13 shape).
+  */
+case class SpaceSavingMergeAggregate(
+    item: Expression,
+    est: Expression,
+    err: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingAggregate.Buffer] {
+
+  require(capacity > 0, "space_saving_merge requires capacity > 0")
+
+  override def children: Seq[Expression] = Seq(item, est, err)
+  override def nullable: Boolean = false
+  override def dataType: DataType = SpaceSavingAggregate.resultType
+  override def prettyName: String = "space_saving_merge"
+
+  override def createAggregationBuffer(): SpaceSavingAggregate.Buffer =
+    new SpaceSavingAggregate.Buffer(capacity)
+
+  override def update(buffer: SpaceSavingAggregate.Buffer,
+      input: InternalRow): SpaceSavingAggregate.Buffer = {
+    val k = item.eval(input)
+    if (k != null) buffer.add(k.asInstanceOf[UTF8String],
+      est.eval(input).asInstanceOf[Long], err.eval(input).asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingAggregate.Buffer,
+      other: SpaceSavingAggregate.Buffer): SpaceSavingAggregate.Buffer = {
+    other.foreach((k, c, e) => buffer.add(k, c, e))
+    buffer
+  }
+
+  override def eval(buffer: SpaceSavingAggregate.Buffer): Any =
+    new GenericArrayData(buffer.sorted.map { case (k, c, e) =>
+      new GenericInternalRow(Array[Any](k, c, e)): Any
+    })
+
+  override def serialize(buffer: SpaceSavingAggregate.Buffer): Array[Byte] =
+    SpaceSavingAggregate.serializeBuffer(buffer)
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingAggregate.Buffer =
+    SpaceSavingAggregate.deserializeBuffer(bytes, capacity)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingMergeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingMergeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingMergeAggregate =
+    copy(item = newChildren(0), est = newChildren(1), err = newChildren(2))
+}
+
+object SpaceSavingAggregate {
+  val resultType: ArrayType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  private[graftx] def serializeBuffer(buffer: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
@@ -86,10 +169,11 @@ case class SpaceSavingAggregate(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingAggregate.Buffer = {
+  private[graftx] def deserializeBuffer(bytes: Array[Byte],
+      capacity: Int): Buffer = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = createAggregationBuffer()
+    val buf = new Buffer(capacity)
     var i = 0
     while (i < n) {
       val len = in.readInt()
@@ -100,21 +184,6 @@ case class SpaceSavingAggregate(
     }
     buf
   }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAggregate =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAggregate =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): SpaceSavingAggregate =
-    copy(child = newChildren.head)
-}
-
-object SpaceSavingAggregate {
-  val resultType: ArrayType = ArrayType(StructType(Seq(
-    StructField("item", StringType, nullable = false),
-    StructField("est", LongType, nullable = false),
-    StructField("err", LongType, nullable = false))), containsNull = false)
 
   /** Counter table: item → [est, err]. `add` is the SpaceSaving
     * step generalized to weighted inserts so the same code path

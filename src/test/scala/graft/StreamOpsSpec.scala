@@ -220,6 +220,51 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D13: streaming heavy hitters — folded sketch brackets exact history counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed 3-batch stream on one key: user 1 dominates every batch
+    // (3 × 40 = 120 of 300 events); 180 one-shot users churn a
+    // 16-counter table hard
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkBatch(b: Int): Seq[Event] =
+      ((1 to 40).map(_ => 1L) ++ (1 to 60).map(i => 100L + b * 60 + i))
+        .zipWithIndex.map { case (u, i) =>
+          Event(b * 1000L + i, new java.sql.Timestamp(ts0 + i * 1000L),
+            u, "a", 1.0, "{}") }
+    val base = java.nio.file.Files.createTempDirectory("d13").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingHeavyHitters(stream.toDF(), stateDir,
+      capacity = 16)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val batches = (0 until 3).map(mkBatch)
+    batches.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 3)
+    val state = StreamOps.latestHeavyHittersState(spark, stateDir).collect()
+    // bounded state regardless of 181 distinct users seen
+    assert(state.length <= 16)
+    // the dominant user is guaranteed resident (120 > 300/16) and its
+    // est/err bracket contains the exact whole-history count
+    val u1 = state.find(_.getAs[String]("item") == "1")
+      .getOrElse(fail("dominant user evicted from folded state"))
+    assert(u1.getAs[Long]("est") >= 120L
+      && u1.getAs[Long]("est") - u1.getAs[Long]("err") <= 120L)
+    // every resident counter's bracket contains its exact count
+    val exact = batches.flatten.groupBy(_.user_id).map { case (u, es) =>
+      u.toString -> es.size.toLong }
+    state.foreach { r =>
+      val n = exact.getOrElse(r.getAs[String]("item"), 0L)
+      assert(r.getAs[Long]("est") >= n, s"est below true for ${r}")
+      assert(r.getAs[Long]("est") - r.getAs[Long]("err") <= n,
+        s"bracket floor above true for ${r}")
+    }
+    CacheRegistry.unpersistAll()
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
