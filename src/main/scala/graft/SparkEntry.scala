@@ -195,6 +195,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) =>
       TextOps.gopherQuality(TextOps.withSyntheticSlop(Tables.documents(s, d)))),
+    "quality_report" -> ((s, d) => TextOps.qualityReport(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
     // C43: cluster 90% of the corpus first, then fold the remaining
@@ -306,6 +307,7 @@ object SparkEntry {
     "q_mad_approx" -> ((s, d) => AnalyticsOps.madFlagsApprox(Tables.events(s, d))),
     "q_heavy_hitters" -> ((s, d) => AnalyticsOps.heavyHitters(Tables.events(s, d))),
     "q_welch" -> ((s, d) => AnalyticsOps.welchDrift(Tables.events(s, d))),
+    "q_mann_kendall" -> ((s, d) => AnalyticsOps.mannKendall(Tables.events(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -1169,6 +1171,54 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    // C63: composite of the C8/C19/C61 keeps with the fixed-precedence
+    // first-failing-reason — each rule's oracle fragment reused
+    "quality_report" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS toks, text FROM documents),
+        |q8 AS (SELECT doc_id,
+        |  (len(toks) >= 5 AND len(toks) <= 500
+        |   AND CAST(len(list_filter(toks, x -> list_contains(
+        |     ['the','a','and','of','to'], x))) AS DOUBLE)
+        |     / CAST(len(toks) AS DOUBLE) <= 0.5) AS keep_quality FROM t),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bigrams FROM t),
+        |x AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+        |gb AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM x GROUP BY doc_id, bg)
+        |  GROUP BY doc_id),
+        |q19 AS (SELECT b.doc_id,
+        |  ((b.n_tokens - b.n_distinct) * 2 <= b.n_tokens
+        |   AND COALESCE(gb.top_bigram_n, 0) * 10 <= COALESCE(gb.n_bigrams, 0))
+        |  AS keep_repetition FROM b LEFT JOIN gb USING (doc_id)),
+        |q61 AS (SELECT doc_id,
+        |  (len(toks) >= 30 AND len(toks) <= 100000
+        |   AND 3 * len(toks)
+        |     <= coalesce(list_sum(list_transform(toks, x -> strlen(x))), 0)
+        |   AND coalesce(list_sum(list_transform(toks, x -> strlen(x))), 0)
+        |     <= 10 * len(toks)
+        |   AND 10 * len(regexp_extract_all(text, '#|\.\.\.')) <= len(toks)
+        |   AND 5 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |     >= 4 * len(toks)
+        |   AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) >= 2)
+        |  AS keep_gopher FROM t)
+        |SELECT q8.doc_id, q8.keep_quality, q19.keep_repetition,
+        |q61.keep_gopher,
+        |(q8.keep_quality AND q19.keep_repetition AND q61.keep_gopher) AS keep,
+        |CASE WHEN NOT q8.keep_quality THEN 'quality'
+        |     WHEN NOT q19.keep_repetition THEN 'repetition'
+        |     WHEN NOT q61.keep_gopher THEN 'gopher'
+        |     ELSE 'pass' END AS drop_reason
+        |FROM q8 JOIN q19 USING (doc_id) JOIN q61 USING (doc_id)""".stripMargin,
     // C62: gram strings in the oracle (hash-free semantics, identical
     // counts — C16's argument), benchmark split mirrored
     "ngram_coverage" ->
@@ -2403,6 +2453,33 @@ object SparkEntry {
         |  AS is_outlier,
         |TRUE AS flags_match
         |FROM events e JOIN st USING (event_type)""".stripMargin,
+    // B49: Mann–Kendall — integer sign pairs over floor-quantized
+    // daily means, tie-corrected variance (< 2^53 under the day
+    // guard, so the double cast is exact), round-6 z
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS y
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, day, floor(y * 1000000.0) AS yq FROM daily),
+        |s AS (SELECT a.event_type,
+        |  sum(CASE WHEN b.yq > a.yq THEN 1
+        |           WHEN b.yq < a.yq THEN -1 ELSE 0 END) AS s_stat
+        |  FROM q a JOIN q b ON a.event_type = b.event_type
+        |    AND a.day < b.day GROUP BY 1),
+        |t AS (SELECT event_type, yq, count(*) AS t FROM q GROUP BY 1, 2),
+        |nt AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM t GROUP BY 1)
+        |SELECT s.event_type, nt.n_days, CAST(s.s_stat AS BIGINT) AS s_stat,
+        |CASE WHEN s.s_stat > 0 THEN round(CAST(s.s_stat - 1 AS DOUBLE)
+        |  / sqrt(CAST(nt.n_days * (nt.n_days - 1) * (2 * nt.n_days + 5)
+        |    - nt.tie_term AS DOUBLE) / 18.0), 6)
+        |WHEN s.s_stat < 0 THEN round(CAST(s.s_stat + 1 AS DOUBLE)
+        |  / sqrt(CAST(nt.n_days * (nt.n_days - 1) * (2 * nt.n_days + 5)
+        |    - nt.tie_term AS DOUBLE) / 18.0), 6)
+        |ELSE 0.0 END AS mk_z
+        |FROM s JOIN nt ON s.event_type = nt.event_type""".stripMargin,
     // B48: Welch's t, odd vs even days — exact HUGEINT co-moments per
     // (key, parity), the identical fixed double chain for mean /
     // variance / t / dof in both engines, round-6 published (the

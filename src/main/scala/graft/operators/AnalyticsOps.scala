@@ -557,6 +557,57 @@ object AnalyticsOps {
         count(lit(1)).as("n_pairs"))
   }
 
+  /** B49: Mann–Kendall trend test per key — the non-parametric
+    * companion to B42: Theil–Sen estimates the slope, this tests
+    * whether a monotonic trend EXISTS (S = Σ_{i<j} sign(y_j − y_i)
+    * over the daily series, z from the tie-corrected variance; no
+    * distribution assumed, outlier-immune like the slope).
+    *
+    * Exactness: daily means floor(×10⁶)-quantized (derived doubles —
+    * the A37 protocol), so every sign comparison is integer-exact; S
+    * and the tie term are integers; Var(S) = [n(n−1)(2n+5) −
+    * Σt(t−1)(2t+5)]/18 stays < 2⁵³ under the day guard so its double
+    * cast is exact; z is one sqrt + one division, round-6.
+    *
+    * Scale shape: B42's coarsen-first pairwise (|days|²/2 per key,
+    * bounded by calendar span, same fail-fast guard) plus two
+    * partial-agg rollups for n and ties.
+    */
+  def mannKendall(events: DataFrame, maxDaysPerKey: Long = 4000L): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("y"))
+      .withColumn("yq", floor(col("y") * lit(1000000.0)))
+    val maxDays = daily.groupBy("event_type").count()
+      .agg(coalesce(max("count"), lit(0L)).as("m")).head.getLong(0)
+    require(maxDays <= maxDaysPerKey,
+      s"mannKendall forms |days|^2/2 sign pairs per key, quarantined to " +
+        s"<= $maxDaysPerKey daily points per key, got $maxDays; coarsen " +
+        s"to weekly means at this span, or raise maxDaysPerKey explicitly")
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        when(col("b.yq") > col("a.yq"), 1L)
+          .when(col("b.yq") < col("a.yq"), -1L).otherwise(0L).as("sgn"))
+      .groupBy("event_type").agg(sum("sgn").as("s_stat"))
+    val nTies = daily.groupBy(col("event_type").as("et"), col("yq"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("et")
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    val varNum = col("n_days") * (col("n_days") - 1) *
+      (lit(2L) * col("n_days") + 5) - col("tie_term")
+    val varD = varNum.cast("double") / 18.0
+    s.join(broadcast(nTies), col("event_type") === col("et"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        when(col("s_stat") > 0,
+          round((col("s_stat") - 1).cast("double") / sqrt(varD), 6))
+          .when(col("s_stat") < 0,
+            round((col("s_stat") + 1).cast("double") / sqrt(varD), 6))
+          .otherwise(lit(0.0)).as("mk_z"))
+  }
+
   /** B43: lag-1 autocorrelation of the daily series per key — the
     * persistence diagnostic (is tomorrow like today?) behind
     * gap-filling policy and anomaly thresholds. Daily means are

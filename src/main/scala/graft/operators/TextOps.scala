@@ -194,6 +194,33 @@ object TextOps {
           col("n_stop") >= 2L)
   }
 
+  /** C63: composite quality report — the C8 ∧ C19 ∧ C61 decision a
+    * curation pipeline actually applies, fused with a deterministic
+    * FIRST-FAILING-REASON label (fixed precedence quality →
+    * repetition → gopher) so the drop ledger is attributable: "how
+    * many docs did each gate kill" falls out of one groupBy on
+    * drop_reason. Pure composition of the three oracle-gated
+    * operators — the per-rule booleans are published alongside so
+    * the composite can never silently drift from its parts.
+    */
+  def qualityReport(documents: DataFrame): DataFrame = {
+    val q = quality(documents)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val r = repetition(documents)
+      .select(col("doc_id"), col("keep").as("keep_repetition"))
+    val g = gopherQuality(documents)
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    q.join(r, "doc_id").join(g, "doc_id")
+      .select(col("doc_id"), col("keep_quality"),
+        col("keep_repetition"), col("keep_gopher"),
+        (col("keep_quality") && col("keep_repetition")
+          && col("keep_gopher")).as("keep"),
+        when(!col("keep_quality"), "quality")
+          .when(!col("keep_repetition"), "repetition")
+          .when(!col("keep_gopher"), "gopher")
+          .otherwise("pass").as("drop_reason"))
+  }
+
   /** C20: temperature-flattened multi-source sampling — the
     * multilingual-training resampling step (alpha-sampling, α = 0.5):
     * big sources are down-sampled toward the small ones so no single
@@ -1143,7 +1170,12 @@ object TextOps {
     * mis-bucketing anywhere else fails the oracle hash.
     */
   def ccnetBucketApprox(documents: DataFrame): DataFrame = {
-    val exact = ccnetBucket(documents)
+    // the exact assignment feeds FOUR branches of the gate plan
+    // (edges, cuts, checked rows, unscored rows) and Catalyst does
+    // not CSE across joins — persist it once, released by the
+    // harness's CacheRegistry.unpersistAll (cut the gate's bench
+    // wall ~2x: the C32 scoring plan ran once per branch)
+    val exact = graft.CacheRegistry.persist(ccnetBucket(documents))
     val scoredNN = exact.filter(col("ppl").isNotNull)
     // true tercile edges from the exact assignment: max ppl in head,
     // max ppl in head∪middle

@@ -325,6 +325,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(AnalyticsOps.theilSen(events, maxDaysPerKey = 5L).count() === 2L)
   }
 
+  test("mannKendall: monotone series maxes S, constant reads 0, guard trips") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def series(vs: Seq[Double], typ: String, off: Long) = vs.zipWithIndex.map {
+      case (v, i) => (off + i,
+        new java.sql.Timestamp(ts0 + i * 86400000L), 1L, typ, v, "{}")
+    }
+    val events = (series(Seq(1, 2, 3, 4, 5), "up", 0L)       // S = C(5,2) = 10
+      ++ series(Seq(7, 7, 7, 7, 7), "flat", 100L)            // all tied: S = 0
+      ++ series(Seq(5, 4, 3, 2, 1), "down", 200L))           // S = −10
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.mannKendall(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("up")._1 === 10L)
+    // z = (S−1)/sqrt(n(n−1)(2n+5)/18) = 9/sqrt(16.667) = 2.204541
+    assert(out("up")._2 === 2.204541)
+    assert(out("down") === ((-10L, -2.204541)))
+    assert(out("flat") === ((0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      AnalyticsOps.mannKendall(events, maxDaysPerKey = 3L)
+    }
+    // corpus: one row per key; sign statistic bounded by C(n,2)
+    val ev = Tables.events(spark, sf)
+    val full = AnalyticsOps.mannKendall(ev)
+    assert(full.count() === ev.select("event_type").distinct().count())
+    assert(full.filter(abs(col("s_stat")) >
+      col("n_days") * (col("n_days") - 1) / 2).count() === 0)
+  }
+
   test("autocorr: alternating series gives exactly r1 = -1") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime

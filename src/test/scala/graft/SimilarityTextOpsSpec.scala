@@ -840,6 +840,29 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(counts.getOrElse(true, 0L) > 0L && counts.getOrElse(false, 0L) > 0L)
   }
 
+  test("qualityReport: first-failing-reason precedence; composite = AND of parts") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val rep = (1 to 40).map(_ => "dup dup").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a of $filler"),       // passes everything
+      (2L, "tiny"),                    // fails C8 (< 5 tokens) → 'quality'
+      (3L, s"the a of $rep"),          // repetitive but C8-legal → 'repetition'
+      (4L, s"the $filler"))            // 41 words, 1 stopword → 'gopher'
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getString(5)))).toMap
+    assert(out(1L) === ((true, "pass")))
+    assert(out(2L) === ((false, "quality")))
+    assert(out(3L) === ((false, "repetition")))
+    assert(out(4L) === ((false, "gopher")))
+    // corpus: composite equals the conjunction of its published parts
+    val full = TextOps.qualityReport(documents)
+    assert(full.filter(col("keep") =!= (col("keep_quality")
+      && col("keep_repetition") && col("keep_gopher"))).count() === 0)
+    assert(full.count() === documents.count())
+  }
+
   test("ccnetBucket: per-lang terciles are balanced, ordered, and total") {
     val out = TextOps.ccnetBucket(documents).cache()
     assert(out.count() === documents.count())
