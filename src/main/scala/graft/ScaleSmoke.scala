@@ -158,7 +158,19 @@ object ScaleSmoke {
       // candidates are postings sharing a term — the join must scale
       // with queries × per-term posting length, never corpus × queries
       ("bm25_growq", (d, _, _) => TextOps.bm25(d,
-        queryPred = Some(pmod(col("doc_id"), lit(10000000L)) < 5))))
+        queryPred = Some(pmod(col("doc_id"), lit(10000000L)) < 5))),
+      // exact count table grows with distinct (key, user); the sketch
+      // side stays `capacity` counters per task per key regardless
+      ("q_heavy_hitters", (_, e, _) => AnalyticsOps.heavyHitters(e)),
+      // three row-local gates + doc_id joins — map-shaped throughout
+      ("quality_report", (d, _, _) => TextOps.qualityReport(d)),
+      // corpus gram stream grows ×k on the semi-join's probe side;
+      // the benchmark side grows too (per-copy split)
+      ("ngram_coverage", (d, _, _) => DedupOps.ngramCoverage(
+        d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(20)) === 0))),
+      // one partial-agg groupBy to 2·|keys| rows — pure scan growth
+      ("q_welch", (_, e, _) => AnalyticsOps.welchDrift(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -164,6 +164,8 @@ object SparkEntry {
     // C62: the same benchmark split, audited from the benchmark's
     // side — corpus EXCLUDES the benchmark docs so coverage is earned
     // through genuine overlap, not self-matches
+    "minhash_accuracy" -> ((s, d) =>
+      DedupOps.minhashAccuracy(Tables.documents(s, d))),
     "ngram_coverage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       DedupOps.ngramCoverage(
@@ -1219,6 +1221,24 @@ object SparkEntry {
         |     WHEN NOT q61.keep_gopher THEN 'gopher'
         |     ELSE 'pass' END AS drop_reason
         |FROM q8 JOIN q19 USING (doc_id) JOIN q61 USING (doc_id)""".stripMargin,
+    // C64: exact distinct-trigram Jaccard pairs (gram strings — the
+    // C16 collision argument) with the oracle asserting the 64-perm
+    // estimator's ±0.35 band held on every pair
+    "minhash_accuracy" ->
+      """WITH t0 AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS toks FROM documents),
+        |t AS (SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [array_to_string(toks, ' ')] END) AS g FROM t0)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |round(len(list_intersect(a.g, b.g)) * 1.0
+        |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+        |  AS jaccard, TRUE AS est_ok
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) * 1.0
+        |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3""".stripMargin,
     // C62: gram strings in the oracle (hash-free semantics, identical
     // counts — C16's argument), benchmark split mirrored
     "ngram_coverage" ->

@@ -368,6 +368,57 @@ object DedupOps {
           .as("keep"))
   }
 
+  /** C64: MinHash estimator accuracy, ORACLE-GATED — the band proof
+    * that turns C2's rows-only status into a checked claim: for every
+    * same-source pair whose EXACT distinct-trigram Jaccard clears
+    * `minJaccard` (SQL-expressible — the C4 construction on the C16
+    * gram domain), the 64-perm signature estimate must land within
+    * `band` of the exact value. band = 0.35 is ≈ 5.6σ of the
+    * estimator's worst-case std √(J(1−J)/64) ≤ 0.0625, so a pass is
+    * evidence the signatures estimate what they claim, while a
+    * biased/broken signature pipeline (mis-aligned slices, a
+    * re-seeded hash) fails the oracle hash. Published columns are the
+    * exact pair + Jaccard (deterministic); the estimate itself stays
+    * out of the hash (xxhash-based — deterministic in Spark,
+    * non-reproducible in DuckDB).
+    *
+    * Scale shape: the exact side is C4's inverted-index join bounded
+    * by the source partition; the signature join-back is two
+    * |pairs|-row key joins. (The exact side is the AUDIT cost — the
+    * production path remains C2's LSH bucketing; this entry exists to
+    * certify it.)
+    */
+  def minhashAccuracy(documents: DataFrame, minJaccard: Double = 0.3,
+      band: Double = 0.35): DataFrame = {
+    val grams = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), col("source"),
+        explode(array_distinct(shingleHashes(col("text")))).as("th")))
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.source") === col("y.source") && col("x.th") === col("y.th")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val exact = inter
+      .join(counts.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("n_inter").cast("double")
+        / (col("n1") + col("n2") - col("n_inter")) >= minJaccard)
+      .select(col("id1"), col("id2"),
+        round(col("n_inter").cast("double")
+          / (col("n1") + col("n2") - col("n_inter")), 4).as("jaccard"))
+    val sigs = minhashSignatures(documents)
+    val est = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / lit(NumHashes)
+    exact
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        (abs(est - col("jaccard")) <= lit(band)).as("est_ok"))
+  }
+
   /** C62: n-gram coverage — C16's audit from the BENCHMARK's side:
     * per benchmark doc, what fraction of its DISTINCT word trigrams
     * appears anywhere in the training corpus (the eval-leakage

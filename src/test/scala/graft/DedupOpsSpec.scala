@@ -34,6 +34,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(3L)._2 === true)
   }
 
+  test("minhashAccuracy: 64-perm estimate lands in-band on every exact pair") {
+    import spark.implicits._
+    // identical docs → trigram J = 1.0 and a signature estimate of
+    // exactly 1.0; a disjoint doc forms no pair
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta", "s0"),
+      (3L, "one two three four five six seven", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.minhashAccuracy(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L)
+    assert(out.head.getDouble(2) === 1.0 && out.head.getBoolean(3))
+    // corpus: every exact pair's estimate is in-band (the oracle
+    // asserts the same; this is the local fast check)
+    val docsFull = graft.sources.Tables.documents(spark, sf)
+    val full = DedupOps.minhashAccuracy(docsFull)
+    assert(full.filter(!col("est_ok")).count() === 0)
+    assert(full.count() > 0, "accuracy gate must not be vacuous")
+  }
+
   test("ngramCoverage: per-benchmark-doc coverage against a disjoint corpus") {
     import spark.implicits._
     val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")
