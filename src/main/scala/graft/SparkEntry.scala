@@ -133,6 +133,7 @@ object SparkEntry {
     "ngram_jaccard_prefix" -> ((s, d) => DedupOps.ngramJaccardPrefix(Tables.documents(s, d), 0.5)),
     "knn_brute" -> ((s, d) => SimilarityOps.knnBrute(Tables.embeddings(s, d))),
     "knn_lsh" -> ((s, d) => SimilarityOps.knnLsh(Tables.embeddings(s, d))),
+    "knn_lsh_recall" -> ((s, d) => SimilarityOps.knnLshRecall(Tables.embeddings(s, d))),
     "knn_ivf" -> ((s, d) => SimilarityOps.knnIvf(Tables.embeddings(s, d))),
     "dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d))),
     "emb_quantize" -> ((s, d) => SimilarityOps.embQuantize(Tables.embeddings(s, d))),
@@ -991,6 +992,20 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |  ORDER BY sim DESC, c_id) AS rank FROM s)
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
+    // C65: the brute-force truth set's SIZE is the oracle's half; the
+    // recall_ok predicate (LSH found >= floor of it) must hold
+    "knn_lsh_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |  round(list_cosine_similarity(q_emb, c_emb), 3) AS sim
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY sim DESC, c_id) AS rank FROM s)
+        |SELECT count(*) AS n_truth, TRUE AS recall_ok
+        |FROM r WHERE rank <= 5""".stripMargin,
     // C15: deterministic seeds (vec_id < 16), argmax assignment with
     // the (d DESC, list_id ASC) tiebreak, top-4 probe cells per query,
     // exact cosine inside probed cells. Unrounded cosine ordering

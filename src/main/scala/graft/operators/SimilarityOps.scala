@@ -85,6 +85,28 @@ object SimilarityOps {
       .select("q_id", "rank", "c_id", "sim")
   }
 
+  /** C65: ANN recall certified against the ORACLE — the C64 pattern
+    * for the embedding family: the exact brute-force top-k (C5,
+    * SQL-expressible) is the published truth, and an in-row
+    * `recall_ok` asserts the multi-probe LSH found at least `floor`
+    * of it. The driver re-measures recall at BOTH SFs every round
+    * through the hash — a regression in planes/probing/bucketing
+    * fails CORRECTNESS, not just a local spec.
+    */
+  def knnLshRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      floor: Double = 0.7): DataFrame = {
+    val truth = knnBrute(embeddings, nQueries, k)
+    val approx = knnLsh(embeddings, nQueries, k)
+    val found = truth.join(
+      approx.select(col("q_id").as("aq"), col("c_id").as("ac")),
+      col("q_id") === col("aq") && col("c_id") === col("ac"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"),
+        (col("n_found").cast("double") >= lit(floor) * col("n_truth"))
+          .as("recall_ok"))
+  }
+
   /** Fixed random hyperplanes: plane j, dim i → ±1 from a hash bit.
     * Deterministic everywhere (no RNG at runtime).
     */
