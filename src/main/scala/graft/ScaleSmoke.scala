@@ -170,7 +170,9 @@ object ScaleSmoke {
         d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         d.filter(pmod(col("doc_id"), lit(20)) === 0))),
       // one partial-agg groupBy to 2·|keys| rows — pure scan growth
-      ("q_welch", (_, e, _) => AnalyticsOps.welchDrift(e)))
+      ("q_welch", (_, e, _) => AnalyticsOps.welchDrift(e)),
+      // B42's coarsen-first shape with an extra rollup — same bound
+      ("q_mann_kendall", (_, e, _) => AnalyticsOps.mannKendall(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -189,8 +191,16 @@ object ScaleSmoke {
     require(selectors.subsetOf(known),
       s"unknown section selector(s) ${selectors -- known}; valid: $known")
     def want(s: String): Boolean = selectors.isEmpty || selectors(s)
+    // SPARK_GRAFT_SMOKE_ONLY=a,b subsets the ops map — one operator's
+    // ratio re-measures in seconds instead of a full-map sweep (the
+    // loop that caught and then re-verified the heavy-hitters
+    // eviction fix)
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // warmup both scales once (codegen/JIT), then one timed pass each
-    val rows = (if (want("ops")) ops else Seq.empty).map { case (name, op) =>
+    val rows = (if (want("ops"))
+      ops.filter(o => only.forall(_.contains(o._1)))
+    else Seq.empty).map { case (name, op) =>
       force(op(docs0, ev0, emb0)); CacheRegistry.unpersistAll()
       force(op(docsK, evK, embK)); CacheRegistry.unpersistAll()
       val t1 = time { force(op(docs0, ev0, emb0)) }

@@ -27,11 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * item cardinality — the B10/B20 accuracy-for-bounded-memory trade
   * for the top-k question.
   *
-  * Eviction scans the counter table for the min (O(capacity), only on
-  * a miss at capacity); the classic stream-summary bucket list makes
-  * that O(1) but for the capacities this engine uses (≤ 2¹⁴) the scan
-  * is cache-resident and not the bottleneck next to the shuffle it
-  * removes.
+  * Eviction is a LAZY MIN-HEAP of (est snapshot, item): every touch
+  * pushes the counter's new est; stale snapshots (est has since
+  * grown — est is strictly increasing, so equality identifies the
+  * latest) are skipped on pop, and the heap is rebuilt whenever it
+  * outgrows 4× capacity, bounding memory and amortizing eviction to
+  * O(log capacity). The first cut scanned the whole table per
+  * eviction — "cache-resident, not the bottleneck" — and ScaleSmoke
+  * falsified that at 10×: with distinct items ≫ capacity every miss
+  * paid the O(capacity) scan and the operator measured ratio 156
+  * (0.2 s → 34.4 s). The heap rewrite is the fix the measurement
+  * demanded (same ratio-check now in the smoke suite for keeps).
   */
 case class SpaceSavingAggregate(
     child: Expression,
@@ -185,6 +191,14 @@ object SpaceSavingAggregate {
     buf
   }
 
+  /** One heap entry: the counter's est at push time. */
+  private[graftx] final class Snap(val est: Long, val item: UTF8String)
+
+  private[graftx] object SnapOrder extends java.util.Comparator[Snap] {
+    override def compare(a: Snap, b: Snap): Int =
+      java.lang.Long.compare(a.est, b.est)
+  }
+
   /** Counter table: item → [est, err]. `add` is the SpaceSaving
     * step generalized to weighted inserts so the same code path
     * serves update (weight 1) and summary merge (the entry's full
@@ -196,23 +210,59 @@ object SpaceSavingAggregate {
     */
   final class Buffer(capacity: Int) {
     private val m = new java.util.HashMap[UTF8String, Array[Long]]()
+    // lazy min-heap over (est snapshot, item). est strictly increases
+    // on every touch, so snapshot == current est ⟺ latest entry —
+    // anything else is stale and skipped on pop.
+    private val heap = new java.util.PriorityQueue[Snap](
+      math.max(16, capacity), SnapOrder)
+
+    private def push(k: UTF8String, est: Long): Unit = {
+      heap.offer(new Snap(est, k))
+      if (heap.size > 4 * capacity + 64) rebuild()
+    }
+
+    private def rebuild(): Unit = {
+      heap.clear()
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        heap.offer(new Snap(en.getValue()(0), en.getKey))
+      }
+    }
+
+    /** Remove and return the min-est counter (skipping stale heap
+      * snapshots); the map is authoritative.
+      */
+    private def evictMin(): Array[Long] = {
+      while (true) {
+        val top = heap.poll()
+        if (top == null) { // only if every snapshot went stale: rebuild
+          rebuild()
+        } else {
+          val cur = m.get(top.item)
+          if (cur != null && cur(0) == top.est) {
+            m.remove(top.item)
+            return cur
+          }
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
 
     def add(k: UTF8String, est: Long, err: Long): Unit = {
       val cur = m.get(k)
-      if (cur != null) { cur(0) += est; cur(1) += err }
-      else if (m.size < capacity) m.put(k.clone(), Array(est, err))
-      else {
-        var minK: UTF8String = null
-        var minV: Array[Long] = null
-        val it = m.entrySet().iterator()
-        while (it.hasNext) {
-          val en = it.next()
-          if (minV == null || en.getValue()(0) < minV(0)) {
-            minK = en.getKey; minV = en.getValue
-          }
-        }
-        m.remove(minK)
-        m.put(k.clone(), Array(est + minV(0), err + minV(0)))
+      if (cur != null) {
+        cur(0) += est; cur(1) += err
+        push(k, cur(0))
+      } else if (m.size < capacity) {
+        val kc = k.clone()
+        m.put(kc, Array(est, err))
+        push(kc, est)
+      } else {
+        val minV = evictMin()
+        val kc = k.clone()
+        m.put(kc, Array(est + minV(0), err + minV(0)))
+        push(kc, est + minV(0))
       }
     }
 
