@@ -172,7 +172,20 @@ object ScaleSmoke {
       // one partial-agg groupBy to 2·|keys| rows — pure scan growth
       ("q_welch", (_, e, _) => AnalyticsOps.welchDrift(e)),
       // B42's coarsen-first shape with an extra rollup — same bound
-      ("q_mann_kendall", (_, e, _) => AnalyticsOps.mannKendall(e)))
+      ("q_mann_kendall", (_, e, _) => AnalyticsOps.mannKendall(e)),
+      // two rank windows (per-key sort) + one partial agg — the exact
+      // semantics' cost class; growth should track the sort
+      ("q_spearman", (_, e, _) => AnalyticsOps.spearman(e)),
+      // margins + R×C broadcast grid — pure scan growth
+      ("q_chisq", (_, e, _) => AnalyticsOps.chiSquare(e)),
+      // one rank window + one time window + one partial agg
+      ("q_runs_test", (_, e, _) => AnalyticsOps.runsTest(e)),
+      // Gram shuffle is d² rows at ANY corpus size; growth must be
+      // the posexplode scan only
+      ("emb_pca", (_, _, m) => SimilarityOps.embPca(m)),
+      // binned calibration: the exact pair join is the audit cost —
+      // quadratic in same-source postings, the documented quarantine
+      ("simhash_accuracy", (d, _, _) => DedupOps.simhashAccuracy(d)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

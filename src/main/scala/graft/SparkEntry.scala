@@ -311,6 +311,14 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => AnalyticsOps.heavyHitters(Tables.events(s, d))),
     "q_welch" -> ((s, d) => AnalyticsOps.welchDrift(Tables.events(s, d))),
     "q_mann_kendall" -> ((s, d) => AnalyticsOps.mannKendall(Tables.events(s, d))),
+    "q_spearman" -> ((s, d) => AnalyticsOps.spearman(Tables.events(s, d))),
+    "q_chisq" -> ((s, d) => AnalyticsOps.chiSquare(Tables.events(s, d))),
+    "q_runs_test" -> ((s, d) => AnalyticsOps.runsTest(Tables.events(s, d))),
+    "knn_graph_recall" -> ((s, d) =>
+      SimilarityOps.knnGraphRecall(Tables.embeddings(s, d))),
+    "simhash_accuracy" -> ((s, d) =>
+      DedupOps.simhashAccuracy(Tables.documents(s, d))),
+    "emb_pca" -> ((s, d) => SimilarityOps.embPca(Tables.embeddings(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -2547,6 +2555,164 @@ object SparkEntry {
         |    / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
         |       + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) END AS dof
         |FROM z""".stripMargin,
+    // B50: tie-corrected Spearman — integer 2·avg-rank domain
+    // (2·min_rank + |ties| − 1), HUGEINT co-moments, one fixed double
+    // chain, round-6
+    "q_spearman" ->
+      """WITH r AS (SELECT event_type,
+        |  2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |    + count(*) OVER (PARTITION BY event_type, value) - 1 AS ra,
+        |  2 * rank() OVER (PARTITION BY event_type ORDER BY user_id)
+        |    + count(*) OVER (PARTITION BY event_type, user_id) - 1 AS rb
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(ra AS HUGEINT)) AS sa, sum(CAST(rb AS HUGEINT)) AS sb,
+        |  sum(CAST(ra AS HUGEINT) * rb) AS sab,
+        |  sum(CAST(ra AS HUGEINT) * ra) AS saa,
+        |  sum(CAST(rb AS HUGEINT) * rb) AS sbb
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0.0
+        |  AND CAST(n * sbb - sb * sb AS DOUBLE) > 0.0
+        |  THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+        |    / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+        |       * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+        |END AS spearman
+        |FROM a""".stripMargin,
+    // B51: full R×C grid including EMPTY cells, per-cell (O−E)²/E
+    // floor-quantized ×10⁶ into an exact integer sum (order-
+    // independent), one unquantize division
+    "q_chisq" ->
+      """WITH obs AS (SELECT event_type, user_id % 4 AS cohort,
+        |  count(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |  FROM obs GROUP BY 1),
+        |ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1),
+        |tt AS (SELECT (SELECT count(*) FROM rt) AS n_rows,
+        |  (SELECT count(*) FROM ct) AS n_cols,
+        |  (SELECT CAST(sum(r) AS BIGINT) FROM rt) AS n),
+        |grid AS (SELECT rt.event_type, ct.cohort, rt.r, ct.c,
+        |  coalesce(obs.o, 0) AS o, tt.n, tt.n_rows, tt.n_cols
+        |  FROM rt CROSS JOIN ct CROSS JOIN tt
+        |  LEFT JOIN obs ON obs.event_type = rt.event_type
+        |    AND obs.cohort = ct.cohort),
+        |terms AS (SELECT n, n_rows, n_cols,
+        |  CAST(floor((CAST(o AS DOUBLE)
+        |      - CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE)
+        |      - CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(CAST(r AS HUGEINT) * c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000.0) AS HUGEINT) AS tq
+        |  FROM grid)
+        |SELECT max(n) AS n,
+        |  (max(n_rows) - 1) * (max(n_cols) - 1) AS dof,
+        |  CAST(sum(tq) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM terms""".stripMargin,
+    // B52: runs around the SELECTED median (sum of the two middle
+    // ×10⁶-quantized order statistics — never interpolated), exact
+    // integer run counts, the normal-approximation z round-6
+    "q_runs_test" ->
+      """WITH b AS (SELECT event_type, event_id, ts,
+        |  CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS y6
+        |  FROM events),
+        |r AS (SELECT event_type, y6,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY y6, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS nk FROM b),
+        |m AS (SELECT event_type,
+        |  sum(CASE WHEN rn = (nk + 1) // 2 THEN y6 ELSE 0 END)
+        |  + sum(CASE WHEN rn = (nk + 2) // 2 THEN y6 ELSE 0 END) AS med2
+        |  FROM r GROUP BY 1),
+        |s AS (SELECT b.event_type, b.ts, b.event_id,
+        |  CASE WHEN b.y6 * 2 > m.med2 THEN 1 ELSE -1 END AS sgn
+        |  FROM b JOIN m USING (event_type) WHERE b.y6 * 2 <> m.med2),
+        |c AS (SELECT event_type, sgn,
+        |  CASE WHEN lag(sgn) OVER w IS NULL
+        |    OR lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS chg
+        |  FROM s WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_plus,
+        |  CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_minus,
+        |  CAST(sum(chg) AS BIGINT) AS n_runs FROM c GROUP BY 1),
+        |z AS (SELECT event_type, n_plus, n_minus, n_runs,
+        |  CAST(n_plus + n_minus AS DOUBLE) AS n,
+        |  2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE)
+        |    / CAST(n_plus + n_minus AS DOUBLE) AS a
+        |  FROM g)
+        |SELECT event_type, n_plus, n_minus, n_runs,
+        |CASE WHEN n_plus > 0 AND n_minus > 0 AND n > 2.0
+        |  AND a * (a - 1.0) / (n - 1.0) > 0.0
+        |  THEN round((CAST(n_runs AS DOUBLE) - (a + 1.0))
+        |    / sqrt(a * (a - 1.0) / (n - 1.0)), 6)
+        |END AS z_runs
+        |FROM z""".stripMargin,
+    // C66: the probe draw's exact top-k count is the oracle's half;
+    // recall_ok (graph carries >= floor of those edges) must hold
+    "knn_graph_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |  round(list_cosine_similarity(q_emb, c_emb), 3) AS sim
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY sim DESC, c_id) AS rank FROM s)
+        |SELECT count(*) AS n_truth, TRUE AS recall_ok
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // C67: exact tf-cosine per same-source pair (BIGINT dot/norms²,
+    // one fixed double chain, round-4), binned ×10; per-bin pair
+    // count + quantize-sum mean cosine are exact, and cal_ok (the
+    // simhash bin-mean landed within the calibration band) must hold
+    "simhash_accuracy" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS toks FROM documents),
+        |tf AS (SELECT doc_id, source, tok, count(*) AS c FROM
+        |  (SELECT doc_id, source, unnest(toks) AS tok FROM t)
+        |  GROUP BY 1, 2, 3),
+        |nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nsq
+        |  FROM tf GROUP BY 1),
+        |d AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.source = b.source AND a.tok = b.tok
+        |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |x AS (SELECT round(CAST(dot AS DOUBLE)
+        |  / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))),
+        |  4) AS cosine
+        |  FROM d JOIN nrm n1 ON n1.doc_id = d.id1
+        |  JOIN nrm n2 ON n2.doc_id = d.id2),
+        |b AS (SELECT CAST(floor(cosine * 10) AS BIGINT) AS bin,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(floor(cosine * 10000 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / (count(*) * 10000.0) AS mean_cosine
+        |  FROM x WHERE cosine >= 0.3 GROUP BY 1)
+        |SELECT bin, n_pairs, mean_cosine, TRUE AS cal_ok
+        |FROM b WHERE n_pairs >= 50""".stripMargin,
+    // C68: the two-step power iteration unrolled — HUGEINT Gram and
+    // mat-vec sums mirror Spark's DECIMAL(38,0) exactly; the exact x2
+    // publishes as a plain-integer string, the ratio round-6
+    "emb_pca" ->
+      """WITH q AS (SELECT vec_id,
+        |  generate_subscripts(embedding, 1) - 1 AS pos,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+        |    AS HUGEINT) AS qv
+        |  FROM embeddings),
+        |g AS (SELECT a.pos AS i, b.pos AS j, sum(a.qv * b.qv) AS gv
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |x1 AS (SELECT i AS pos, sum(gv) AS x1 FROM g GROUP BY 1),
+        |x2 AS (SELECT g.i AS pos, sum(g.gv * x1.x1) AS x2 FROM g
+        |  JOIN x1 ON x1.pos = g.j GROUP BY 1),
+        |ref AS (SELECT x2 AS refv FROM x2 ORDER BY abs(x2) DESC, pos
+        |  LIMIT 1)
+        |SELECT CAST(x2.pos AS BIGINT) AS pos, CAST(x2.x2 AS VARCHAR) AS x2,
+        |  round(CAST(x2.x2 AS DOUBLE) / CAST(ref.refv AS DOUBLE), 6)
+        |    AS ratio
+        |FROM x2 CROSS JOIN ref""".stripMargin,
     // B47: exact top-k heavy hitters published; the oracle asserts the
     // SpaceSaving sketch's est/err bracket held on every row
     "q_heavy_hitters" ->

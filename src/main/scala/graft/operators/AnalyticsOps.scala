@@ -1147,6 +1147,158 @@ object AnalyticsOps {
       when(ok, round(dof, 6)).as("dof"))
   }
 
+  /** B50: Spearman rank correlation per key — the monotone-
+    * association screen beside B17's Pearson (a nonlinear but
+    * monotone coupling scores ~1 here while Pearson under-reads it;
+    * one wild outlier moves Pearson arbitrarily but shifts ranks by
+    * one). Tie-corrected exactly: Pearson over AVERAGE ranks, carried
+    * as the integer 2·avg_rank = 2·min_rank + |ties| − 1 so the rank
+    * domain is integer-exact (scaling cancels in the correlation).
+    *
+    * Determinism: rank co-moments accumulate in DECIMAL(38,0) (ranks
+    * ≤ 2n ⇒ Σr² ≤ 4n³, inside decimal up to n ≈ 10¹¹ per key; past
+    * that the normalized-double A38 form applies), the correlation is
+    * one fixed double chain on three exact casts, published round-6.
+    *
+    * Scale shape: two rank windows per key (the exact semantics — a
+    * per-key sort, same cost class as B15's exact percentiles; the
+    * documented 100 TB swap is binned average ranks from an
+    * approx-percentile CDF, the B20 pattern), then ONE partial-agg
+    * groupBy to |keys| rows.
+    */
+  def spearman(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val wv = Window.partitionBy("event_type").orderBy("value")
+    val wu = Window.partitionBy("event_type").orderBy("user_id")
+    val ranked = events.select(col("event_type"),
+      (rank().over(wv) * 2
+        + count(lit(1)).over(Window.partitionBy("event_type", "value"))
+        - 1).cast(I).as("ra"),
+      (rank().over(wu) * 2
+        + count(lit(1)).over(Window.partitionBy("event_type", "user_id"))
+        - 1).cast(I).as("rb"))
+    val g = ranked.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+      sum(col("ra") * col("rb")).as("sab"),
+      sum(col("ra") * col("ra")).as("saa"),
+      sum(col("rb") * col("rb")).as("sbb"))
+    val nI = col("n").cast(I)
+    val num = (nI * col("sab") - col("sa") * col("sb")).cast("double")
+    val da = (nI * col("saa") - col("sa") * col("sa")).cast("double")
+    val db = (nI * col("sbb") - col("sb") * col("sb")).cast("double")
+    g.select(col("event_type"), col("n"),
+      when(da > 0.0 && db > 0.0, round(num / (sqrt(da) * sqrt(db)), 6))
+        .as("spearman"))
+  }
+
+  /** B51: χ² test of independence between the key and a derived
+    * cohort (user_id mod nCohorts — deterministic, SQL-expressible;
+    * production passes any second categorical) — does event mix
+    * differ by cohort? The categorical counterpart to B48's level
+    * test and B44's shape test.
+    *
+    * Exactness: observed counts and margins are integers; the full
+    * R×C grid INCLUDING empty cells is built from the margin tables
+    * (an absent combination still contributes its expected count —
+    * dropping it understates χ²); each cell term (O−E)²/E is a fixed
+    * double chain, then floor-quantized ×10⁶ into DECIMAL(38,0) so
+    * the cross-cell sum is order-independent (the C32 protocol; floor
+    * not round — DuckDB's double→DECIMAL cast truncates), one
+    * unquantize division at publish.
+    *
+    * Scale shape: one partial-agg groupBy to R·C cells, two margin
+    * rollups of that, a broadcast grid join — the event stream is
+    * read once and never re-shuffled.
+    */
+  def chiSquare(events: DataFrame, nCohorts: Int = 4): DataFrame = {
+    val I = DecimalType(38, 0)
+    val obs = events
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(nCohorts))
+        .as("cohort"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val colT = obs.groupBy("cohort").agg(sum("o").as("c"))
+    val tot = rowT.agg(count(lit(1)).as("n_rows"), sum("r").as("n"))
+      .crossJoin(broadcast(colT.agg(count(lit(1)).as("n_cols"))))
+    val grid = rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("event_type", "cohort"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+    val e = (col("r").cast(I) * col("c").cast(I)).cast("double") /
+      col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    grid.agg(
+        sum(floor(term * lit(1000000.0)).cast(I)).as("chi_q"),
+        max(col("n")).as("n"), max(col("n_rows")).as("n_rows"),
+        max(col("n_cols")).as("n_cols"))
+      .select(col("n"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        (col("chi_q").cast("double") / lit(1000000.0)).as("chi2"))
+  }
+
+  /** B52: Wald–Wolfowitz runs test per key — the serial-randomness
+    * screen the trend family doesn't cover (B42/B49 detect monotone
+    * drift; a REGIME OSCILLATION has zero trend but far fewer
+    * median-crossing runs than chance): values dichotomize against
+    * the per-key MEDIAN, runs of equal sign are counted over event
+    * time, and the normal approximation z = (R−μ)/σ with
+    * μ = 2n₊n₋/n + 1, σ² = (μ−1)(μ−2)/(n−1) flags too-few (regimes)
+    * or too-many (negative autocorrelation) runs.
+    *
+    * Exactness: the median is selected, not interpolated — the
+    * ×10⁶-quantized integer domain (A37 protocol) carries
+    * median2 = the SUM of the two middle order statistics, so the
+    * even-n midpoint never divides and sign = (2·y6 ⋛ median2) is an
+    * integer comparison; exact-median values drop (the classical
+    * rule). Run boundaries come from one lag over the event-time
+    * order; n₊/n₋/R are integers and z is a fixed double chain on
+    * them, round-6.
+    *
+    * Scale shape: one rank window for the median (exact-percentile
+    * cost class; the B20 sketch-median swap applies at 100 TB), a
+    * broadcast |keys|-row join-back, one time-order window, one
+    * partial-agg groupBy.
+    */
+  def runsTest(events: DataFrame): DataFrame = {
+    val y6 = (col("value").cast(DecimalType(20, 6)) * lit(1000000))
+      .cast("long")
+    val base = events.select(col("event_type"), col("event_id"), col("ts"),
+      y6.as("y6"))
+    val wOrd = Window.partitionBy("event_type").orderBy("y6", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    val med = base
+      .select(col("event_type"), col("y6"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("nk"))
+      .withColumn("lo", expr("(nk + 1) DIV 2"))
+      .withColumn("hi", expr("(nk + 2) DIV 2"))
+      .groupBy("event_type")
+      .agg((sum(when(col("rn") === col("lo"), col("y6")).otherwise(0L))
+        + sum(when(col("rn") === col("hi"), col("y6")).otherwise(0L)))
+        .as("med2"))
+    val wT = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val signed = base.join(broadcast(med), "event_type")
+      .filter(col("y6") * 2 =!= col("med2"))
+      .withColumn("sgn", when(col("y6") * 2 > col("med2"), 1).otherwise(-1))
+      .withColumn("chg",
+        when(lag("sgn", 1).over(wT).isNull
+          || lag("sgn", 1).over(wT) =!= col("sgn"), 1L).otherwise(0L))
+    val g = signed.groupBy("event_type").agg(
+      sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_minus"),
+      sum("chg").as("n_runs"))
+    val n = (col("n_plus") + col("n_minus")).cast("double")
+    val a = lit(2.0) * col("n_plus").cast("double") *
+      col("n_minus").cast("double") / n
+    val mu = a + lit(1.0)
+    val vr = a * (a - lit(1.0)) / (n - lit(1.0))
+    val ok = col("n_plus") > 0 && col("n_minus") > 0 && n > 2.0 && vr > 0.0
+    g.select(col("event_type"), col("n_plus"), col("n_minus"), col("n_runs"),
+      when(ok, round((col("n_runs").cast("double") - mu) / sqrt(vr), 6))
+        .as("z_runs"))
+  }
+
   /** B36: one-pass column profiler — per-column presence, null count,
     * exact distinct count, min/max — the data-quality summary every
     * ingest step should emit before a mart build (the reference

@@ -397,9 +397,19 @@ object SimilarityOps {
     * — costing one count() job; per-table fan-in then stays
     * ≈ n·targetBucketSize, linear in n. Pass an explicit numPlanes to
     * skip the count when the corpus size is known.
+    *
+    * Defaults sized by MEASURED recall on the near-random test corpus
+    * (C66 re-measures them through the oracle every round): at
+    * n = 5000, 4 tables × bucket 64 carried only 0.33 of the exact
+    * top-5 edges — a graph not worth building — while 12 × 256
+    * carries 0.95 at ~15M candidate scores (vs 12.5M for the exact
+    * all-pairs at that n; the linear-in-n candidate budget is what
+    * the bucketing buys, the defaults spend it on recall). Clustered
+    * real-world embeddings reach the same recall far cheaper — tune
+    * numTables/targetBucketSize down as the C66 gate allows.
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, numPlanes: Int = 0,
-      numTables: Int = 4, targetBucketSize: Int = 64): DataFrame = {
+      numTables: Int = 12, targetBucketSize: Int = 256): DataFrame = {
     val P =
       if (numPlanes > 0) numPlanes
       else {
@@ -454,6 +464,114 @@ object SimilarityOps {
       .select(col("src"), lit(0L).as("rank"),
         lit(null).cast("long").as("nbr"), lit(null).cast("double").as("sim"))
     edges.unionByName(isolated)
+  }
+
+  /** C66: the C65 certification for the kNN GRAPH — the exact top-k
+    * of a deterministic probe draw (vec_id % probeMod == 0, SQL-
+    * expressible) is the oracle's half, and the in-row `recall_ok`
+    * asserts C36's LSH-bucketed graph carries at least `floor` of
+    * those edges. This turns the graph's recall from a local spec
+    * floor into a claim the driver RE-MEASURES at both SFs every
+    * round through the hash — a regression in the auto-derived plane
+    * count, table count, or bucket join fails CORRECTNESS, not just
+    * the test suite.
+    *
+    * Scale shape: the exact side is probe(broadcast) × corpus — an
+    * O(n²/probeMod) AUDIT quarantined behind the C5 guard (production
+    * recall monitoring keeps the same probe-draw trick: score 1/1000
+    * of nodes exactly, not the corpus); the graph side is C36
+    * unchanged plus one left-semi join on the edge key.
+    */
+  def knnGraphRecall(embeddings: DataFrame, k: Int = 5,
+      probeMod: Int = 10, floor: Double = 0.8,
+      maxExactRows: Long = 100000L): DataFrame = {
+    requireAuditSized(embeddings, maxExactRows, "knnGraphRecall (C66)",
+      "a larger probeMod (the probe draw IS the scale dial)")
+    val probes = embeddings
+      .filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+    val corpus = embeddings
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
+    val scored = corpus
+      .join(broadcast(probes), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("q_emb"), col("c_emb"))
+          / (col("q_norm") * col("c_norm")), 3).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val g = knnGraph(embeddings, k)
+      .filter(col("rank") >= 1 && pmod(col("src"), lit(probeMod)) === 0)
+      .select(col("src").as("aq"), col("nbr").as("ac"))
+    val found = truth.join(g,
+      col("q_id") === col("aq") && col("c_id") === col("ac"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"),
+        (col("n_found").cast("double") >= lit(floor) * col("n_truth"))
+          .as("recall_ok"))
+  }
+
+  /** C68: top principal direction of the embedding corpus — the
+    * spectral summary curation uses for drift detection (has the
+    * dominant direction moved between crawls?), whitening decisions,
+    * and the "is there a rogue axis?" audit before ANN indexing
+    * (a near-rank-1 corpus breaks hyperplane LSH). Computed as a
+    * TWO-STEP POWER ITERATION from the all-ones start vector on the
+    * corpus Gram matrix — a fixed, oracle-unrollable recipe (the C54
+    * "statically unrolled rounds" convention; a production loop
+    * iterates to convergence with per-round normalization in double).
+    *
+    * Exactness: components quantize ×2²⁰ (C30's exact cast), the Gram
+    * matrix G[i,j] = Σ_v q_i·q_j accumulates in DECIMAL(38,0), and
+    * both mat-vec products stay in decimal — x₂ = G·(G·1) is an EXACT
+    * integer vector published as-is (decimal column in the hash; no
+    * doubles, no rounding protocol). The readable `ratio` column
+    * (x₂ᵢ/x₂_ref, ref = the largest-|·| component, ties to min pos)
+    * is one double division of two exact casts, round-6 (x₂ exceeds
+    * 2⁵³, so the quotient carries the A38 one-ulp caveat — hence
+    * round-6 AND the exact decimal beside it). Magnitude budget:
+    * |q| ≤ 2²⁰, |G| ≤ n·2⁴⁰, |x₂| ≤ d²·n²·2⁸⁰ ≈ 10³⁵ at d = 64,
+    * n = 10⁴ — inside DECIMAL(38,0); corpora past ~10⁵ vectors run
+    * the documented normalized-double production form (per-round
+    * rescale, A38 round-6 co-moments).
+    *
+    * Scale shape: the Gram build is a posexplode + per-vector d²
+    * pair fan-out collapsed by a partial-aggregated (i, j) groupBy —
+    * the shuffle carries d² rows TOTAL regardless of corpus size
+    * (the distributed Gram pattern); both mat-vec steps are d²-row
+    * joins against broadcast d-row vectors.
+    */
+  def embPca(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    val q = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1048576.0)).cast(I).as("qv"))
+    val gram = q.as("a").join(q.as("b"), "vec_id")
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg(sum(col("a.qv") * col("b.qv")).as("g"))
+    val x1 = gram.groupBy(col("i").as("pos")).agg(sum(col("g")).as("x1"))
+    val x2 = gram
+      .join(broadcast(x1.select(col("pos").as("j"), col("x1"))), "j")
+      .groupBy(col("i").as("pos"))
+      .agg(sum(col("g") * col("x1")).as("x2"))
+    val ref = x2.agg(max(struct(abs(col("x2")).as("mag"),
+      negate(col("pos")).as("np"), col("x2").as("refv"))).as("m"))
+      .select(col("m.refv").as("refv"))
+    // x2 publishes as a STRING: the exact integer survives the hash
+    // compare verbatim in both engines (a raw DECIMAL(38,0) column
+    // round-trips as decimal.Decimal on one side and HUGEINT→float on
+    // the other in the driver's pandas compare), and the readable
+    // round-6 ratio sits beside it.
+    x2.crossJoin(broadcast(ref))
+      .select(col("pos"), col("x2").cast("string").as("x2"),
+        round(col("x2").cast("double") / col("refv").cast("double"), 6)
+          .as("ratio"))
   }
 
   /** C30: per-label centroid vectors in long form (label, pos, mean) —

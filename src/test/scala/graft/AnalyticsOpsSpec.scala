@@ -574,4 +574,80 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.filter(abs(col("s_at_cp")) =!= col("max_abs_s"))
       .count() === 0)
   }
+
+  test("spearman: tie-corrected hand case, monotone nonlinear = 1, corpus bounded") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(rows: Seq[(Long, Double)], key: String) = rows.map { case (u, v) =>
+      (u, new java.sql.Timestamp(ts0 + u * 1000L), u, key, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // x = [1,2,2,3] vs y = [1,2,3,4]: avg-rank Pearson = 72/√(72·80)
+    val tied = AnalyticsOps.spearman(
+      ev(Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0)), "a")).head()
+    assert(tied.getAs[Double]("spearman") === 0.948683)
+    // a cubic is monotone: Spearman reads exactly 1 where Pearson < 1
+    val cubic = ev((1L to 8L).map(u => (u, (u * u * u).toDouble)), "a")
+    assert(AnalyticsOps.spearman(cubic).head().getAs[Double]("spearman")
+      === 1.0)
+    val pearson = AnalyticsOps.correlation(cubic).head()
+      .getAs[Double]("corr_value_user")
+    assert(pearson < 1.0)
+    // corpus: one row per key, |rho| <= 1
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.spearman(events)
+    assert(out.count() === events.select("event_type").distinct().count())
+    assert(out.filter(abs(col("spearman")) > 1.0).count() === 0)
+  }
+
+  test("chiSquare: zero on a uniform grid, n·φ² on perfect association") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex.map {
+      case ((u, k), i) =>
+        (i.toLong, new java.sql.Timestamp(ts0 + i * 1000L), u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // every (type, cohort) cell count 1 → independence exactly
+    val uni = AnalyticsOps.chiSquare(
+      ev(for (k <- Seq("a", "b"); u <- 0L to 3L) yield (u, k))).head()
+    assert(uni.getAs[Long]("n") === 8L)
+    assert(uni.getAs[Long]("dof") === 3L)
+    assert(uni.getAs[Double]("chi2") === 0.0)
+    // perfect 2×2 association: χ² = n (φ² = 1), EMPTY cells included
+    val dep = AnalyticsOps.chiSquare(
+      ev(Seq((0L, "a"), (4L, "a"), (1L, "b"), (5L, "b")))).head()
+    assert(dep.getAs[Long]("dof") === 1L)
+    assert(dep.getAs[Double]("chi2") === 4.0)
+    // corpus: χ² >= 0 and dof matches the margins
+    val r = AnalyticsOps.chiSquare(Tables.events(spark, sf)).head()
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("dof") > 0L)
+  }
+
+  test("runsTest: closed-form z on alternating and regime series; median ties drop") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new java.sql.Timestamp(ts0 + i * 1000L), 1L, "a", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // strict alternation: R = 6, μ = 4, σ² = 1.2 → z = 2/√1.2
+    val alt = AnalyticsOps.runsTest(
+      ev(Seq(1.0, 9.0, 1.0, 9.0, 1.0, 9.0))).head()
+    assert(alt.getAs[Long]("n_runs") === 6L)
+    assert(alt.getAs[Double]("z_runs") === 1.825742)
+    // two regimes: R = 2 → the mirrored z
+    val blk = AnalyticsOps.runsTest(
+      ev(Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0))).head()
+    assert(blk.getAs[Long]("n_runs") === 2L)
+    assert(blk.getAs[Double]("z_runs") === -1.825742)
+    // an exact-median value drops; the degenerate remainder nulls z
+    val med = AnalyticsOps.runsTest(ev(Seq(1.0, 5.0, 9.0))).head()
+    assert(med.getAs[Long]("n_plus") === 1L)
+    assert(med.getAs[Long]("n_minus") === 1L)
+    assert(med.isNullAt(med.fieldIndex("z_runs")))
+    // corpus: runs bounded by sign counts + 1
+    val out = AnalyticsOps.runsTest(Tables.events(spark, sf))
+    assert(out.filter(col("n_runs") >
+      col("n_plus") + col("n_minus")).count() === 0)
+    assert(out.filter(col("n_runs") < 1).count() === 0)
+  }
 }

@@ -477,14 +477,17 @@ class SimilarityTextOpsSpec extends SparkSpec {
   }
 
   test("knnGraph auto-derives planes from target bucket occupancy") {
-    // n=500, target 64 → ⌈log2(500/64)⌉ = 3 planes; the auto path must
-    // produce exactly the explicit-3-planes graph
+    // the auto path must produce exactly the graph of the explicit
+    // ⌈log2(n/targetBucketSize)⌉ plane count (clamped to [1, 24])
+    val n = embeddings.count()
+    val expected = math.max(1, math.min(24,
+      math.ceil(math.log(n.toDouble / 256) / math.log(2.0)).toInt))
     val auto = SimilarityOps.knnGraph(embeddings)
     graft.CacheRegistry.unpersistAll()
-    val explicit3 = SimilarityOps.knnGraph(embeddings, numPlanes = 3)
+    val explicitP = SimilarityOps.knnGraph(embeddings, numPlanes = expected)
     graft.CacheRegistry.unpersistAll()
-    assert(auto.exceptAll(explicit3).count() === 0)
-    assert(explicit3.exceptAll(auto).count() === 0)
+    assert(auto.exceptAll(explicitP).count() === 0)
+    assert(explicitP.exceptAll(auto).count() === 0)
   }
 
   test("urlDomains finds every injected URL under its derived domain") {
@@ -900,5 +903,65 @@ class SimilarityTextOpsSpec extends SparkSpec {
       assert(out.drop("approx_ok").except(exact).isEmpty
         && exact.except(out.drop("approx_ok")).isEmpty)
     } finally out.unpersist()
+  }
+
+  test("knnGraphRecall: probe-set recall clears the floor; guard quarantines") {
+    val r = SimilarityOps.knnGraphRecall(embeddings).head()
+    val nProbes = embeddings
+      .filter(pmod(col("vec_id"), lit(10)) === 0).count()
+    assert(r.getAs[Long]("n_truth") === nProbes * 5)
+    assert(r.getAs[Boolean]("recall_ok"),
+      "kNN graph lost the exact probe edges it is certified to carry")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.knnGraphRecall(embeddings, maxExactRows = 3L).count()
+    }
+  }
+
+  test("embPca: closed-form rank-1 corpus; corpus ratios normalized") {
+    import spark.implicits._
+    // three colinear vectors on axis 0: G = diag(3·2^40, 0),
+    // x2 = G·(G·1) = (9·2^80, 0) exactly
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.embPca(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got(0L) === (("10880332376531662572355584", 1.0)))
+    assert(got(1L) === (("0", 0.0)))
+    // corpus: one row per dim, the reference component is exactly 1,
+    // every ratio is within [-1, 1] by construction of the argmax
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    val out = SimilarityOps.embPca(embeddings).cache()
+    try {
+      assert(out.count() === dims)
+      assert(out.filter(col("ratio") === 1.0).count() >= 1)
+      assert(out.filter(abs(col("ratio")) > 1.0).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("simhashAccuracy: identical docs calibrate at 1.0; corpus bins hold, non-vacuous") {
+    import spark.implicits._
+    val twins = Seq(
+      (1L, "alpha beta gamma delta epsilon", "web"),
+      (2L, "alpha beta gamma delta epsilon", "web"),
+      (3L, "totally different words here now", "web"))
+      .toDF("doc_id", "text", "source")
+    // one identical pair: cosine 1.0 → bin 10, hamming 0 → est 1.0,
+    // so the bin mean is exactly calibrated
+    val rows = graft.operators.DedupOps
+      .simhashAccuracy(twins, minPairs = 1L).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("bin") === 10L)
+    assert(rows.head.getAs[Long]("n_pairs") === 1L)
+    assert(rows.head.getAs[Double]("mean_cosine") === 1.0)
+    assert(rows.head.getAs[Boolean]("cal_ok"))
+    // corpus: the bin set the oracle gates is non-empty and every
+    // bin mean lands inside the calibration band
+    val corpus = graft.operators.DedupOps.simhashAccuracy(documents).cache()
+    try {
+      assert(corpus.count() > 0, "certification bin set is vacuous")
+      assert(corpus.filter(!col("cal_ok")).count() === 0,
+        "a simhash bin mean left the band — signature pipeline broken")
+    } finally corpus.unpersist()
   }
 }
