@@ -185,7 +185,9 @@ object ScaleSmoke {
       ("emb_pca", (_, _, m) => SimilarityOps.embPca(m)),
       // binned calibration: the exact pair join is the audit cost —
       // quadratic in same-source postings, the documented quarantine
-      ("simhash_accuracy", (d, _, _) => DedupOps.simhashAccuracy(d)))
+      ("simhash_accuracy", (d, _, _) => DedupOps.simhashAccuracy(d)),
+      // (source, tok) partial agg + vocab-key join — scan growth only
+      ("corpus_divergence", (d, _, _) => TextOps.corpusDivergence(d)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -319,6 +319,8 @@ object SparkEntry {
     "simhash_accuracy" -> ((s, d) =>
       DedupOps.simhashAccuracy(Tables.documents(s, d))),
     "emb_pca" -> ((s, d) => SimilarityOps.embPca(Tables.embeddings(s, d))),
+    "corpus_divergence" -> ((s, d) =>
+      TextOps.corpusDivergence(Tables.documents(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -2713,6 +2715,37 @@ object SparkEntry {
         |  round(CAST(x2.x2 AS DOUBLE) / CAST(ref.refv AS DOUBLE), 6)
         |    AS ratio
         |FROM x2 CROSS JOIN ref""".stripMargin,
+    // C69: per-source JSD vs the corpus unigram distribution — exact
+    // integer counts, C32's DECIMAL(38,18) quantized log terms
+    // (order-independent sum), the absent-token mass closed-form via
+    // one integer sum, round-4 publish
+    "corpus_divergence" ->
+      """WITH tk AS (SELECT source, unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS c_st FROM tk GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+        |  FROM st GROUP BY 1),
+        |t AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+        |  FROM st GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_corpus FROM s),
+        |j AS (SELECT st.source, s.n_s, n.n_corpus, st.c_st, t.c_t,
+        |  CAST(st.c_st AS DOUBLE) / CAST(s.n_s AS DOUBLE) AS p,
+        |  CAST(t.c_t AS DOUBLE) / CAST(n.n_corpus AS DOUBLE) AS q
+        |  FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n),
+        |terms AS (SELECT source, n_s, n_corpus, c_t,
+        |  CAST(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0))
+        |    AS DECIMAL(38,18)) AS term
+        |  FROM j),
+        |a AS (SELECT source, max(n_s) AS n_tokens,
+        |  count(*) AS n_distinct_tokens, sum(term) AS term_sum,
+        |  CAST(sum(c_t) AS BIGINT) AS ct_sum, max(n_corpus) AS n_corpus
+        |  FROM terms GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct_tokens,
+        |round((CAST(term_sum AS DOUBLE)
+        |  + (1.0 - CAST(ct_sum AS DOUBLE) / CAST(n_corpus AS DOUBLE))
+        |    * ln(2.0)) / 2.0, 4) AS jsd
+        |FROM a""".stripMargin,
     // B47: exact top-k heavy hitters published; the oracle asserts the
     // SpaceSaving sketch's est/err bracket held on every row
     "q_heavy_hitters" ->

@@ -1211,12 +1211,25 @@ object AnalyticsOps {
     * rollups of that, a broadcast grid join — the event stream is
     * read once and never re-shuffled.
     */
-  def chiSquare(events: DataFrame, nCohorts: Int = 4): DataFrame = {
-    val I = DecimalType(38, 0)
-    val obs = events
+  def chiSquare(events: DataFrame, nCohorts: Int = 4): DataFrame =
+    chiSquareFromObs(chiSquareObs(events, nCohorts))
+
+  /** The (key, cohort, o) observed-count table B51 tests — exposed
+    * because these integer cells are EXACTLY the mergeable state the
+    * D14 streaming monitor folds (count addition is associative, so
+    * micro-batching is lossless by construction).
+    */
+  def chiSquareObs(events: DataFrame, nCohorts: Int = 4): DataFrame =
+    events
       .groupBy(col("event_type"), pmod(col("user_id"), lit(nCohorts))
         .as("cohort"))
       .agg(count(lit(1)).as("o"))
+
+  /** B51's statistic from an observed-count table (batch path and the
+    * D14 state reader share this verbatim — one math, two feeds).
+    */
+  def chiSquareFromObs(obs: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
     val rowT = obs.groupBy("event_type").agg(sum("o").as("r"))
     val colT = obs.groupBy("cohort").agg(sum("o").as("c"))
     val tot = rowT.agg(count(lit(1)).as("n_rows"), sum("r").as("n"))

@@ -945,6 +945,59 @@ object TextOps {
         round(exp(round(col("avg_nll"), 4)), 4).as("ppl"))
   }
 
+  /** C69: per-source Jensen–Shannon divergence from the corpus
+    * unigram distribution — the drift audit a pretraining mix runs
+    * when a new crawl/source lands (C47 counts tokens; this asks
+    * whether a source's token DISTRIBUTION is an outlier before it
+    * gets a mixture weight, and re-measured between snapshots it is
+    * the corpus-drift alarm). JSD(p‖q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m),
+    * m = (p+q)/2, p = the source's unigram MLE, q = the corpus-wide
+    * one; bounded [0, ln 2], 0 iff identical.
+    *
+    * The q-side sum over tokens ABSENT from the source is closed-form
+    * — each absent token contributes q·ln 2 — so the operator only
+    * materializes PRESENT (source, token) rows and adds
+    * (1 − Q_s)·ln 2 where Q_s = (Σ_{t∈s} c_t)/N is one exact integer
+    * sum and one division. Per-present-token terms follow C32's
+    * protocol: fixed double chain → DECIMAL(38,18) quantized terms →
+    * exact order-independent sum → round-4 publish (an engine ulp in
+    * ln lands in the 18th decimal and dies at round-4).
+    *
+    * Scale shape: one (source, tok) partial-agg groupBy, a vocab-key
+    * join of that table against the |vocab|-row corpus counts, a
+    * broadcast |sources|-row join — the corpus is read once; nothing
+    * is per-document downstream of the first groupBy.
+    */
+  def corpusDivergence(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // persisted: st feeds the source margins, the vocab margins, AND
+    // the term join — without the barrier the corpus tokenizes 3×
+    val st = graft.CacheRegistry.persist(documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_st")))
+    val s = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val t = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+    val n = s.agg(sum("n_s").as("n_corpus"))
+    val p = col("c_st").cast("double") / col("n_s").cast("double")
+    val q = col("c_t").cast("double") / col("n_corpus").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = (p * log(p / m) + q * log(q / m)).cast(DecimalType(38, 18))
+    val agg = st
+      .join(broadcast(s), "source")
+      .join(t, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(term).as("term_sum"),
+        sum(col("c_t")).as("ct_sum"),
+        max(col("n_corpus")).as("n_corpus"))
+    val qs = col("ct_sum").cast("double") / col("n_corpus").cast("double")
+    agg.select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+      round((col("term_sum").cast("double")
+        + (lit(1.0) - qs) * lit(math.log(2.0))) / lit(2.0), 4).as("jsd"))
+  }
+
   /** C34: URL extraction + per-domain stats — the audit behind
     * domain-level corpus curation (allow/deny lists, per-domain
     * quality priors): pull every URL, normalize to its registrable

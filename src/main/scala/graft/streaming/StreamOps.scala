@@ -345,6 +345,73 @@ object StreamOps {
     all.filter(col("batch") === latest).drop("batch")
   }
 
+  /** D14: streaming χ² drift monitor — B51 as a LIVE gate. The state
+    * is B51's observed-count grid (key, cohort, o): per micro-batch
+    * one partial-agg groupBy produces the batch's cells, a full-outer
+    * join ADDS them to the prior snapshot — exact integer addition is
+    * associative and commutative, so the folded grid equals the
+    * whole-history batch grid bit-for-bit on ANY batch split (the D12
+    * argument, without even needing a quantization step), and
+    * [[graft.operators.AnalyticsOps.chiSquareFromObs]] applied to the
+    * state is IDENTICAL math to the batch operator — one statistic,
+    * two feeds. State is ≤ R·C rows per snapshot forever (cohorts are
+    * a fixed mod; keys are the monitored dimension), written under
+    * `stateDir/batch=<id>` with latest-prior reads — D11/D12/D13's
+    * idempotent crash-replay shape.
+    */
+  def streamingChiSquare(events: DataFrame, stateDir: String,
+      nCohorts: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("event_type"), col("user_id"))
+          .localCheckpoint(true)
+        try {
+          val bObs = graft.operators.AnalyticsOps.chiSquareObs(b, nCohorts)
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => bObs
+            case Some(p) => p
+              .select(col("event_type"), col("cohort"), col("o").as("o0"))
+              .join(bObs, Seq("event_type", "cohort"), "full_outer")
+              .select(col("event_type"), col("cohort"),
+                (coalesce(col("o0"), lit(0L)) + coalesce(col("o"), lit(0L)))
+                  .as("o"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D14 statistic: B51's exact math over the latest folded
+    * count grid.
+    */
+  def latestChiSquare(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.AnalyticsOps.chiSquareFromObs(
+      all.filter(col("batch") === latest).drop("batch"))
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

@@ -905,6 +905,30 @@ class SimilarityTextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("corpusDivergence: zero on itself, closed form on disjoint vocabularies, bounded") {
+    import spark.implicits._
+    // one source IS the corpus: p = q pointwise → JSD exactly 0
+    val solo = Seq((1L, "x y z", "a"), (2L, "x y", "a"))
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.corpusDivergence(solo).head().getAs[Double]("jsd")
+      === 0.0)
+    // two disjoint-vocabulary halves: per source, the present term is
+    // ln(4/3) + ½ln(2/3) and the absent mass is ½ → jsd = 0.2158
+    val split = Seq((1L, "x x", "a"), (2L, "y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.corpusDivergence(split).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("jsd")).toMap
+    assert(got === Map("a" -> 0.2158, "b" -> 0.2158))
+    // corpus: one row per source, 0 <= jsd <= ln 2
+    val out = TextOps.corpusDivergence(documents).cache()
+    try {
+      assert(out.count() ===
+        documents.select("source").distinct().count())
+      assert(out.filter(col("jsd") < 0.0
+        || col("jsd") > math.log(2.0) + 1e-9).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("knnGraphRecall: probe-set recall clears the floor; guard quarantines") {
     val r = SimilarityOps.knnGraphRecall(embeddings).head()
     val nProbes = embeddings

@@ -265,6 +265,37 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D14: streaming chi-square — folded count grid equals the batch statistic bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 batches, 2 keys, cohort mix drifting across batches
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkBatch(b: Int): Seq[Event] =
+      (1 to 50).map { i =>
+        val typ = if (i % 2 == 0) "a" else "b"
+        val user = (i + b * 7) % 11L  // drifting cohort assignment
+        Event(b * 1000L + i, new java.sql.Timestamp(ts0 + i * 1000L),
+          user, typ, 1.0, "{}") }
+    val base = java.nio.file.Files.createTempDirectory("d14").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingChiSquare(stream.toDF(), stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val batches = (0 until 3).map(mkBatch)
+    batches.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    assert(new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 3)
+    // the live statistic over the folded grid IS the batch statistic
+    // on the whole history — integer state, identical math
+    val live = StreamOps.latestChiSquare(spark, stateDir)
+    val twin = graft.operators.AnalyticsOps.chiSquare(
+      batches.flatten.toDF())
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
