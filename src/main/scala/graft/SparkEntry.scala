@@ -312,6 +312,8 @@ object SparkEntry {
     "q_welch" -> ((s, d) => AnalyticsOps.welchDrift(Tables.events(s, d))),
     "q_mann_kendall" -> ((s, d) => AnalyticsOps.mannKendall(Tables.events(s, d))),
     "q_spearman" -> ((s, d) => AnalyticsOps.spearman(Tables.events(s, d))),
+    "q_spearman_approx" -> ((s, d) =>
+      AnalyticsOps.spearmanApprox(Tables.events(s, d))),
     "q_chisq" -> ((s, d) => AnalyticsOps.chiSquare(Tables.events(s, d))),
     "q_runs_test" -> ((s, d) => AnalyticsOps.runsTest(Tables.events(s, d))),
     "knn_graph_recall" -> ((s, d) =>
@@ -2580,6 +2582,29 @@ object SparkEntry {
         |    / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
         |       * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
         |END AS spearman
+        |FROM a""".stripMargin,
+    // B50's sketch swap: the exact columns are B50's SQL verbatim;
+    // approx_ok (binned-rank rho within the band) must hold per key
+    "q_spearman_approx" ->
+      """WITH r AS (SELECT event_type,
+        |  2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |    + count(*) OVER (PARTITION BY event_type, value) - 1 AS ra,
+        |  2 * rank() OVER (PARTITION BY event_type ORDER BY user_id)
+        |    + count(*) OVER (PARTITION BY event_type, user_id) - 1 AS rb
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(ra AS HUGEINT)) AS sa, sum(CAST(rb AS HUGEINT)) AS sb,
+        |  sum(CAST(ra AS HUGEINT) * rb) AS sab,
+        |  sum(CAST(ra AS HUGEINT) * ra) AS saa,
+        |  sum(CAST(rb AS HUGEINT) * rb) AS sbb
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0.0
+        |  AND CAST(n * sbb - sb * sb AS DOUBLE) > 0.0
+        |  THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+        |    / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+        |       * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+        |END AS spearman, TRUE AS approx_ok
         |FROM a""".stripMargin,
     // B51: full R×C grid including EMPTY cells, per-cell (O−E)²/E
     // floor-quantized ×10⁶ into an exact integer sum (order-

