@@ -323,6 +323,8 @@ object SparkEntry {
     "emb_pca" -> ((s, d) => SimilarityOps.embPca(Tables.embeddings(s, d))),
     "corpus_divergence" -> ((s, d) =>
       TextOps.corpusDivergence(Tables.documents(s, d))),
+    "dedup_cluster_stats" -> ((s, d) =>
+      DedupOps.dedupClusterStats(Tables.documents(s, d))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -1669,6 +1671,15 @@ object SparkEntry {
         |SELECT c.doc_id, c.component, s.n_members,
         |c.doc_id = c.component AS is_canonical
         |FROM c JOIN s USING (component)""".stripMargin),
+    // C70: the closure's component-size histogram — all integer counts
+    "dedup_cluster_stats" -> (closureCteSql +
+      """,
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT n_members AS size, count(*) AS n_components,
+        |CAST(sum(n_members) AS BIGINT) AS n_docs,
+        |CAST(sum(n_members) - count(*) AS BIGINT) AS n_dropped
+        |FROM s GROUP BY 1""".stripMargin),
     // C43: the incremental fold-in must equal the full re-cluster —
     // the oracle IS dedup_groups' full-corpus closure, verbatim
     "dedup_incremental" -> (closureCteSql +

@@ -969,6 +969,30 @@ object DedupOps {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("n_members").as("n_merged"))
 
+  /** C70: the dedup DATASHEET — component-SIZE histogram of the
+    * near-dup clustering (how many singletons, pairs, giant blobs?):
+    * the distribution every dedup deployment reads before trusting
+    * C31's output (a fat tail means template families or a threshold
+    * set too low; C21's giant-component stress is this table's top
+    * row at adversarial inputs), and the input to C45's weight-mass
+    * accounting. Per size: component count (one canonical row each —
+    * no countDistinct), member docs, and the docs C31 would drop
+    * (size − 1 per component). All integers — trivially exact.
+    *
+    * `labels` injects an existing clustering (C31's contract); the
+    * default runs C21. Scale: one partial-agg groupBy over the label
+    * table to ≤ |distinct sizes| rows.
+    */
+  def dedupClusterStats(documents: DataFrame, minJaccard: Double = 0.7,
+      labels: Option[DataFrame] = None): DataFrame =
+    labels.getOrElse(dedupGroups(documents, minJaccard))
+      .groupBy(col("n_members").as("size"))
+      .agg(sum(when(col("is_canonical"), 1L).otherwise(0L))
+          .as("n_components"),
+        count(lit(1)).as("n_docs"))
+      .select(col("size"), col("n_components"), col("n_docs"),
+        (col("n_docs") - col("n_components")).as("n_dropped"))
+
   /** C50: priority-aware canonical selection per near-dup component —
     * [[dedupApply]]'s "keep min doc_id" rule replaced by the rule
     * production corpora actually use: within each duplicate cluster

@@ -437,4 +437,32 @@ class DedupOpsSpec extends SparkSpec {
     // and the audit finds real signal in the planted near-dup corpus
     assert(byString.values.count(_(2).asInstanceOf[Long] > 0) > 0)
   }
+
+  test("dedupClusterStats: closed-form histogram, corpus conservation") {
+    import spark.implicits._
+    // one near-dup pair + one singleton → sizes {2: 1 comp, 1: 1 comp}
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon", "src1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "src1"),
+      (3L, "unrelated words entirely here now", "src1"))
+      .toDF("doc_id", "text", "source")
+    val h = DedupOps.dedupClusterStats(tiny, 0.7).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(h === Map(2L -> ((1L, 2L, 1L)), 1L -> ((1L, 1L, 0L))))
+    CacheRegistry.unpersistAll()
+    // corpus: every doc accounted for once; drops = docs − components
+    val labels = DedupOps.dedupGroups(documents, 0.7).cache()
+    val stats = DedupOps.dedupClusterStats(documents,
+      labels = Some(labels)).cache()
+    try {
+      val t = stats.agg(sum("n_docs"), sum("n_components"),
+        sum("n_dropped")).head()
+      assert(t.getLong(0) === documents.count())
+      assert(t.getLong(1) ===
+        labels.select("component").distinct().count())
+      assert(t.getLong(2) === t.getLong(0) - t.getLong(1))
+    } finally { stats.unpersist(); labels.unpersist() }
+    CacheRegistry.unpersistAll()
+  }
 }
