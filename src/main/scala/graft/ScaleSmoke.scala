@@ -187,7 +187,10 @@ object ScaleSmoke {
       // quadratic in same-source postings, the documented quarantine
       ("simhash_accuracy", (d, _, _) => DedupOps.simhashAccuracy(d)),
       // (source, tok) partial agg + vocab-key join — scan growth only
-      ("corpus_divergence", (d, _, _) => TextOps.corpusDivergence(d)))
+      ("corpus_divergence", (d, _, _) => TextOps.corpusDivergence(d)),
+      // B44's grid machinery: bounded 2-decimal domain keeps the grid
+      // flat while the count scan grows
+      ("q_mannwhitney", (_, e, _) => AnalyticsOps.mannWhitney(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -316,6 +316,8 @@ object SparkEntry {
       AnalyticsOps.spearmanApprox(Tables.events(s, d))),
     "q_chisq" -> ((s, d) => AnalyticsOps.chiSquare(Tables.events(s, d))),
     "q_runs_test" -> ((s, d) => AnalyticsOps.runsTest(Tables.events(s, d))),
+    "q_mannwhitney" -> ((s, d) =>
+      AnalyticsOps.mannWhitney(Tables.events(s, d))),
     "knn_graph_recall" -> ((s, d) =>
       SimilarityOps.knnGraphRecall(Tables.embeddings(s, d))),
     "simhash_accuracy" -> ((s, d) =>
@@ -2687,6 +2689,43 @@ object SparkEntry {
         |  THEN round((CAST(n_runs AS DOUBLE) - (a + 1.0))
         |    / sqrt(a * (a - 1.0) / (n - 1.0)), 6)
         |END AS z_runs
+        |FROM z""".stripMargin,
+    // B53: Mann–Whitney key-vs-rest on B44's distributed grid —
+    // doubled average ranks (ties never divide), HUGEINT R2/U2 and
+    // tie term, one fixed double chain for the tie-corrected z
+    "q_mannwhitney" ->
+      """WITH cnt AS (SELECT event_type, value, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT event_type FROM events),
+        |vals AS (SELECT DISTINCT value FROM events),
+        |grid AS (SELECT k.event_type, v.value, coalesce(c.c, 0) AS c
+        |  FROM keys k CROSS JOIN vals v LEFT JOIN cnt c
+        |  ON c.event_type = k.event_type AND c.value = v.value),
+        |rk AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |  ORDER BY value) AS cum_k FROM grid),
+        |rv AS (SELECT *, sum(cum_k) OVER (PARTITION BY value) AS cum_all,
+        |  sum(c) OVER (PARTITION BY value) AS cnt_all FROM rk),
+        |r2 AS (SELECT event_type,
+        |  sum(CAST(c AS HUGEINT) * (2 * cum_all - cnt_all + 1)) AS r2,
+        |  CAST(sum(c) AS BIGINT) AS n_k FROM rv GROUP BY 1),
+        |tt AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+        |  FROM (SELECT value, sum(c) AS t FROM cnt GROUP BY 1)),
+        |nt AS (SELECT count(*) AS n_all FROM events),
+        |j AS (SELECT r2.event_type, r2.n_k, nt.n_all - r2.n_k AS n_rest,
+        |  r2.r2 - CAST(r2.n_k AS HUGEINT) * (r2.n_k + 1) AS u2,
+        |  tt.tie_t, nt.n_all FROM r2 CROSS JOIN nt CROSS JOIN tt),
+        |z AS (SELECT event_type, n_k, n_rest, u2,
+        |  CAST(CAST(n_k AS HUGEINT) * n_rest AS DOUBLE) AS a,
+        |  CAST(n_all AS DOUBLE) AS nd, CAST(tie_t AS DOUBLE) AS td
+        |  FROM j)
+        |SELECT event_type, n_k, n_rest,
+        |CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |CASE WHEN n_k > 0 AND n_rest > 0
+        |  AND a * ((nd + 1.0) - td / (nd * (nd - 1.0))) / 12.0 > 0.0
+        |THEN round((CAST(u2 AS DOUBLE) - a)
+        |  / (2.0 * sqrt(a * ((nd + 1.0) - td / (nd * (nd - 1.0)))
+        |     / 12.0)), 6)
+        |END AS z_u
         |FROM z""".stripMargin,
     // C66: the probe draw's exact top-k count is the oracle's half;
     // recall_ok (graph carries >= floor of those edges) must hold

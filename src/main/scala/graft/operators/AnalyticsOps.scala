@@ -718,6 +718,80 @@ object AnalyticsOps {
           .as("ks_d"))
   }
 
+  /** B53: Mann–Whitney U (Wilcoxon rank-sum), each key vs the pooled
+    * rest — the NONPARAMETRIC level test completing the drift family:
+    * B48's t assumes the level difference is mean-shaped (one heavy
+    * tail drags the mean), B44's KS fires on ANY shape change; U asks
+    * specifically "does this key's distribution sit stochastically
+    * higher/lower?" and is rank-based, so one wild outlier moves it
+    * by one rank. U_k = R_k − n_k(n_k+1)/2 with R_k the sum of the
+    * key's tie-corrected average ranks in the POOLED sample; the
+    * normal approximation uses the tie-corrected variance
+    * (n_k·n_rest/12)·[(n+1) − Σ(t³−t)/(n(n−1))].
+    *
+    * Exactness: everything before z is integer — ranks ride the
+    * doubled domain (avgrank2(v) = 2·cum_all(v) − cnt_all(v) + 1, so
+    * ties never divide), R2/U2 accumulate in DECIMAL(38,0), the tie
+    * term Σ(t³−t) likewise (t³ ≤ 10³⁶ at 10¹² rows), and z is one
+    * fixed double chain on exact casts, round-6.
+    *
+    * Scale shape: B44's distributed grid verbatim — per-key
+    * cumulative counts via key-partitioned windows over the
+    * keys×values grid, the pooled cumulative as a VALUE-partitioned
+    * sum of those (no single-partition prefix sum anywhere) — and the
+    * same fail-fast distinct-value quarantine (a continuous domain
+    * makes the grid |keys|·n; floor-quantize per the B44 ksTestBinned
+    * protocol first at that scale — ranks over the binned domain are
+    * the binned distribution's exact ranks).
+    */
+  def mannWhitney(events: DataFrame,
+      maxGridValues: Long = 100000L): DataFrame = {
+    val I = DecimalType(38, 0)
+    val vals = events.select(col("value")).distinct()
+    val nVals = vals.count()
+    require(nVals <= maxGridValues,
+      s"mannWhitney ranks over an exact |keys x distinct-values| grid, " +
+        s"quarantined to <= $maxGridValues distinct values, got $nVals; " +
+        s"floor-quantize the value domain first (the ksTestBinned " +
+        s"protocol) at this scale, or raise maxGridValues explicitly")
+    val keys = events.select(col("event_type")).distinct()
+    val cnt = events.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    val grid = keys.crossJoin(vals)
+      .join(cnt, Seq("event_type", "value"), "left")
+      .na.fill(0L, Seq("c"))
+    val wK = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wV = Window.partitionBy("value")
+    val ranked = grid.withColumn("cum_k", sum("c").over(wK))
+      .withColumn("cum_all", sum(col("cum_k")).over(wV))
+      .withColumn("cnt_all", sum(col("c")).over(wV))
+      .withColumn("avgrank2",
+        (col("cum_all") * 2 - col("cnt_all") + 1).cast(I))
+    val r2 = ranked.groupBy("event_type")
+      .agg(sum(col("c").cast(I) * col("avgrank2")).as("r2"),
+        sum(col("c")).as("n_k"))
+    // tie term over the value margin — straight from the count table,
+    // one |values|-row partial agg
+    val tieT = cnt.groupBy("value").agg(sum("c").as("t"))
+      .agg(sum(col("t").cast(I) * col("t").cast(I) * col("t").cast(I)
+        - col("t").cast(I)).as("tie_t"))
+    val nTot = events.agg(count(lit(1)).as("n_all"))
+    val j = r2.crossJoin(broadcast(nTot)).crossJoin(broadcast(tieT))
+      .withColumn("n_rest", col("n_all") - col("n_k"))
+      .withColumn("u2", col("r2")
+        - (col("n_k").cast(I) * (col("n_k").cast(I) + 1)))
+    val a = (col("n_k").cast(I) * col("n_rest").cast(I)).cast("double")
+    val nD = col("n_all").cast("double")
+    val tie = col("tie_t").cast("double") / (nD * (nD - lit(1.0)))
+    val vr = a * ((nD + lit(1.0)) - tie) / lit(12.0)
+    val z = (col("u2").cast("double") - a) / (lit(2.0) * sqrt(vr))
+    val ok = col("n_k") > 0 && col("n_rest") > 0 && vr > 0.0
+    j.select(col("event_type"), col("n_k"), col("n_rest"),
+      (col("u2").cast("double") / lit(2.0)).as("u_stat"),
+      when(ok, round(z, 6)).as("z_u"))
+  }
+
   /** B44 production variant: KS over a FLOOR-QUANTIZED value domain —
     * bins of width 10^-decimals (the A37 ×10ᵈ protocol: `floor` of
     * the exactly-rounded double product is bit-identical across

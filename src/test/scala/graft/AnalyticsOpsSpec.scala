@@ -647,6 +647,43 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("dof") > 0L)
   }
 
+  test("mannWhitney: closed-form z on separated samples; all-tied variance nulls") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex.map {
+      case ((k, v), i) =>
+        (i.toLong, new java.sql.Timestamp(ts0 + i * 1000L), 1L, k, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a = {1,2,3} below b = {4,5,6}: U_a = 0, U_b = 9,
+    // z = ∓4.5/√5.25 = ∓1.963961
+    val sep = AnalyticsOps.mannWhitney(ev(Seq(
+      "a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 4.0, "b" -> 5.0, "b" -> 6.0))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("u_stat"), r.getAs[Double]("z_u")))).toMap
+    assert(sep("a") === ((0.0, -1.963961)))
+    assert(sep("b") === ((9.0, 1.963961)))
+    // every value tied: the tie correction zeroes the variance → null z
+    val tied = AnalyticsOps.mannWhitney(ev(Seq(
+      "a" -> 5.0, "a" -> 5.0, "b" -> 5.0, "b" -> 5.0))).collect()
+    assert(tied.forall(_.isNullAt(4)))
+    // the guard quarantines a continuous domain
+    intercept[IllegalArgumentException] {
+      AnalyticsOps.mannWhitney(Tables.events(spark, sf),
+        maxGridValues = 3L).count()
+    }
+    // corpus: one row per key, U within [0, n_k·n_rest]
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.mannWhitney(events).cache()
+    try {
+      assert(out.count() ===
+        events.select("event_type").distinct().count())
+      assert(out.filter(col("u_stat") < 0.0 || col("u_stat") >
+        col("n_k").cast("double") * col("n_rest").cast("double"))
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
   test("runsTest: closed-form z on alternating and regime series; median ties drop") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
