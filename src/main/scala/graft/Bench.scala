@@ -163,7 +163,9 @@ object Bench {
     // the posexplode-gram family also persists intermediates through
     // CacheRegistry (ADVICE r6: same contamination surface as the
     // clustering loop, so they earn the same per-process attribution)
-    "dedup_substring", "dedup_substring_rewrite", "boilerplate_strip")
+    "dedup_substring", "dedup_substring_rewrite", "boilerplate_strip",
+    // r8 continuation: C70 re-runs the clustering inside its gate
+    "dedup_cluster_stats")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],
