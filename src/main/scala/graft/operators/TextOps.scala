@@ -968,13 +968,23 @@ object TextOps {
     * broadcast |sources|-row join — the corpus is read once; nothing
     * is per-document downstream of the first groupBy.
     */
-  def corpusDivergence(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    // persisted: st feeds the source margins, the vocab margins, AND
-    // the term join — without the barrier the corpus tokenizes 3×
-    val st = graft.CacheRegistry.persist(documents
+  def corpusDivergence(documents: DataFrame): DataFrame =
+    corpusDivergenceFromCounts(documents
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c_st")))
+
+  /** C69's statistic from a (source, tok, c_st) count table — exposed
+    * because these integer counts are EXACTLY the mergeable state the
+    * D15 streaming monitor folds (the D14 argument: count addition is
+    * associative, so micro-batching is lossless and the live JSD is
+    * the whole-history batch JSD bit-for-bit).
+    */
+  def corpusDivergenceFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // persisted: the count table feeds the source margins, the vocab
+    // margins, AND the term join — without the barrier the input
+    // recomputes 3×
+    val st = graft.CacheRegistry.persist(counts)
     val s = st.groupBy("source").agg(sum("c_st").as("n_s"))
     val t = st.groupBy("tok").agg(sum("c_st").as("c_t"))
     val n = s.agg(sum("n_s").as("n_corpus"))

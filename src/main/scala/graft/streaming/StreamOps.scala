@@ -412,6 +412,74 @@ object StreamOps {
       all.filter(col("batch") === latest).drop("batch"))
   }
 
+  /** D15: streaming corpus-drift monitor — C69 as a LIVE gate over a
+    * document feed (the question it answers online: "has the source
+    * mix's token distribution moved since the snapshot the mixture
+    * weights were tuned on?"). The state is C69's (source, tok, c_st)
+    * count table: per micro-batch one tokenize + partial-agg groupBy,
+    * a full-outer ADD into the prior snapshot (exact integer addition
+    * — the D14 associativity argument verbatim), and
+    * [[graft.operators.TextOps.corpusDivergenceFromCounts]] applied
+    * to the folded state IS the batch statistic on the whole history,
+    * bit-for-bit. State is |sources × vocab| rows — the corpus
+    * datasheet's own scale, not the corpus's; snapshots under
+    * `stateDir/batch=<id>` with latest-prior reads (the D11-D14
+    * idempotent crash-replay shape).
+    */
+  def streamingCorpusDivergence(documents: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    documents.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val bObs = b.select(col("source"),
+              explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => bObs
+            case Some(p) => p
+              .select(col("source"), col("tok"), col("c_st").as("c0"))
+              .join(bObs, Seq("source", "tok"), "full_outer")
+              .select(col("source"), col("tok"),
+                (coalesce(col("c0"), lit(0L))
+                  + coalesce(col("c_st"), lit(0L))).as("c_st"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D15 statistic: C69's exact math over the latest folded
+    * count table.
+    */
+  def latestCorpusDivergence(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.TextOps.corpusDivergenceFromCounts(
+      all.filter(col("batch") === latest).drop("batch"))
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

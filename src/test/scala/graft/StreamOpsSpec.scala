@@ -296,6 +296,32 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D15: streaming corpus divergence — folded counts equal the batch JSD bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.sources.Tables.documents(spark, sf)
+    val docs = docsDf.as[graft.sources.Schemas.Document].collect().toSeq
+    assert(docs.size >= 3)
+    val base = java.nio.file.Files.createTempDirectory("d15").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[graft.sources.Schemas.Document]
+    val q = StreamOps.streamingCorpusDivergence(stream.toDF(), stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    docs.grouped((docs.size + 2) / 3).foreach { g =>
+      stream.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    assert(new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 3)
+    // the live JSD over the folded counts IS the batch statistic
+    val live = StreamOps.latestCorpusDivergence(spark, stateDir)
+    val twin = graft.operators.TextOps.corpusDivergence(docsDf)
+    assert(live.count() === twin.count())
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("stream-stream join attributes purchases to in-window clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
