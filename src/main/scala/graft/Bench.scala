@@ -165,7 +165,12 @@ object Bench {
     // clustering loop, so they earn the same per-process attribution)
     "dedup_substring", "dedup_substring_rewrite", "boilerplate_strip",
     // r8 continuation: C70 re-runs the clustering inside its gate
-    "dedup_cluster_stats")
+    "dedup_cluster_stats",
+    // r9 (VERDICT r8 #1): q1_pricing's in-process wall AND stage time
+    // doubled in the r8 closing gate with the operator untouched —
+    // the fork wall is the idle-host attribution that clears (or
+    // confirms) a headline TPC-H regression
+    "q1_pricing")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],
@@ -196,13 +201,29 @@ object Bench {
       s""","fork_wall":$fw,"fork_errors":$fe""" +
       s""","errors":$es,"passes":$TimedPasses,"forked":$forked,"sf":"$sfDir"}"""
     println(line)
-    // the driver's stored tail truncated round 2's wall-time map; keep
-    // the full line on disk so no consumer has to reconstruct it.
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) default to a DIFFERENT file:
     // a debugging subset silently clobbering the official full-run
     // artifact cost round 4 its bench evidence.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (subset) "BENCH_subset.json" else "BENCH_full.json")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses
+    // JSON out of that tail — the full line above is ~8 KB at 160+
+    // queries, so its head (the "metric" key) scrolls out of the
+    // window and the driver has recorded `parsed: null` since round 6
+    // (VERDICT r8 #8). Emit a SECOND, compact headline as the final
+    // stdout line: same metric/value contract, per-query walls for
+    // only the 10 slowest (the full map lives in `full`'s file, which
+    // this line names), guaranteed to fit any reasonable tail window.
+    val top = timings.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","n_queries":${timings.size},"n_errors":${errors.size}""" +
+      s""","queries":$top,"full":"$outFile","sf":"$sfDir"}"""
+    println(compact)
+    System.out.flush()
+    // the driver's stored tail truncated round 2's wall-time map; keep
+    // the full line on disk so no consumer has to reconstruct it.
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -31,6 +31,8 @@ object DebugRun {
           val n = df.count()
           println(f"[debug] $name%-20s pass=$r rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
           if (explain) df.explain("formatted")
+          if (sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
+            df.show(60, truncate = false)
         } catch {
           case e: Throwable =>
             println(s"[debug] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

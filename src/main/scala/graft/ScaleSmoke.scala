@@ -190,7 +190,14 @@ object ScaleSmoke {
       ("corpus_divergence", (d, _, _) => TextOps.corpusDivergence(d)),
       // B44's grid machinery: bounded 2-decimal domain keeps the grid
       // flat while the count scan grows
-      ("q_mannwhitney", (_, e, _) => AnalyticsOps.mannWhitney(e)))
+      ("q_mannwhitney", (_, e, _) => AnalyticsOps.mannWhitney(e)),
+      // r9 (VERDICT r8 #7): the 100 TB spearman — sketch-cut binned
+      // ranks, integer histogram, NO per-key sort; the gate runs the
+      // exact twin inside it, so the ratio includes the rank windows'
+      // sort growth — the production-only path is strictly below
+      ("q_spearman_approx", (_, e, _) => AnalyticsOps.spearmanApprox(e)),
+      // r9: omnibus rank test on the same grid — flat grid, scan growth
+      ("q_kruskal", (_, e, _) => AnalyticsOps.kruskalWallis(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -33,8 +33,8 @@ object SparkEntry {
   private val priorLabelDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def priorLabels(s: SparkSession, d: String,
-      corpus: DataFrame): DataFrame = {
-    val dir = priorLabelDirs.computeIfAbsent(d, _ => {
+      corpus: DataFrame, tag: String = "c90"): DataFrame = {
+    val dir = priorLabelDirs.computeIfAbsent(s"$d#$tag", _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_prior_labels")
       DedupOps.dedupGroups(corpus, 0.7)
         .write.mode("overwrite").parquet(p.toString)
@@ -323,10 +323,45 @@ object SparkEntry {
     "simhash_accuracy" -> ((s, d) =>
       DedupOps.simhashAccuracy(Tables.documents(s, d))),
     "emb_pca" -> ((s, d) => SimilarityOps.embPca(Tables.embeddings(s, d))),
+    // C68's scaled-form certification (VERDICT r8 #2): exact columns
+    // hashed, scaled_ok band asserted by the oracle
+    "emb_pca_scaled" -> ((s, d) =>
+      SimilarityOps.embPcaScaled(Tables.embeddings(s, d))),
     "corpus_divergence" -> ((s, d) =>
       TextOps.corpusDivergence(Tables.documents(s, d))),
     "dedup_cluster_stats" -> ((s, d) =>
       DedupOps.dedupClusterStats(Tables.documents(s, d))),
+    // C70 artifact-grade twin (VERDICT r8 #5): labels from parquet
+    // (materialized once per JVM, outside the timed region) so the
+    // bench measures the |components|-row datasheet rollup production
+    // runs — shares C70's closure oracle, so rolling up STORED labels
+    // is also correctness-proven every round
+    "dedup_cluster_stats_fold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.dedupClusterStats(docs,
+        labels = Some(priorLabels(s, d, docs, tag = "full")))
+    }),
+    // B42's fallback gate (VERDICT r8 #3): seeded sampled-slopes
+    // median beside the exact slope; both engine-replayable (md5
+    // pair priorities), band_ok recomputed by the oracle
+    "q_theilsen_sampled" -> ((s, d) =>
+      AnalyticsOps.theilSenSampled(Tables.events(s, d))),
+    // B31's sketch swap (VERDICT r8 #4): exact clip columns hashed,
+    // flags_match excused only inside the approx-vs-exact cut interval
+    "q_winsorize_approx" -> ((s, d) =>
+      AnalyticsOps.winsorizeApprox(Tables.events(s, d))),
+    // B54: omnibus rank test over the whole key family
+    "q_kruskal" -> ((s, d) =>
+      AnalyticsOps.kruskalWallis(Tables.events(s, d))),
+    // C71/C72 (VERDICT r8 #6): the emitted PAIR SETS' recall against
+    // exact similarity truth, re-measured by the driver at both SFs.
+    // Corpus carries injected near-dup twins (the C29 synthetic-hazard
+    // pattern) because the natural corpus has only 1-4 pairs above the
+    // certification thresholds — too few for a stable floor
+    "minhash_pair_recall" -> ((s, d) => DedupOps.minhashPairRecall(
+      DedupOps.withSyntheticNearDups(Tables.documents(s, d)))),
+    "simhash_pair_recall" -> ((s, d) => DedupOps.simhashPairRecall(
+      DedupOps.withSyntheticNearDups(Tables.documents(s, d)))),
     "q_grid_source" -> ((s, _) => AgriOps.gridSourceMart(s)),
     "q_grid_files" -> ((s, _) => AgriOps.gridFilesMart(s)),
     "q_grid_skipna" -> ((s, _) => AgriOps.gridSkipnaMart(s)),
@@ -1682,6 +1717,16 @@ object SparkEntry {
         |CAST(sum(n_members) AS BIGINT) AS n_docs,
         |CAST(sum(n_members) - count(*) AS BIGINT) AS n_dropped
         |FROM s GROUP BY 1""".stripMargin),
+    // C70 fold twin (VERDICT r8 #5): the rollup of STORED labels must
+    // equal the self-contained re-cluster — same closure oracle
+    "dedup_cluster_stats_fold" -> (closureCteSql +
+      """,
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT n_members AS size, count(*) AS n_components,
+        |CAST(sum(n_members) AS BIGINT) AS n_docs,
+        |CAST(sum(n_members) - count(*) AS BIGINT) AS n_dropped
+        |FROM s GROUP BY 1""".stripMargin),
     // C43: the incremental fold-in must equal the full re-cluster —
     // the oracle IS dedup_groups' full-corpus closure, verbatim
     "dedup_incremental" -> (closureCteSql +
@@ -2264,12 +2309,13 @@ object SparkEntry {
         |CAST(d_num AS DOUBLE)
         |  / (CAST(n_k AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_d
         |FROM r WHERE rn = 1""".stripMargin,
-    // B44 binned production variant: floor-quantized bins (width
-    // 10^-2) bound the grid by construction; same integer cross-
-    // product sup, bin-ASC tie chain, lower edge published
+    // B44 binned production variant: half-up-quantized bins (width
+    // 10^-2; floor(v·100 + 0.5) keeps 2-decimal edge values on their
+    // semantic bin — ADVICE r8) bound the grid by construction; same
+    // integer cross-product sup, bin-ASC tie chain, center published
     "q_ks_binned" ->
       """WITH b AS (SELECT event_type,
-        |  CAST(floor(value * 100.0) AS BIGINT) AS bin FROM events),
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS bin FROM events),
         |bins AS (SELECT DISTINCT bin FROM b),
         |keys AS (SELECT DISTINCT event_type FROM b),
         |cnt AS (SELECT event_type, bin, count(*) AS c FROM b
@@ -2550,10 +2596,12 @@ object SparkEntry {
         |  FROM events),
         |g AS (SELECT event_type, p, count(*) AS n, sum(xq) AS s1,
         |  sum(xq * xq) AS s2 FROM q GROUP BY 1, 2),
-        |j AS (SELECT a.event_type, a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+        |j AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |  a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
         |  b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
-        |  FROM g a JOIN g b ON a.event_type = b.event_type
-        |    AND a.p = 1 AND b.p = 0),
+        |  FROM (SELECT * FROM g WHERE p = 1) a
+        |  FULL OUTER JOIN (SELECT * FROM g WHERE p = 0) b
+        |    ON a.event_type = b.event_type),
         |z AS (SELECT event_type, na, nb,
         |  CAST(s1a AS DOUBLE) / (CAST(na AS DOUBLE) * 1000000.0) AS ma,
         |  CAST(s1b AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0) AS mb,
@@ -2564,7 +2612,8 @@ object SparkEntry {
         |    / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)
         |       * 1000000000000.0) / CAST(nb AS DOUBLE) AS seb
         |  FROM j)
-        |SELECT event_type, na AS n_odd, nb AS n_even,
+        |SELECT event_type, coalesce(na, 0) AS n_odd,
+        |coalesce(nb, 0) AS n_even,
         |CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0.0
         |  THEN round((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
         |CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0.0
@@ -2790,10 +2839,157 @@ object SparkEntry {
         |  round(CAST(x2.x2 AS DOUBLE) / CAST(ref.refv AS DOUBLE), 6)
         |    AS ratio
         |FROM x2 CROSS JOIN ref""".stripMargin,
+    // C68 scaled-form gate: the exact columns verbatim; scaled_ok
+    // (the normalized-double direction within 1e-3 of the exact
+    // ratio) must hold on every component
+    "emb_pca_scaled" ->
+      """WITH q AS (SELECT vec_id,
+        |  generate_subscripts(embedding, 1) - 1 AS pos,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+        |    AS HUGEINT) AS qv
+        |  FROM embeddings),
+        |g AS (SELECT a.pos AS i, b.pos AS j, sum(a.qv * b.qv) AS gv
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |x1 AS (SELECT i AS pos, sum(gv) AS x1 FROM g GROUP BY 1),
+        |x2 AS (SELECT g.i AS pos, sum(g.gv * x1.x1) AS x2 FROM g
+        |  JOIN x1 ON x1.pos = g.j GROUP BY 1),
+        |ref AS (SELECT x2 AS refv FROM x2 ORDER BY abs(x2) DESC, pos
+        |  LIMIT 1)
+        |SELECT CAST(x2.pos AS BIGINT) AS pos, CAST(x2.x2 AS VARCHAR) AS x2,
+        |  round(CAST(x2.x2 AS DOUBLE) / CAST(ref.refv AS DOUBLE), 6)
+        |    AS ratio, TRUE AS scaled_ok
+        |FROM x2 CROSS JOIN ref""".stripMargin,
+    // B42 sampled fallback: BOTH medians engine-replayable — the pair
+    // sample is the deterministic md5 priority draw (md5_number_upper
+    // >> 32 is the C10/C40-established mirror of graftx.Md5Hash32),
+    // and band_ok is RECOMPUTED here, not asserted TRUE
+    "q_theilsen_sampled" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS y
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(datediff('day',
+        |  TIMESTAMP '2024-01-01 00:00:00', day) AS DOUBLE) AS x FROM daily),
+        |p AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM d2 a JOIN d2 b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |e AS (SELECT event_type, round(median(slope), 4) AS ts_slope,
+        |  count(*) AS n_pairs FROM p GROUP BY 1),
+        |ps AS (SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM d2 a JOIN d2 b ON a.event_type = b.event_type
+        |    AND a.day < b.day
+        |    AND CAST(md5_number_upper(a.event_type || '|'
+        |      || CAST(CAST(a.day AS DATE) AS VARCHAR) || '|'
+        |      || CAST(CAST(b.day AS DATE) AS VARCHAR)) >> 32 AS BIGINT)
+        |      % 2 = 0),
+        |es AS (SELECT event_type, round(median(slope), 4)
+        |    AS ts_slope_sampled,
+        |  count(*) AS n_pairs_sampled FROM ps GROUP BY 1)
+        |SELECT e.event_type, e.n_pairs, e.ts_slope,
+        |es.n_pairs_sampled, es.ts_slope_sampled,
+        |abs(es.ts_slope_sampled - e.ts_slope) <= 0.25 AS band_ok
+        |FROM e LEFT JOIN es USING (event_type)""".stripMargin,
+    // B31 sketch swap: exact clip columns verbatim; flags_match (the
+    // sketch cut may flip a clip only inside the approx-vs-exact cut
+    // interval) must hold on every row
+    "q_winsorize_approx" ->
+      """WITH c AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.05), 4) AS c_lo,
+        |  round(quantile_cont(value, 0.95), 4) AS c_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+        |  least(greatest(e.value, c.c_lo), c.c_hi) AS value_winsor,
+        |  (e.value < c.c_lo OR e.value > c.c_hi) AS was_clipped,
+        |  TRUE AS flags_match
+        |FROM events e JOIN c USING (event_type)""".stripMargin,
+    // B54: Kruskal–Wallis omnibus H over B53's doubled-rank grid —
+    // per-key terms floor-quantized ×1e6 before the cross-key sum
+    // (order-independent), tie-corrected, round-6
+    "q_kruskal" ->
+      """WITH cnt AS (SELECT event_type, value, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT event_type FROM events),
+        |vals AS (SELECT DISTINCT value FROM events),
+        |grid AS (SELECT k.event_type, v.value, coalesce(c.c, 0) AS c
+        |  FROM keys k CROSS JOIN vals v LEFT JOIN cnt c
+        |  ON c.event_type = k.event_type AND c.value = v.value),
+        |rk AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+        |  ORDER BY value) AS cum_k FROM grid),
+        |rv AS (SELECT *, sum(cum_k) OVER (PARTITION BY value) AS cum_all,
+        |  sum(c) OVER (PARTITION BY value) AS cnt_all FROM rk),
+        |r2 AS (SELECT event_type,
+        |  sum(CAST(c AS HUGEINT) * (2 * cum_all - cnt_all + 1)) AS r2,
+        |  CAST(sum(c) AS BIGINT) AS n_k FROM rv GROUP BY 1),
+        |tq AS (SELECT CAST(floor((CAST(r2 AS DOUBLE) / 2.0)
+        |  * (CAST(r2 AS DOUBLE) / 2.0) / CAST(n_k AS DOUBLE) * 1e6)
+        |  AS DECIMAL(38,0)) AS tq FROM r2),
+        |pk AS (SELECT sum(tq) AS term_sum, count(*) AS n_keys FROM tq),
+        |tt AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+        |  FROM (SELECT value, sum(c) AS t FROM cnt GROUP BY 1)),
+        |nt AS (SELECT count(*) AS n_all FROM events)
+        |SELECT nt.n_all, pk.n_keys, pk.n_keys - 1 AS dof,
+        |CASE WHEN nt.n_all > 1 AND pk.n_keys > 1
+        |  AND 1.0 - CAST(tt.tie_t AS DOUBLE)
+        |    / (CAST(nt.n_all AS DOUBLE) * CAST(nt.n_all AS DOUBLE)
+        |       * CAST(nt.n_all AS DOUBLE) - CAST(nt.n_all AS DOUBLE)) > 0.0
+        |THEN round((12.0 / (CAST(nt.n_all AS DOUBLE)
+        |    * (CAST(nt.n_all AS DOUBLE) + 1.0))
+        |  * (CAST(pk.term_sum AS DOUBLE) / 1e6)
+        |  - 3.0 * (CAST(nt.n_all AS DOUBLE) + 1.0))
+        |  / (1.0 - CAST(tt.tie_t AS DOUBLE)
+        |    / (CAST(nt.n_all AS DOUBLE) * CAST(nt.n_all AS DOUBLE)
+        |       * CAST(nt.n_all AS DOUBLE) - CAST(nt.n_all AS DOUBLE))), 6)
+        |END AS h_stat
+        |FROM pk CROSS JOIN nt CROSS JOIN tt""".stripMargin,
+    // C71: the exact-Jaccard truth pair COUNT is the oracle's half
+    // (C64's gram-string construction); recall_ok (the LSH pair set
+    // carried >= floor of them) must hold
+    "minhash_pair_recall" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000000, source,
+        |    text || ' zzduptoken' FROM documents WHERE doc_id % 10 = 0),
+        |t0 AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS toks FROM docs),
+        |t AS (SELECT doc_id, source, list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [array_to_string(toks, ' ')] END) AS g FROM t0)
+        |SELECT count(*) AS n_truth, TRUE AS recall_ok
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) * 1.0
+        |  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |  >= 0.7""".stripMargin,
+    // C72: the exact tf-cosine truth pair COUNT (C67's construction,
+    // round-4 threshold compare on identical doubles); recall_ok (the
+    // hamming<=3 pair set carried >= floor of them) must hold
+    "simhash_pair_recall" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000000, source,
+        |    text || ' zzduptoken' FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS toks FROM docs),
+        |tf AS (SELECT doc_id, source, tok, count(*) AS c FROM
+        |  (SELECT doc_id, source, unnest(toks) AS tok FROM t)
+        |  GROUP BY 1, 2, 3),
+        |nrm AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nsq
+        |  FROM tf GROUP BY 1),
+        |d AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.source = b.source AND a.tok = b.tok
+        |    AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT count(*) AS n_truth, TRUE AS recall_ok
+        |FROM d JOIN nrm n1 ON n1.doc_id = d.id1
+        |JOIN nrm n2 ON n2.doc_id = d.id2
+        |WHERE round(CAST(dot AS DOUBLE)
+        |  / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))),
+        |  4) >= 0.99""".stripMargin,
     // C69: per-source JSD vs the corpus unigram distribution — exact
-    // integer counts, C32's DECIMAL(38,18) quantized log terms
-    // (order-independent sum), the absent-token mass closed-form via
-    // one integer sum, round-4 publish
+    // integer counts, floor(term·1e12)-quantized log terms (floor is
+    // engine-identical where the decimal cast's rounding mode is not
+    // — ADVICE r8; order-independent integer sum), the absent-token
+    // mass closed-form via one integer sum, round-4 publish
     "corpus_divergence" ->
       """WITH tk AS (SELECT source, unnest(list_filter(
         |  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
@@ -2809,15 +3005,15 @@ object SparkEntry {
         |  CAST(t.c_t AS DOUBLE) / CAST(n.n_corpus AS DOUBLE) AS q
         |  FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n),
         |terms AS (SELECT source, n_s, n_corpus, c_t,
-        |  CAST(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0))
-        |    AS DECIMAL(38,18)) AS term
+        |  CAST(floor((p * ln(p / ((p + q) / 2.0))
+        |    + q * ln(q / ((p + q) / 2.0))) * 1e12) AS DECIMAL(38,0)) AS term
         |  FROM j),
         |a AS (SELECT source, max(n_s) AS n_tokens,
         |  count(*) AS n_distinct_tokens, sum(term) AS term_sum,
         |  CAST(sum(c_t) AS BIGINT) AS ct_sum, max(n_corpus) AS n_corpus
         |  FROM terms GROUP BY 1)
         |SELECT source, n_tokens, n_distinct_tokens,
-        |round((CAST(term_sum AS DOUBLE)
+        |round((CAST(term_sum AS DOUBLE) / 1e12
         |  + (1.0 - CAST(ct_sum AS DOUBLE) / CAST(n_corpus AS DOUBLE))
         |    * ln(2.0)) / 2.0, 4) AS jsd
         |FROM a""".stripMargin,

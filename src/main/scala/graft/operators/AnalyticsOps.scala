@@ -530,11 +530,14 @@ object AnalyticsOps {
     * average can associate differently across engines).
     */
   def theilSen(events: DataFrame, maxDaysPerKey: Long = 4000L): DataFrame = {
-    val daily = events
+    // persisted (ADVICE r8): the guard's count action below would
+    // otherwise recompute this daily aggregation, and the pair join
+    // then computes it twice more — one scan + cache instead of three
+    val daily = graft.CacheRegistry.persist(events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(Exact.avgD(col("value")).as("y"))
       .withColumn("x",
-        datediff(col("day"), lit("2024-01-01").cast("date")).cast("double"))
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("double")))
     // |days|²/2 pairs per key is bounded by calendar span, not data
     // volume — but a multi-decade span would still be ~10⁸ pairs per
     // key, so the exact form carries the C5-style fail-fast guard
@@ -544,9 +547,9 @@ object AnalyticsOps {
       .agg(coalesce(max("count"), lit(0L)).as("m")).head.getLong(0)
     require(maxDays <= maxDaysPerKey,
       s"theilSen forms |days|^2/2 exact slope pairs per key, quarantined " +
-        s"to <= $maxDaysPerKey daily points per key, got $maxDays; " +
-        s"coarsen to weekly means or subsample day pairs (median-of-" +
-        s"sampled-slopes) at this span, or raise maxDaysPerKey explicitly")
+        s"to <= $maxDaysPerKey daily points per key, got $maxDays; use " +
+        s"theilSenSampled (seeded median-of-sampled-slopes, optionally " +
+        s"weekly-coarsened) at this span, or raise maxDaysPerKey explicitly")
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type")
           && col("a.day") < col("b.day"))
@@ -555,6 +558,63 @@ object AnalyticsOps {
     pairs.groupBy("event_type")
       .agg(round(median(col("slope")), 4).as("ts_slope"),
         count(lit(1)).as("n_pairs"))
+  }
+
+  /** B42's guard-named fallback, PRODUCTION path (VERDICT r8 #3):
+    * seeded median-of-sampled-slopes. Each day pair carries a
+    * deterministic 32-bit md5 priority on (key, day_a, day_b) — the
+    * C40/C46 seeded-permutation construction, reproduced by DuckDB's
+    * md5_number_upper — and only pairs with priority ≡ 0 (mod
+    * `sampleMod`) materialize a slope, so the median sorts ~|days|²/
+    * (2·sampleMod) rows per key. Candidate predicate evaluation is
+    * still |days|²/2 compares inside the join (cheap, never
+    * materialized); a span hot enough that even the compares matter
+    * coarsens first ([[mannKendall]]'s unit="week" dial applies to
+    * the daily aggregate here identically). Deterministic end to end:
+    * the sampled pair SET is a pure function of (key, days, seed), so
+    * the sampled median is engine-replayable — not just band-gated.
+    */
+  def theilSenSampledRaw(events: DataFrame, sampleMod: Int = 2): DataFrame = {
+    val daily = graft.CacheRegistry.persist(events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("double")))
+    val prio = graft.functions.VectorFns.md5_hash32(
+      concat_ws("|", col("a.event_type"),
+        col("a.day").cast("date").cast("string"),
+        col("b.day").cast("date").cast("string")))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.day") < col("b.day")
+          && pmod(prio, lit(sampleMod.toLong)) === lit(0L))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
+    pairs.groupBy("event_type")
+      .agg(round(median(col("slope")), 4).as("ts_slope_sampled"),
+        count(lit(1)).as("n_pairs_sampled"))
+  }
+
+  /** B42's fallback, GATE form: the sampled estimator beside the
+    * exact operator's columns plus an in-row accuracy band the oracle
+    * asserts — run at gate scale only (it contains the exact twin;
+    * production past the day guard calls [[theilSenSampledRaw]]
+    * alone). Both slope columns are deterministic AND
+    * engine-replayable, so the oracle recomputes band_ok rather than
+    * trusting a constant TRUE. `band` is sized to the GATE span's
+    * sampling noise — ~30 daily points ⇒ ~220 of 435 slopes kept,
+    * measured |Δmedian| up to 0.14 across SFs (0.25 ≈ 2× margin); at
+    * the production spans the guard quarantines (4000+ days ⇒ 10⁶+
+    * sampled slopes) the estimator's error is orders tighter.
+    */
+  def theilSenSampled(events: DataFrame, sampleMod: Int = 2,
+      band: Double = 0.25): DataFrame = {
+    val exact = theilSen(events)
+    exact.join(theilSenSampledRaw(events, sampleMod), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_pairs"), col("ts_slope"),
+        col("n_pairs_sampled"), col("ts_slope_sampled"),
+        (abs(col("ts_slope_sampled") - col("ts_slope")) <= lit(band))
+          .as("band_ok"))
   }
 
   /** B49: Mann–Kendall trend test per key — the non-parametric
@@ -573,17 +633,23 @@ object AnalyticsOps {
     * bounded by calendar span, same fail-fast guard) plus two
     * partial-agg rollups for n and ties.
     */
-  def mannKendall(events: DataFrame, maxDaysPerKey: Long = 4000L): DataFrame = {
-    val daily = events
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+  def mannKendall(events: DataFrame, maxDaysPerKey: Long = 4000L,
+      unit: String = "day"): DataFrame = {
+    // `unit` is the guard's named fallback made real: "week"/"month"
+    // coarsen the series before the pairwise stage (÷7/÷30 points ⇒
+    // ÷49/÷900 pairs) — the classical seasonal-Kendall coarsening.
+    // persisted (ADVICE r8): guard count + sign join + tie rollup all
+    // read this aggregate — one scan + cache instead of three.
+    val daily = graft.CacheRegistry.persist(events
+      .groupBy(col("event_type"), date_trunc(unit, col("ts")).as("day"))
       .agg(Exact.avgD(col("value")).as("y"))
-      .withColumn("yq", floor(col("y") * lit(1000000.0)))
+      .withColumn("yq", floor(col("y") * lit(1000000.0))))
     val maxDays = daily.groupBy("event_type").count()
       .agg(coalesce(max("count"), lit(0L)).as("m")).head.getLong(0)
     require(maxDays <= maxDaysPerKey,
       s"mannKendall forms |days|^2/2 sign pairs per key, quarantined to " +
         s"<= $maxDaysPerKey daily points per key, got $maxDays; coarsen " +
-        s"to weekly means at this span, or raise maxDaysPerKey explicitly")
+        s"""(unit="week") at this span, or raise maxDaysPerKey explicitly""")
     val s = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type")
           && col("a.day") < col("b.day"))
@@ -675,7 +741,11 @@ object AnalyticsOps {
     * autocorr); the oracle mirrors with HUGEINT.
     */
   def ksTest(events: DataFrame, maxGridValues: Long = 100000L): DataFrame = {
-    val vals = events.select(col("value")).distinct()
+    // persisted (ADVICE r8): the guard count below materializes the
+    // distinct-value set once; the grid cross-join reuses the cache
+    // instead of recomputing the distinct aggregation
+    val vals = graft.CacheRegistry.persist(
+      events.select(col("value")).distinct())
     val nVals = vals.count()
     require(nVals <= maxGridValues,
       s"ksTest evaluates an exact |keys x distinct-values| grid, " +
@@ -747,7 +817,9 @@ object AnalyticsOps {
   def mannWhitney(events: DataFrame,
       maxGridValues: Long = 100000L): DataFrame = {
     val I = DecimalType(38, 0)
-    val vals = events.select(col("value")).distinct()
+    // persisted (ADVICE r8): guard count + grid share one distinct scan
+    val vals = graft.CacheRegistry.persist(
+      events.select(col("value")).distinct())
     val nVals = vals.count()
     require(nVals <= maxGridValues,
       s"mannWhitney ranks over an exact |keys x distinct-values| grid, " +
@@ -792,6 +864,88 @@ object AnalyticsOps {
       when(ok, round(z, 6)).as("z_u"))
   }
 
+  /** B54: Kruskal–Wallis H across ALL keys at once — the global
+    * "does ANY key's distribution sit apart?" screen that completes
+    * the drift family (B53's U answers it pairwise key-vs-rest, at
+    * |keys| tests and |keys| chances of a false alarm; one H is the
+    * omnibus gate a monitor checks FIRST, descending into per-key U
+    * only when it fires). Tie-corrected:
+    * H = [12/(n(n+1)) · Σ_k R_k²/n_k − 3(n+1)] / (1 − Σ(t³−t)/(n³−n)).
+    *
+    * Exactness: ranks ride B53's doubled integer domain over the SAME
+    * distributed keys×values grid (per-key cumulative window + value-
+    * partitioned pooled sums — no single-partition prefix anywhere);
+    * R2_k and the tie term accumulate in DECIMAL(38,0). Each per-key
+    * term (R2_k/2)²/n_k is a fixed double chain on exact casts, but
+    * the CROSS-KEY sum of those doubles would be association-order
+    * noise — so each term floor-quantizes ×10⁶ into DECIMAL(38,0)
+    * first (the B51 cross-cell protocol) and the sum is order-
+    * independent; H is one fixed double chain on the exact sum,
+    * round-6. All-tied data (correction ≤ 0) publishes null.
+    *
+    * Scale shape: B44/B53's grid verbatim (quantize continuous
+    * domains per the ksTestBinned protocol first — same fail-fast
+    * guard), then ONE |keys|-row partial agg + a 1-row reduce.
+    */
+  def kruskalWallis(events: DataFrame,
+      maxGridValues: Long = 100000L): DataFrame = {
+    val I = DecimalType(38, 0)
+    val vals = graft.CacheRegistry.persist(
+      events.select(col("value")).distinct())
+    val nVals = vals.count()
+    require(nVals <= maxGridValues,
+      s"kruskalWallis ranks over an exact |keys x distinct-values| grid, " +
+        s"quarantined to <= $maxGridValues distinct values, got $nVals; " +
+        s"floor-quantize the value domain first (the ksTestBinned " +
+        s"protocol) at this scale, or raise maxGridValues explicitly")
+    val keys = events.select(col("event_type")).distinct()
+    val cnt = events.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    val grid = keys.crossJoin(vals)
+      .join(cnt, Seq("event_type", "value"), "left")
+      .na.fill(0L, Seq("c"))
+    val wK = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wV = Window.partitionBy("value")
+    val ranked = grid.withColumn("cum_k", sum("c").over(wK))
+      .withColumn("cum_all", sum(col("cum_k")).over(wV))
+      .withColumn("cnt_all", sum(col("c")).over(wV))
+      .withColumn("avgrank2",
+        (col("cum_all") * 2 - col("cnt_all") + 1).cast(I))
+    // (R2/2)²/n_k is deterministic per key; quantized so the
+    // cross-key sum can't pick up double association-order noise.
+    // Spark's floor(double) returns LONG and WRAPS past 2⁶³ — the
+    // sf0.1 gate caught exactly this (term·10⁶ ≈ 5·10¹⁹ flipped the
+    // statistic's sign) — but above 2⁵³ a double is already integral,
+    // so the decimal cast IS the floor there (exact in both engines);
+    // DuckDB's floor stays in the double domain and needs no branch.
+    val term = (col("r2").cast("double") / lit(2.0)) *
+      (col("r2").cast("double") / lit(2.0)) /
+      col("n_k").cast("double") * lit(1.0e6)
+    val tq = when(term < lit(9.007199254740992e15),
+      floor(term).cast(I)).otherwise(term.cast(I))
+    val perKey = ranked.groupBy("event_type")
+      .agg(sum(col("c").cast(I) * col("avgrank2")).as("r2"),
+        sum(col("c")).as("n_k"))
+      .select(tq.as("tq"))
+      .agg(sum(col("tq")).as("term_sum"), count(lit(1)).as("n_keys"))
+    val tieT = cnt.groupBy("value").agg(sum("c").as("t"))
+      .agg(sum(col("t").cast(I) * col("t").cast(I) * col("t").cast(I)
+        - col("t").cast(I)).as("tie_t"))
+    val nTot = events.agg(count(lit(1)).as("n_all"))
+    val nD = col("n_all").cast("double")
+    val s = col("term_sum").cast("double") / lit(1.0e6)
+    val hRaw = (lit(12.0) / (nD * (nD + lit(1.0))) * s) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) -
+      col("tie_t").cast("double") / (nD * nD * nD - nD)
+    val ok = col("n_all") > 1 && col("n_keys") > 1 && corr > 0.0
+    perKey.crossJoin(broadcast(nTot)).crossJoin(broadcast(tieT))
+      .select(col("n_all"), col("n_keys"),
+        (col("n_keys") - 1).as("dof"),
+        when(ok, round(hRaw / corr, 6)).as("h_stat"))
+  }
+
   /** B44 production variant: KS over a FLOOR-QUANTIZED value domain —
     * bins of width 10^-decimals (the A37 ×10ᵈ protocol: `floor` of
     * the exactly-rounded double product is bit-identical across
@@ -808,8 +962,15 @@ object AnalyticsOps {
   def ksTestBinned(events: DataFrame, decimals: Int = 2): DataFrame = {
     val I = DecimalType(38, 0)
     val scale = math.pow(10.0, decimals)
+    // round-HALF-UP binning (floor(v·scale + 0.5)), not bare floor
+    // (ADVICE r8): double(0.29)·100 = 28.999999999999996, so bare
+    // floor lands limited-decimal values sitting ON a bin edge one
+    // bin low (0.28 and 0.29 would merge into bin 28, hiding the true
+    // sup and mislabeling d_at_bin) — the same failure B46 fixed with
+    // the same correction; still bit-identical cross-engine (pure
+    // double ops, mirrored in the oracle)
     val binned = events.select(col("event_type"),
-      floor(col("value") * lit(scale)).cast("long").as("bin"))
+      floor(col("value") * lit(scale) + lit(0.5)).cast("long").as("bin"))
     val bins = binned.select(col("bin")).distinct()
     val keys = binned.select(col("event_type")).distinct()
     val cnt = binned.groupBy("event_type", "bin")
@@ -836,7 +997,8 @@ object AnalyticsOps {
       .agg(max(struct(col("d_num"), negate(col("bin")).as("nb"))).as("m"),
         max("n_k").as("n_k"), max("n_rest").as("n_rest"))
       .select(col("event_type"), col("n_k"), col("n_rest"),
-        // the bin's LOWER EDGE in value units — one double division
+        // the bin's CENTER in value units (half-up bins are centered
+        // on multiples of 10^-decimals) — one double division
         (negate(col("m.nb")).cast("double") / lit(scale)).as("d_at_bin"),
         (col("m.d_num").cast("double")
           / (col("n_k").cast("double") * col("n_rest").cast("double")))
@@ -1026,6 +1188,44 @@ object AnalyticsOps {
           .as("was_clipped"))
   }
 
+  /** B31's 100 TB swap (VERDICT r8 #4) — the LAST percentile consumer
+    * without its sketch form: cut points from mergeable
+    * approx_percentile sketches (two partial-agg passes, no per-key
+    * sort — the shape that survives 100 TB) instead of B15's exact
+    * interpolated percentile. Gated the q_mad_approx way: the
+    * published clip columns are the EXACT operator's (deterministic,
+    * hashable) plus an in-row `flags_match` the oracle asserts TRUE —
+    * the sketch's ±ε rank error may flip a clip decision ONLY for a
+    * value lying between the approx cut and the true percentile edge
+    * (the ccnet_bucket_approx excuse interval), so any disagreement
+    * outside that interval fails the hash.
+    */
+  def winsorizeApprox(events: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val exact = winsorize(events, lo, hi)
+    val cuts = events.groupBy("event_type").agg(
+      round(expr(s"percentile(value, $lo)"), 4).as("c_lo"),
+      round(expr(s"percentile(value, $hi)"), 4).as("c_hi"))
+    val cutsA = events.groupBy("event_type").agg(
+      percentile_approx(col("value"), lit(lo), lit(10000)).as("a_lo"),
+      percentile_approx(col("value"), lit(hi), lit(10000)).as("a_hi"))
+    val flagA = events.join(broadcast(cutsA), "event_type")
+      .select(col("event_id"),
+        (col("value") < col("a_lo") || col("value") > col("a_hi"))
+          .as("clip_a"),
+        col("a_lo"), col("a_hi"))
+    exact.join(flagA, "event_id")
+      .join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("value_winsor"), col("was_clipped"),
+        (col("clip_a") <=> col("was_clipped")
+          || (col("value") >= least(col("a_lo"), col("c_lo"))
+            && col("value") <= greatest(col("a_lo"), col("c_lo")))
+          || (col("value") >= least(col("a_hi"), col("c_hi"))
+            && col("value") <= greatest(col("a_hi"), col("c_hi"))))
+          .as("flags_match"))
+  }
+
   /** B27: selective fact-to-fact join — the shape Spark's RUNTIME
     * BLOOM FILTER optimization exists for: a filtered orders side
     * too big to broadcast-prune the scan statically, so the optimizer
@@ -1183,20 +1383,43 @@ object AnalyticsOps {
     * events stream never shuffles twice, output is 2·|keys| partials
     * folded to |keys| rows.
     */
-  def welchDrift(events: DataFrame): DataFrame = {
+  def welchDrift(events: DataFrame): DataFrame =
+    welchFromComoments(welchComoments(events))
+
+  /** B48's sufficient statistic: per (key, day-parity) exact
+    * DECIMAL(38,0) co-moments (n, Σx·10⁶, Σx²·10¹²). Exposed because
+    * these integers are EXACTLY the mergeable state the D16 streaming
+    * monitor folds — integer addition is associative, so a per-batch
+    * full-outer ADD equals the whole-history grid bit-for-bit on any
+    * batch split (the D14 argument).
+    */
+  def welchComoments(events: DataFrame): DataFrame = {
     val I = DecimalType(38, 0)
     val xq = (col("value").cast(DecimalType(20, 6)) * lit(1000000)).cast(I)
     val par = pmod(dayofmonth(col("ts")), lit(2))
-    val g = events
+    events
       .select(col("event_type"), par.as("p"), xq.as("xq"))
       .groupBy("event_type", "p")
       .agg(count(lit(1)).as("n"), sum(col("xq")).as("s1"),
         sum(col("xq") * col("xq")).as("s2"))
+  }
+
+  /** B48's statistic from the (event_type, p, n, s1, s2) co-moment
+    * grid — ONE math object, two feeds (batch [[welchDrift]] and the
+    * D16 streaming fold), so the live statistic is definitionally the
+    * batch statistic on the whole history.
+    */
+  def welchFromComoments(g: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
     def side(p: Int, suffix: String) = g.filter(col("p") === p)
       .select(col("event_type").as(s"et$suffix"), col("n").as(s"n$suffix"),
         col("s1").as(s"s1$suffix"), col("s2").as(s"s2$suffix"))
+    // FULL OUTER (ADVICE r8): a key whose events all land on one
+    // parity must still appear in the drift report (null t_stat, the
+    // degenerate-split convention) — an inner join silently dropped
+    // monitored keys from the monitor
     val j = side(1, "a").join(side(0, "b"),
-      col("eta") === col("etb"))
+      col("eta") === col("etb"), "full_outer")
     def nD(c: Column) = c.cast("double")
     // per-side mean and unbiased variance, each ONE cast + fixed ops
     def mean(n: Column, s1: Column) =
@@ -1215,8 +1438,9 @@ object AnalyticsOps {
     // degenerate splits (a single-row side or two zero-variance
     // sides) publish null, not ±Inf/NaN
     val ok = col("na") > 1 && col("nb") > 1 && (sea + seb) > 0.0
-    j.select(col("eta").as("event_type"),
-      col("na").as("n_odd"), col("nb").as("n_even"),
+    j.select(coalesce(col("eta"), col("etb")).as("event_type"),
+      coalesce(col("na"), lit(0L)).as("n_odd"),
+      coalesce(col("nb"), lit(0L)).as("n_even"),
       when(ok, round(t, 6)).as("t_stat"),
       when(ok, round(dof, 6)).as("dof"))
   }

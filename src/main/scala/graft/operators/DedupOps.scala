@@ -419,6 +419,70 @@ object DedupOps {
         (abs(est - col("jaccard")) <= lit(band)).as("est_ok"))
   }
 
+  /** C71: MinHash PAIR-SET recall, ORACLE-GATED (VERDICT r8 #6) —
+    * C64 certifies the signatures and C65/C66 certify ANN recall, but
+    * C2's emitted pair LIST itself was still rows-only. This is the
+    * C65 shape for it: the truth set is every same-source pair whose
+    * EXACT distinct-trigram Jaccard clears `minJaccardTruth`
+    * (SQL-expressible — C64's construction verbatim), and the in-row
+    * `recall_ok` asserts the LSH pipeline emitted ≥ `floor` of them.
+    * Theory headroom: at J = 0.7 a 16-band × 4-row table misses a
+    * pair with probability (1 − J⁴)¹⁶ ≈ 0.012 and the est ≥ 0.5
+    * verify filter rejects ~2·10⁻⁴ — so a healthy pipeline sits near
+    * 0.99 and a broken banding (mis-sliced signature, re-seeded band
+    * hash, a dropped verify side) crashes through the 0.9 floor. The
+    * driver re-measures this at both SFs every round.
+    *
+    * Scale shape: the exact side is the C64 audit cost (source-
+    * blocked inverted-index join); the LSH side is C2's production
+    * plan; the comparison is one pair-keyed LEFT SEMI + two 1-row
+    * aggregates.
+    */
+  /** Deterministic near-duplicate injection for the pair-recall gates
+    * (C71/C72) — the C29/C34 synthetic-hazard pattern: every doc with
+    * doc_id ≡ 0 (mod `mod`) gets a twin (doc_id + 10⁹, same source)
+    * whose text appends one sentinel token, i.e. trigram Jaccard
+    * n/(n+1) ≈ 0.99 and tf-cosine ≈ √(n/(n+1)) ≈ 0.995+ BY
+    * CONSTRUCTION. The natural corpus carries only 1–4 pairs above
+    * the certification thresholds (measured at both SFs) — far too
+    * few for a stable recall floor — while the injected twins give
+    * |docs|/mod truth pairs that the DuckDB oracle rebuilds verbatim.
+    */
+  def withSyntheticNearDups(documents: DataFrame, mod: Int = 10): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"), col("text"))
+    base.unionByName(base.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("source"),
+        concat(col("text"), lit(" zzduptoken")).as("text")))
+  }
+
+  def minhashPairRecall(documents: DataFrame,
+      minJaccardTruth: Double = 0.7, lshMinJaccard: Double = 0.5,
+      floor: Double = 0.9): DataFrame = {
+    val grams = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), col("source"),
+        explode(array_distinct(shingleHashes(col("text")))).as("th")))
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.source") === col("y.source") && col("x.th") === col("y.th")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val truth = inter
+      .join(counts.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("n_inter").cast("double")
+        / (col("n1") + col("n2") - col("n_inter")) >= minJaccardTruth)
+      .select(col("id1"), col("id2"))
+    val lsh = minhashLshPairs(documents, lshMinJaccard)
+      .select(col("id1"), col("id2"))
+    val found = truth.join(lsh, Seq("id1", "id2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"),
+        (col("n_found").cast("double") >= lit(floor) * col("n_truth"))
+          .as("recall_ok"))
+  }
+
   /** C62: n-gram coverage — C16's audit from the BENCHMARK's side:
     * per benchmark doc, what fraction of its DISTINCT word trigrams
     * appears anywhere in the training corpus (the eval-leakage
@@ -581,6 +645,55 @@ object DedupOps {
       .select(col("bin"), col("n_pairs"), col("mean_cosine"),
         (abs(col("mean_est") - col("mean_cosine")) <= lit(band))
           .as("cal_ok"))
+  }
+
+  /** C72: SimHash PAIR-SET recall, ORACLE-GATED (VERDICT r8 #6) —
+    * C71's proof for the other signature family: the truth set is
+    * every same-source pair whose EXACT tf-cosine clears
+    * `minCosineTruth` (C67's SQL construction), and `recall_ok`
+    * asserts C3's hamming ≤ `maxHamming` pair set carried ≥ `floor`
+    * of them. The threshold pairing is where the estimator is sharp:
+    * at cosine 0.99+ the expected signature hamming is
+    * 64·acos(c)/π ≲ 2.9 bits, so ham ≤ 3 catches the mass of the
+    * distribution (and the 4×16-bit chunk pigeonhole makes every
+    * ham ≤ 3 pair a CANDIDATE by construction — recall loss can only
+    * come from the signature itself, which is exactly what this
+    * certifies). A re-seeded token hash or broken bit-sum drives
+    * hammings toward 32 and recall to ~0.
+    *
+    * Scale shape: exact side = C67's source-blocked tf join (audit
+    * cost); C3's chunk-bucketed candidates are the production plan;
+    * one pair-keyed LEFT SEMI + two 1-row aggregates.
+    */
+  def simhashPairRecall(documents: DataFrame,
+      minCosineTruth: Double = 0.99, maxHamming: Int = 3,
+      floor: Double = 0.7): DataFrame = {
+    val tf = graft.CacheRegistry.persist(
+      documents.select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(count(lit(1)).as("c")))
+    val nrm = tf.groupBy("doc_id").agg(sum(col("c") * col("c")).as("nsq"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val truth = dots
+      .join(nrm.select(col("doc_id").as("id1"), col("nsq").as("n1")), "id1")
+      .join(nrm.select(col("doc_id").as("id2"), col("nsq").as("n2")), "id2")
+      .filter(round(col("dot").cast("double")
+        / (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))),
+        4) >= minCosineTruth)
+      .select(col("id1"), col("id2"))
+    val pairs = simhashPairs(documents, maxHamming)
+      .select(col("id1"), col("id2"))
+    val found = truth.join(pairs, Seq("id1", "id2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"),
+        (col("n_found").cast("double") >= lit(floor) * col("n_truth"))
+          .as("recall_ok"))
   }
 
   /** C4: word-set (unigram) Jaccard over candidate pairs blocked by

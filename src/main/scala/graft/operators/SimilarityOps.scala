@@ -535,9 +535,10 @@ object SimilarityOps {
     * 2⁵³, so the quotient carries the A38 one-ulp caveat — hence
     * round-6 AND the exact decimal beside it). Magnitude budget:
     * |q| ≤ 2²⁰, |G| ≤ n·2⁴⁰, |x₂| ≤ d²·n²·2⁸⁰ ≈ 10³⁵ at d = 64,
-    * n = 10⁴ — inside DECIMAL(38,0); corpora past ~10⁵ vectors run
-    * the documented normalized-double production form (per-round
-    * rescale, A38 round-6 co-moments).
+    * n = 10⁴ — inside DECIMAL(38,0); a fail-fast guard (r9) refuses
+    * corpora past `maxVectors` ~10⁵ and names [[embPcaScaledRaw]],
+    * the implemented normalized-double production form certified by
+    * [[embPcaScaled]]'s band gate.
     *
     * Scale shape: the Gram build is a posexplode + per-vector d²
     * pair fan-out collapsed by a partial-aggregated (i, j) groupBy —
@@ -545,9 +546,20 @@ object SimilarityOps {
     * (the distributed Gram pattern); both mat-vec steps are d²-row
     * joins against broadcast d-row vectors.
     */
-  def embPca(embeddings: DataFrame): DataFrame = {
+  def embPca(embeddings: DataFrame, maxVectors: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val I = DecimalType(38, 0)
+    // fail-fast headroom guard (ADVICE r8 / VERDICT r8 #2): the
+    // docstring's |x₂| ≤ d²·n²·2⁸⁰ budget exits DECIMAL(38,0) past
+    // ~10⁵ vectors, and Spark decimal overflow yields silent nulls —
+    // the C5 quarantine convention, naming the production form
+    val nVecs = embeddings.count()
+    require(nVecs <= maxVectors,
+      s"embPca's exact DECIMAL(38,0) power iteration has headroom " +
+        s"|x2| <= d^2*n^2*2^80 only to ~$maxVectors vectors (overflow " +
+        s"yields silent nulls), got $nVecs; use embPcaScaledRaw (the " +
+        s"normalized-double production form) at this scale, or raise " +
+        s"maxVectors explicitly")
     val q = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
@@ -573,6 +585,65 @@ object SimilarityOps {
         round(col("x2").cast("double") / col("refv").cast("double"), 6)
           .as("ratio"))
   }
+
+  /** C68's normalized-double PRODUCTION form (VERDICT r8 #2) — the
+    * path the exact operator's guard names past ~10⁵ vectors, where
+    * DECIMAL(38,0) headroom runs out: the same two-step power
+    * iteration with the Gram matrix and mat-vecs in plain double, and
+    * a PER-ROUND RESCALE of the iterate by its largest |component| so
+    * magnitudes stay O(G) per step no matter how many rounds a
+    * convergence-driven caller unrolls (the quantity published — the
+    * component RATIO — is rescale-invariant by construction). Double
+    * sums are association-order-noisy at the ulp level, which is why
+    * this form is certified by [[embPcaScaled]]'s band gate rather
+    * than hashed directly: the direction is stable to ~1e-12 while
+    * the band is 1e-3.
+    *
+    * Scale shape: identical to the exact form — the Gram build's
+    * shuffle carries d² double rows TOTAL regardless of corpus size,
+    * each mat-vec is a d²-row join against a broadcast d-row vector.
+    */
+  def embPcaScaledRaw(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("dv"))
+    val gram = q.as("a").join(q.as("b"), "vec_id")
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg(sum(col("a.dv") * col("b.dv")).as("g"))
+    val x1 = gram.groupBy(col("i").as("pos")).agg(sum(col("g")).as("x1"))
+    // per-round rescale: divide the iterate by its max |component|
+    // before the next mat-vec (overflow-proof at any round count)
+    val m1 = x1.agg(max(abs(col("x1"))).as("m1"))
+    val x1n = x1.crossJoin(broadcast(m1))
+      .select(col("pos").as("j"), (col("x1") / col("m1")).as("x1n"))
+    val x2 = gram.join(broadcast(x1n), "j")
+      .groupBy(col("i").as("pos"))
+      .agg(sum(col("g") * col("x1n")).as("x2"))
+    val ref = x2.agg(max(struct(abs(col("x2")).as("mag"),
+      negate(col("pos")).as("np"), col("x2").as("refv"))).as("m"))
+      .select(col("m.refv").as("refv"))
+    x2.crossJoin(broadcast(ref))
+      .select(col("pos"), (col("x2") / col("refv")).as("ratio_scaled"))
+  }
+
+  /** C68's certification gate for the scaled form — the
+    * ccnet_bucket_approx precedent: publish the EXACT operator's
+    * columns (hashable) beside an in-row `scaled_ok` band the oracle
+    * asserts TRUE. The scaled direction's double noise is ~1e-12 of a
+    * unit ratio; `band` = 1e-3 is six decades of margin yet decisive
+    * against a mis-wired production path (a skipped rescale, a
+    * transposed mat-vec join, or a float truncation moves dense
+    * components by ≥ the band). Gate-scale only — it contains the
+    * exact twin; production past the guard runs [[embPcaScaledRaw]].
+    */
+  def embPcaScaled(embeddings: DataFrame,
+      band: Double = 0.001): DataFrame =
+    embPca(embeddings)
+      .join(embPcaScaledRaw(embeddings), Seq("pos"))
+      .select(col("pos"), col("x2"), col("ratio"),
+        (abs(col("ratio_scaled") - col("ratio")) <= lit(band))
+          .as("scaled_ok"))
 
   /** C30: per-label centroid vectors in long form (label, pos, mean) —
     * the k-means/class-prototype step of embedding-space curation

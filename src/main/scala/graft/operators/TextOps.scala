@@ -958,10 +958,13 @@ object TextOps {
     * — each absent token contributes q·ln 2 — so the operator only
     * materializes PRESENT (source, token) rows and adds
     * (1 − Q_s)·ln 2 where Q_s = (Σ_{t∈s} c_t)/N is one exact integer
-    * sum and one division. Per-present-token terms follow C32's
-    * protocol: fixed double chain → DECIMAL(38,18) quantized terms →
-    * exact order-independent sum → round-4 publish (an engine ulp in
-    * ln lands in the 18th decimal and dies at round-4).
+    * sum and one division. Per-present-token terms quantize as
+    * floor(term·10¹²) integers (the C30/A37 protocol — a double→
+    * DECIMAL cast rounds in Spark but truncates in DuckDB, so only
+    * floor is engine-identical; ADVICE r8) → exact order-independent
+    * DECIMAL(38,0) sum → round-4 publish (an engine ulp in ln flips
+    * floor only on exact 10⁻¹² boundaries, which ln output never
+    * lands on; the ≤1e-12 bias per term dies at round-4).
     *
     * Scale shape: one (source, tok) partial-agg groupBy, a vocab-key
     * join of that table against the |vocab|-row corpus counts, a
@@ -991,7 +994,14 @@ object TextOps {
     val p = col("c_st").cast("double") / col("n_s").cast("double")
     val q = col("c_t").cast("double") / col("n_corpus").cast("double")
     val m = (p + q) / lit(2.0)
-    val term = (p * log(p / m) + q * log(q / m)).cast(DecimalType(38, 18))
+    // floor(term·10¹²), NOT a double→DECIMAL cast (ADVICE r8): the
+    // cast ROUNDS in Spark but TRUNCATES in DuckDB (the documented
+    // divergence), so only floor of the exactly-computed product is
+    // genuinely engine-identical. 10¹² keeps |term|·scale ≤ 1.4·10¹²
+    // < 2⁵³ (floor really floors) and the ≤1e-12-per-term bias dies
+    // at the round-4 publish even over 10⁸ distinct tokens.
+    val term = floor((p * log(p / m) + q * log(q / m)) * lit(1.0e12))
+      .cast(DecimalType(38, 0))
     val agg = st
       .join(broadcast(s), "source")
       .join(t, "tok")
@@ -1004,7 +1014,7 @@ object TextOps {
         max(col("n_corpus")).as("n_corpus"))
     val qs = col("ct_sum").cast("double") / col("n_corpus").cast("double")
     agg.select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
-      round((col("term_sum").cast("double")
+      round((col("term_sum").cast("double") / lit(1.0e12)
         + (lit(1.0) - qs) * lit(math.log(2.0))) / lit(2.0), 4).as("jsd"))
   }
 

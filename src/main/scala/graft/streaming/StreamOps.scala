@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Schemas.Event
 
 /** Structured Streaming twins of the batch marts — the reference's
@@ -188,7 +189,8 @@ object StreamOps {
     * overwrites only its own dir, so crash-replay is idempotent
     * (D11's self-healing shape).
     */
-  def streamingCusum(events: DataFrame, stats: DataFrame, stateDir: String)
+  def streamingCusum(events: DataFrame, stats: DataFrame, stateDir: String,
+      retainBatches: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Update())
@@ -252,6 +254,7 @@ object StreamOps {
                     + coalesce(col("cnt"), lit(0L))).as("n_seen"))
           }
           newState.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
           prior.foreach { p =>
             org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
               .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
@@ -262,6 +265,34 @@ object StreamOps {
           graft.CacheRegistry.unpersistAll()
         }
       }
+
+  /** Snapshot retention sweep (VERDICT r8 #9): the D12–D16 monitors
+    * write one `batch=<id>` directory per micro-batch and previously
+    * kept them all FOREVER — harmless in a 3-batch spec, unbounded in
+    * a long-lived stream. After committing batch `id`, delete every
+    * snapshot with batch ≤ id − `retain`. `retain` ≥ 2 preserves the
+    * idempotent crash-replay contract: Structured Streaming replays
+    * at most the last uncommitted batch, whose fold reads the latest
+    * snapshot < id — i.e. id − 1, always retained. (Snapshots are
+    * LATEST-wins full states, not deltas, so older dirs carry no
+    * information the newest doesn't.)
+    */
+  private def pruneSnapshots(stateDir: String, id: Long,
+      retain: Int): Unit = {
+    val root = new java.io.File(stateDir)
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+    dirs.filter(_.getName.startsWith("batch=")).foreach { d =>
+      val bid = try d.getName.stripPrefix("batch=").toLong
+        catch { case _: NumberFormatException => Long.MaxValue }
+      if (bid <= id - retain) {
+        import java.nio.file.{Files, Path}
+        try Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        catch { case _: Throwable => () }
+      }
+    }
+  }
 
   /** The latest carried D12 state snapshot (raw n-scaled integers;
     * unscale with [[graft.operators.AnalyticsOps.cusumUnscale]]).
@@ -289,7 +320,7 @@ object StreamOps {
     * against exact whole-history counts after a multi-batch drain.
     */
   def streamingHeavyHitters(events: DataFrame, stateDir: String,
-      capacity: Int = 64)
+      capacity: Int = 64, retainBatches: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Update())
@@ -326,6 +357,7 @@ object StreamOps {
                 col("e.est").as("est"), col("e.err").as("err"))
           }
           merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
           prior.foreach { p =>
             org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
               .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
@@ -360,7 +392,7 @@ object StreamOps {
     * idempotent crash-replay shape.
     */
   def streamingChiSquare(events: DataFrame, stateDir: String,
-      nCohorts: Int = 4)
+      nCohorts: Int = 4, retainBatches: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Update())
@@ -390,6 +422,7 @@ object StreamOps {
                   .as("o"))
           }
           merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
           prior.foreach { p =>
             org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
               .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
@@ -426,7 +459,8 @@ object StreamOps {
     * `stateDir/batch=<id>` with latest-prior reads (the D11-D14
     * idempotent crash-replay shape).
     */
-  def streamingCorpusDivergence(documents: DataFrame, stateDir: String)
+  def streamingCorpusDivergence(documents: DataFrame, stateDir: String,
+      retainBatches: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     documents.writeStream
       .outputMode(OutputMode.Update())
@@ -458,6 +492,7 @@ object StreamOps {
                   + coalesce(col("c_st"), lit(0L))).as("c_st"))
           }
           merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
           prior.foreach { p =>
             org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
               .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
@@ -477,6 +512,80 @@ object StreamOps {
     val all = spark.read.parquet(stateDir)
     val latest = all.agg(max("batch")).head().get(0)
     graft.operators.TextOps.corpusDivergenceFromCounts(
+      all.filter(col("batch") === latest).drop("batch"))
+  }
+
+  /** D16: streaming Welch mean-drift monitor — B48 as a LIVE gate.
+    * The state is B48's (event_type, parity, n, Σx, Σx²) co-moment
+    * grid: per micro-batch one partial-agg groupBy, a full-outer ADD
+    * into the prior snapshot — the D14 associativity argument
+    * verbatim (exact DECIMAL(38,0) integer addition, lossless on any
+    * batch split), so the folded grid equals the whole-history batch
+    * grid bit-for-bit, and [[graft.operators.AnalyticsOps
+    * .welchFromComoments]] applied to it IS the batch statistic (one
+    * math object, two feeds — D14's design). State is ≤ 2·|keys| rows
+    * per snapshot forever, under `stateDir/batch=<id>` with
+    * latest-prior reads and the retention sweep (D11-D15's idempotent
+    * crash-replay shape).
+    */
+  def streamingWelch(events: DataFrame, stateDir: String,
+      retainBatches: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("event_type"), col("ts"), col("value"))
+          .localCheckpoint(true)
+        try {
+          val bG = graft.operators.AnalyticsOps.welchComoments(b)
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => bG
+            case Some(p) => p
+              .select(col("event_type"), col("p"), col("n").as("n0"),
+                col("s1").as("s1_0"), col("s2").as("s2_0"))
+              .join(bG, Seq("event_type", "p"), "full_outer")
+              .select(col("event_type"), col("p"),
+                (coalesce(col("n0"), lit(0L))
+                  + coalesce(col("n"), lit(0L))).as("n"),
+                (coalesce(col("s1_0"), lit(0).cast(DecimalType(38, 0)))
+                  + coalesce(col("s1"), lit(0).cast(DecimalType(38, 0))))
+                  .as("s1"),
+                (coalesce(col("s2_0"), lit(0).cast(DecimalType(38, 0)))
+                  + coalesce(col("s2"), lit(0).cast(DecimalType(38, 0))))
+                  .as("s2"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D16 statistic: B48's exact math over the latest folded
+    * co-moment grid.
+    */
+  def latestWelch(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.AnalyticsOps.welchFromComoments(
       all.filter(col("batch") === latest).drop("batch"))
   }
 

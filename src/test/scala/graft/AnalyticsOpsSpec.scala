@@ -325,6 +325,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(AnalyticsOps.theilSen(events, maxDaysPerKey = 5L).count() === 2L)
   }
 
+  test("theilSenSampled: deterministic seeded draw, exact columns carried, band holds") {
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.theilSenSampled(events).cache()
+    try {
+      // exact columns are theilSen's bit-for-bit
+      val exact = AnalyticsOps.theilSen(events)
+      assert(out.select("event_type", "ts_slope", "n_pairs")
+        .except(exact).isEmpty)
+      // the seeded draw keeps a strict, deterministic subset of pairs
+      assert(out.filter(col("n_pairs_sampled") >= col("n_pairs")).count() === 0)
+      val again = AnalyticsOps.theilSenSampled(events)
+      assert(out.except(again).isEmpty && again.except(out).isEmpty,
+        "same seed must reproduce the identical sampled median")
+      // the gate band holds on the corpus (oracle recomputes this too)
+      assert(out.filter(!col("band_ok")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("winsorizeApprox: sketch cuts flip flags only inside the cut interval") {
+    val events = Tables.events(spark, sf)
+    val out = AnalyticsOps.winsorizeApprox(events).cache()
+    try {
+      assert(out.count() === events.count())
+      assert(out.filter(!col("flags_match")).count() === 0,
+        "sketch-cut clip flags disagreed with the exact cuts outside " +
+          "the approx-vs-exact cut interval")
+      // published columns are the exact operator's bit-for-bit
+      val exact = AnalyticsOps.winsorize(events)
+      assert(out.drop("flags_match").except(exact).isEmpty
+        && exact.except(out.drop("flags_match")).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("kruskalWallis: closed-form H on separated keys; all-tied reads null; guard trips") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, typ, v, "{}")
+    // two fully separated keys, no ties: ranks {1,2} vs {3,4} →
+    // H = 12/(4·5)·(3²/2 + 7²/2) − 3·5 = 0.6·29 − 15 = 2.4
+    val sep = Seq(ev(1, "a", 1.0), ev(2, "a", 2.0),
+      ev(3, "b", 3.0), ev(4, "b", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsOps.kruskalWallis(sep).head()
+    assert(r.getAs[Long]("n_all") === 4L && r.getAs[Long]("n_keys") === 2L)
+    assert(r.getAs[Double]("h_stat") === 2.4)
+    // every value tied: the tie correction zeroes out → null, not NaN
+    val tied = Seq(ev(1, "a", 5.0), ev(2, "a", 5.0),
+      ev(3, "b", 5.0), ev(4, "b", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(AnalyticsOps.kruskalWallis(tied).head().isNullAt(3))
+    intercept[IllegalArgumentException] {
+      AnalyticsOps.kruskalWallis(Tables.events(spark, sf),
+        maxGridValues = 10L)
+    }
+    // corpus: one row, H never negative (up to the 1e-6 quantization)
+    val full = AnalyticsOps.kruskalWallis(Tables.events(spark, sf))
+    assert(full.count() === 1L)
+    assert(full.head().getAs[Double]("h_stat") > -1e-4)
+  }
+
   test("mannKendall: monotone series maxes S, constant reads 0, guard trips") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
@@ -346,6 +407,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AnalyticsOps.mannKendall(events, maxDaysPerKey = 3L)
     }
+    // the guard's named fallback is real: weekly coarsening shrinks a
+    // 15-day span to 3 points (under a bound that rejects the daily
+    // form), and a monotone daily series stays monotone in its weekly
+    // means — S = C(3,2) = 3
+    val longUp = series((1 to 15).map(_.toDouble), "long_up", 300L)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    intercept[IllegalArgumentException] {
+      AnalyticsOps.mannKendall(longUp, maxDaysPerKey = 3L)
+    }
+    val weekly = AnalyticsOps.mannKendall(longUp, maxDaysPerKey = 3L,
+      unit = "week").head()
+    assert(weekly.getAs[Long]("n_days") === 3L)
+    assert(weekly.getAs[Long]("s_stat") === 3L)
     // corpus: one row per key; sign statistic bounded by C(n,2)
     val ev = Tables.events(spark, sf)
     val full = AnalyticsOps.mannKendall(ev)
@@ -460,10 +534,17 @@ class AnalyticsOpsSpec extends SparkSpec {
       ev(3, 2, "a", 5.0), ev(4, 4, "a", 9.0),
       // constant series: zero pooled variance → null, not ±Inf
       ev(5, 1, "b", 7.0), ev(6, 3, "b", 7.0),
-      ev(7, 2, "b", 7.0), ev(8, 4, "b", 7.0))
+      ev(7, 2, "b", 7.0), ev(8, 4, "b", 7.0),
+      // single-parity key (ADVICE r8): all odd days — the monitor must
+      // still REPORT it (null t_stat), never silently drop it
+      ev(9, 1, "c", 1.0), ev(10, 3, "c", 2.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = AnalyticsOps.welchDrift(rows).collect()
       .map(r => r.getString(0) -> r).toMap
+    assert(out.contains("c"), "single-parity key vanished from the report")
+    assert(out("c").getAs[Long]("n_odd") === 2L
+      && out("c").getAs[Long]("n_even") === 0L)
+    assert(out("c").isNullAt(3) && out("c").isNullAt(4))
     assert(out("a").getAs[Long]("n_odd") === 2L)
     assert(out("a").getAs[Double]("t_stat") ===
       math.round(-math.sqrt(5.0) * 1e6) / 1e6)

@@ -55,6 +55,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(full.count() > 0, "accuracy gate must not be vacuous")
   }
 
+  test("pair recall gates: injected twins are found; recall floors hold") {
+    import spark.implicits._
+    // withSyntheticNearDups: one twin per doc_id % 10 == 0, same
+    // source, one appended sentinel token
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val aug = DedupOps.withSyntheticNearDups(docs)
+    val nInjected = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    assert(aug.count() === docs.count() + nInjected)
+    // C71: every injected twin has trigram J = n/(n+1) >= 0.7, so the
+    // truth set is at least the injected pairs and the LSH pipeline
+    // must carry >= 90% of it
+    val mh = DedupOps.minhashPairRecall(aug).head()
+    assert(mh.getAs[Long]("n_truth") >= nInjected)
+    assert(mh.getAs[Boolean]("recall_ok"),
+      "MinHash LSH pair set lost >10% of exact-Jaccard truth pairs")
+    // C72: tf-cosine of a twin is sqrt(n/(n+1)) >= 0.99 on these doc
+    // lengths; the hamming<=3 pair set must carry >= 70%
+    val sh = DedupOps.simhashPairRecall(aug).head()
+    assert(sh.getAs[Long]("n_truth") > 0, "C72 gate must not be vacuous")
+    assert(sh.getAs[Boolean]("recall_ok"),
+      "SimHash pair set lost >30% of exact-cosine truth pairs")
+    // closed-form: two identical docs + a disjoint one — truth = the
+    // identical pair, both pipelines find it, recall exactly 1
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta", "s0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta", "s0"),
+      (3L, "one two three four five six seven", "s0"))
+      .toDF("doc_id", "text", "source")
+    val t1 = DedupOps.minhashPairRecall(tiny).head()
+    assert(t1.getAs[Long]("n_truth") === 1L && t1.getAs[Boolean]("recall_ok"))
+    val t2 = DedupOps.simhashPairRecall(tiny).head()
+    assert(t2.getAs[Long]("n_truth") === 1L && t2.getAs[Boolean]("recall_ok"))
+  }
+
   test("ngramCoverage: per-benchmark-doc coverage against a disjoint corpus") {
     import spark.implicits._
     val corpus = Seq((10L, "a b c d e")).toDF("doc_id", "text")

@@ -963,6 +963,30 @@ class SimilarityTextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("embPcaScaled: double direction tracks the exact ratio; guard names the scaled form") {
+    // the gate's published columns are the exact operator's, and the
+    // normalized-double path lands inside the 1e-3 band on every dim
+    val out = SimilarityOps.embPcaScaled(embeddings).cache()
+    try {
+      assert(out.filter(!col("scaled_ok")).count() === 0,
+        "normalized-double direction left the certification band")
+      val exact = SimilarityOps.embPca(embeddings)
+      assert(out.drop("scaled_ok").except(exact).isEmpty
+        && exact.except(out.drop("scaled_ok")).isEmpty)
+    } finally out.unpersist()
+    // ADVICE r8: the exact form fails FAST past its decimal headroom,
+    // naming the production path — never silent nulls from overflow
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.embPca(embeddings, maxVectors = 3L)
+    }
+    assert(e.getMessage.contains("embPcaScaledRaw"),
+      s"guard must name the scaled production form: ${e.getMessage}")
+    // the production path itself runs where the exact form refuses
+    // (no guard) and normalizes its reference component to 1
+    val raw = SimilarityOps.embPcaScaledRaw(embeddings)
+    assert(raw.filter(col("ratio_scaled") === 1.0).count() >= 1)
+  }
+
   test("simhashAccuracy: identical docs calibrate at 1.0; corpus bins hold, non-vacuous") {
     import spark.implicits._
     val twins = Seq(
