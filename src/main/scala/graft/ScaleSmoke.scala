@@ -196,6 +196,10 @@ object ScaleSmoke {
       // exact twin inside it, so the ratio includes the rank windows'
       // sort growth — the production-only path is strictly below
       ("q_spearman_approx", (_, e, _) => AnalyticsOps.spearmanApprox(e)),
+      // the production call alone — sketch cuts + integer histogram
+      // ranks, NO per-key sort; this is the 100 TB claim to measure
+      ("q_spearman_approx_raw", (_, e, _) =>
+        AnalyticsOps.spearmanApproxRaw(e)),
       // r9: omnibus rank test on the same grid — flat grid, scan growth
       ("q_kruskal", (_, e, _) => AnalyticsOps.kruskalWallis(e)))
 

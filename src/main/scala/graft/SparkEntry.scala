@@ -87,6 +87,11 @@ object SparkEntry {
     "q_seasonal" -> ((s, d) => AgriOps.seasonalDecompose(Tables.events(s, d))),
     "q_seasonal_strength" -> ((s, d) =>
       AgriOps.seasonalStrength(Tables.events(s, d))),
+    // A39/A40 (r9): drought DURATION (CDD) beside A36's SPI level and
+    // A30's heat duration; hourly chill accumulation beside A29's
+    // daily threshold counts
+    "q_dry_spell" -> ((s, d) => AgriOps.drySpell(Tables.events(s, d))),
+    "q_chill_hours" -> ((s, d) => AgriOps.chillHours(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -323,6 +328,9 @@ object SparkEntry {
     "simhash_accuracy" -> ((s, d) =>
       DedupOps.simhashAccuracy(Tables.documents(s, d))),
     "emb_pca" -> ((s, d) => SimilarityOps.embPca(Tables.embeddings(s, d))),
+    // C73 (r9): the pre-ANN vector sanity datasheet
+    "emb_norm_audit" -> ((s, d) =>
+      SimilarityOps.embNormAudit(Tables.embeddings(s, d))),
     // C68's scaled-form certification (VERDICT r8 #2): exact columns
     // hashed, scaled_ok band asserted by the oracle
     "emb_pca_scaled" -> ((s, d) =>
@@ -1482,6 +1490,44 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY event_type) AS n_spells
         |  FROM islands)
         |WHERE rn = 1""".stripMargin,
+    // A39: CDD dry-spell duration — daily exact-decimal precip TOTALS
+    // (sum semantics, round-4 in decimal); dry = strictly below the
+    // key's own round-4 median total (the below-normal-run
+    // dichotomy — non-vacuous at any volume), then A30's islands
+    "q_dry_spell" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |    AS p_total
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type,
+        |  round(quantile_cont(p_total, 0.5), 4) AS med
+        |  FROM daily GROUP BY 1),
+        |dry AS (SELECT daily.event_type, day,
+        |  datediff('day', DATE '2024-01-01', day)
+        |    - row_number() OVER (PARTITION BY daily.event_type
+        |      ORDER BY day) AS grp
+        |  FROM daily JOIN med USING (event_type)
+        |  WHERE p_total < med * 1.0),
+        |islands AS (SELECT event_type, grp, count(*) AS len,
+        |  min(day) AS spell_start FROM dry GROUP BY 1, 2)
+        |SELECT event_type, len AS max_dry_days, spell_start, n_spells
+        |FROM (SELECT event_type, len, spell_start,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY len DESC, spell_start DESC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n_spells
+        |  FROM islands)
+        |WHERE rn = 1""".stripMargin,
+    // A40: chill hours — HOURLY exact-decimal means, month rollup
+    // counting hours strictly below thr
+    "q_chill_hours" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, date_trunc('month', hour) AS month,
+        |count(*) AS n_hours,
+        |count(CASE WHEN t_mean < 45.0 THEN 1 END) AS chill_hours
+        |FROM hourly GROUP BY 1, 2""".stripMargin,
     // A31: warm days = daily exact-decimal means above thr; min/max/
     // count per key-year; keys with no warm days yield no row
     "q_growing_season" ->
@@ -2839,6 +2885,27 @@ object SparkEntry {
         |  round(CAST(x2.x2 AS DOUBLE) / CAST(ref.refv AS DOUBLE), 6)
         |    AS ratio
         |FROM x2 CROSS JOIN ref""".stripMargin,
+    // C73: per-vector norm² as a SEQUENTIAL fold of per-element
+    // floor(x²·2⁴⁰) integers (exact, order-fixed inside the row);
+    // bad (non-finite) vectors counted, excluded from the stats
+    "emb_norm_audit" ->
+      """WITH q AS (SELECT label,
+        |  len(list_filter(embedding,
+        |    x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0 AS bad,
+        |  embedding FROM embeddings),
+        |g AS (SELECT label, bad,
+        |  CASE WHEN NOT bad THEN list_aggregate(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      * 1099511627776.0) AS BIGINT)), 'sum') END AS norm2q
+        |  FROM q)
+        |SELECT label, count(*) AS n_vecs,
+        |count(CASE WHEN bad THEN 1 END) AS n_bad,
+        |count(CASE WHEN norm2q = 0 THEN 1 END) AS n_zero,
+        |CAST(min(norm2q) AS DOUBLE) / 1099511627776.0 AS min_norm2,
+        |CAST(max(norm2q) AS DOUBLE) / 1099511627776.0 AS max_norm2,
+        |CAST(sum(CAST(norm2q AS HUGEINT)) AS DOUBLE) / count(norm2q)
+        |  / 1099511627776.0 AS mean_norm2
+        |FROM g GROUP BY label""".stripMargin,
     // C68 scaled-form gate: the exact columns verbatim; scaled_ok
     // (the normalized-double direction within 1e-3 of the exact
     // ratio) must hold on every component

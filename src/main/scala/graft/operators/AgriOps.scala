@@ -476,6 +476,77 @@ object AgriOps {
         col("m.spell_start").as("spell_start"), col("n_spells"))
   }
 
+  /** A39: longest DRY spell per key (CDD — consecutive dry days, the
+    * standard ETCCDI drought-duration index beside A36's SPI level
+    * statistic and A30's heat duration): daily precipitation TOTALS
+    * (sum semantics — precip accumulates where temperature averages,
+    * so the daily stage is [[Exact.sumD]], round-4 in decimal and
+    * bit-identical cross-engine), a day is dry when its total falls
+    * below `frac` × the KEY'S OWN MEDIAN daily total — the
+    * below-normal-run construction climatology indices use (an
+    * absolute cutoff is meaningless across stations/volumes: a fixed
+    * 50.0 went vacuous the moment totals scaled with data volume, and
+    * at 10× volume even 0.75×median stopped firing because daily
+    * totals concentrate ~1/√n around the median). `frac` defaults to
+    * 1.0 — strictly-below-median days — which is non-vacuous at ANY
+    * volume by the median's own property (≈half the days qualify
+    * unless the series is constant); binary-exact fracs (1.0, 0.75,
+    * 0.5) keep the product ulp-free. And
+    * the run length comes from A30's gaps-and-islands (epoch-day −
+    * row_number constant per consecutive run; struct-max with
+    * deterministic latest-start tiebreak). The median is B15's
+    * round-4 interpolated percentile — the comparison runs on
+    * bit-identical doubles.
+    *
+    * Scale: A30's shape plus one |keys|-row percentile agg broadcast
+    * back; raw events never see a window.
+    */
+  def drySpell(events: DataFrame, frac: Double = 1.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.sumD(col("value")).as("p_total"))
+    val med = daily.groupBy("event_type")
+      .agg(round(expr("percentile(p_total, 0.5)"), 4).as("med"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val islands = daily.join(broadcast(med), "event_type")
+      .filter(col("p_total") < col("med") * lit(frac))
+      .withColumn("grp",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("spell_start"))
+    islands
+      .groupBy("event_type")
+      .agg(max(struct(col("len"), col("spell_start"))).as("m"),
+        count(lit(1)).as("n_spells"))
+      .select(col("event_type"), col("m.len").as("max_dry_days"),
+        col("m.spell_start").as("spell_start"), col("n_spells"))
+  }
+
+  /** A40: chill hours per key-month — the HOURLY threshold
+    * accumulation A29's daily counts can't express (fruit-tree
+    * dormancy models count hours below ~7.2 °C; a day whose MEAN
+    * clears the bar can still contribute six cold hours at dawn):
+    * hourly spatial means first (A1's stage, [[Exact.avgD]] —
+    * bit-identical doubles), then one month rollup counting hours
+    * strictly below `chillBelow`, beside the total hour count.
+    *
+    * Scale: two strictly-coarsening partial-agg groupBys (hour keys,
+    * then month keys) — the month shuffle sees only hourly rows; the
+    * comparison runs on bit-identical doubles so the counts are exact
+    * cross-engine.
+    */
+  def chillHours(events: DataFrame, chillBelow: Double = 45.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(Exact.avgD(col("value")).as("t_mean"))
+    hourly
+      .groupBy(col("event_type"),
+        date_trunc("month", col("hour")).as("month"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(when(col("t_mean") < chillBelow, 1)).as("chill_hours"))
+  }
+
   /** A31: growing-season bounds per key-year — onset (first warm
     * day), end (last warm day), calendar span, and warm-day count:
     * the planting/harvest-window summary the reference's daily t2m

@@ -1509,7 +1509,20 @@ object AnalyticsOps {
     * semantics needs is gone.
     */
   def spearmanApprox(events: DataFrame, nBins: Int = 100,
-      band: Double = 0.02): DataFrame = {
+      band: Double = 0.02): DataFrame =
+    spearman(events).join(spearmanApproxRaw(events, nBins), "event_type")
+      .select(col("event_type"), col("n"), col("spearman"),
+        when(col("spearman").isNull || col("rho_a").isNull,
+          col("spearman").isNull && col("rho_a").isNull)
+          .otherwise(abs(col("rho_a") - col("spearman")) <= lit(band))
+          .as("approx_ok"))
+
+  /** B50's sketch path alone — the PRODUCTION call at 100 TB (no
+    * per-key sort anywhere; the gate form above joins the exact twin
+    * for certification, so its bench/smoke figures carry the exact
+    * rank windows' sort cost — this is the one to time).
+    */
+  def spearmanApproxRaw(events: DataFrame, nBins: Int = 100): DataFrame = {
     val I = DecimalType(38, 0)
     // sketch accuracy 2000 (not the 10000 the MAD gate uses): cut
     // placement error only blurs BIN BOUNDARIES — the rank estimate's
@@ -1547,14 +1560,8 @@ object AnalyticsOps {
     val num = (nI * col("sab") - col("sa") * col("sb")).cast("double")
     val da = (nI * col("saa") - col("sa") * col("sa")).cast("double")
     val db = (nI * col("sbb") - col("sb") * col("sb")).cast("double")
-    val approx = g.select(col("event_type"),
+    g.select(col("event_type"),
       when(da > 0.0 && db > 0.0, num / (sqrt(da) * sqrt(db))).as("rho_a"))
-    spearman(events).join(approx, "event_type")
-      .select(col("event_type"), col("n"), col("spearman"),
-        when(col("spearman").isNull || col("rho_a").isNull,
-          col("spearman").isNull && col("rho_a").isNull)
-          .otherwise(abs(col("rho_a") - col("spearman")) <= lit(band))
-          .as("approx_ok"))
   }
 
   /** B51: χ² test of independence between the key and a derived

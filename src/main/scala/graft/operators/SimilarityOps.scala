@@ -645,6 +645,55 @@ object SimilarityOps {
         (abs(col("ratio_scaled") - col("ratio")) <= lit(band))
           .as("scaled_ok"))
 
+  /** C73: embedding-norm AUDIT — the pre-ANN sanity datasheet every
+    * vector deployment reads before trusting cosine geometry: a
+    * zero vector makes cosine undefined, a NaN component poisons
+    * every dot product it touches, and a source whose norms sit far
+    * from its neighbors' usually means an unnormalized or truncated
+    * embedding batch (hyperplane LSH and IVF assignment both assume
+    * comparable norms). Per label: vector count, vectors with a
+    * non-finite component, zero vectors, and min/max/mean squared
+    * norm.
+    *
+    * Exactness: each component squares in double (exact — f32→f64 is
+    * lossless and the product is correctly rounded identically in
+    * both engines), floor-quantizes ×2⁴⁰ per ELEMENT (≤ 2⁴⁰ < 2⁵³,
+    * so floor is a true floor), and the per-vector sum is a
+    * SEQUENTIAL integer fold (≤ d·2⁴⁰ — long-safe) — order-fixed
+    * inside the row, so norm²q is deterministic; min/max/mean are
+    * integer aggregates with one exact ÷2⁴⁰ at the end (mean divides
+    * the exact DECIMAL sum — the Exact.avgD shape). Vectors with a
+    * non-finite component are COUNTED but excluded from the norm
+    * stats (their square is undefined); both engines apply the same
+    * rule.
+    *
+    * Scale: pure map (one native fold per row) + ONE partial-agg
+    * groupBy to |labels| rows — the corpus never shuffles wide.
+    */
+  def embNormAudit(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    val bad = exists(col("embedding"),
+      x => isnan(x.cast("double")) || x.isNull)
+    val n2q = aggregate(
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * x.cast("double")
+          * lit(1099511627776.0))),
+      lit(0L), (acc, v) => acc + v)
+    val q = embeddings.select(col("label"), bad.as("bad"),
+      when(!bad, n2q).as("norm2q"))
+    q.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("bad"), 1)).as("n_bad"),
+        count(when(col("norm2q") === 0L, 1)).as("n_zero"),
+        (min(col("norm2q")).cast("double") / lit(1099511627776.0))
+          .as("min_norm2"),
+        (max(col("norm2q")).cast("double") / lit(1099511627776.0))
+          .as("max_norm2"),
+        (sum(col("norm2q").cast(I)).cast("double")
+          / count(col("norm2q")) / lit(1099511627776.0)).as("mean_norm2"))
+  }
+
   /** C30: per-label centroid vectors in long form (label, pos, mean) —
     * the k-means/class-prototype step of embedding-space curation
     * (cluster-balanced sampling, C15's coarse quantizer refresh).

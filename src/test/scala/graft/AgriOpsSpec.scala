@@ -87,6 +87,53 @@ class AgriOpsSpec extends SparkSpec {
     assert(AgriOps.heatSpell(cold, hot = 50.0).count() === 0)
   }
 
+  test("drySpell: longest run below the key's own median; constant key yields no row") {
+    import spark.implicits._
+    // daily totals {10,10,2,2,2,10,10,10,2}: median 10 → threshold
+    // 7.5 → dry days 03..05 (run 3) and 09 (run 1)
+    val totals = Seq(10.0, 10.0, 2.0, 2.0, 2.0, 10.0, 10.0, 10.0, 2.0)
+    val ev = totals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-03-0${i + 1}%s", v) }
+      .toDF("event_type", "d", "value")
+      .select(col("event_type"),
+        to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"),
+        col("value"))
+    val out = AgriOps.drySpell(ev).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 3L)
+    assert(out.head.getTimestamp(2).toString.take(10) === "2024-03-03")
+    assert(out.head.getLong(3) === 2L)
+    // a constant key has no day below 0.75×median → no row
+    assert(AgriOps.drySpell(ev.withColumn("value", lit(100.0))).count() === 0)
+    // corpus: the self-calibrating threshold fires at any SF (the
+    // fixed absolute threshold went vacuous when totals scaled with
+    // volume — this is the regression pin)
+    val events = Tables.events(spark, sf)
+    val full = AgriOps.drySpell(events)
+    assert(full.count() > 0, "self-calibrating dry threshold never fired")
+    assert(full.filter(col("max_dry_days") < 1).count() === 0)
+  }
+
+  test("chillHours counts hourly means below threshold per month") {
+    import spark.implicits._
+    // 3 hours on one day: means 40, 50, 44 → 2 chill hours (< 45)
+    val ev = Seq(
+      ("a", "2024-03-01 02:00:00", 40.0),
+      ("a", "2024-03-01 02:30:00", 40.0), // same hour, same mean
+      ("a", "2024-03-01 03:00:00", 50.0),
+      ("a", "2024-03-01 04:00:00", 44.0))
+      .toDF("event_type", "t", "value")
+      .select(col("event_type"), to_timestamp(col("t")).as("ts"),
+        col("value"))
+    val out = AgriOps.chillHours(ev, chillBelow = 45.0).head()
+    assert(out.getAs[Long]("n_hours") === 3L)
+    assert(out.getAs[Long]("chill_hours") === 2L)
+    // corpus: chill_hours ≤ n_hours everywhere
+    val events = Tables.events(spark, sf)
+    assert(AgriOps.chillHours(events)
+      .filter(col("chill_hours") > col("n_hours")).count() === 0)
+  }
+
   test("growingSeason brackets warm days per key-year") {
     import spark.implicits._
     // key a, 2024: warm Mar-02 and Mar-10 (span 9 days, 2 warm);

@@ -963,6 +963,31 @@ class SimilarityTextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("embNormAudit: closed-form norms; bad/zero vectors counted, excluded from stats") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f), "l0"),          // norm² = 25
+      (2L, Seq(1.0f, 0.0f), "l0"),          // norm² = 1
+      (3L, Seq(0.0f, 0.0f), "l0"),          // zero vector
+      (4L, Seq(Float.NaN, 1.0f), "l0"))     // bad vector
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.embNormAudit(vecs).head()
+    assert(r.getAs[Long]("n_vecs") === 4L)
+    assert(r.getAs[Long]("n_bad") === 1L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Double]("min_norm2") === 0.0)
+    assert(r.getAs[Double]("max_norm2") === 25.0)
+    // mean over the 3 GOOD vectors: (25 + 1 + 0)/3
+    assert(math.abs(r.getAs[Double]("mean_norm2") - 26.0 / 3.0) < 1e-9)
+    // corpus: no bad/zero vectors, norms positive and bounded sanely
+    val full = SimilarityOps.embNormAudit(embeddings).cache()
+    try {
+      assert(full.filter(col("n_bad") > 0 || col("n_zero") > 0).count() === 0)
+      assert(full.filter(col("min_norm2") <= 0.0).count() === 0)
+      assert(full.filter(col("max_norm2") < col("min_norm2")).count() === 0)
+    } finally full.unpersist()
+  }
+
   test("embPcaScaled: double direction tracks the exact ratio; guard names the scaled form") {
     // the gate's published columns are the exact operator's, and the
     // normalized-double path lands inside the 1e-3 band on every dim
