@@ -201,7 +201,9 @@ object ScaleSmoke {
       ("q_spearman_approx_raw", (_, e, _) =>
         AnalyticsOps.spearmanApproxRaw(e)),
       // r9: omnibus rank test on the same grid — flat grid, scan growth
-      ("q_kruskal", (_, e, _) => AnalyticsOps.kruskalWallis(e)))
+      ("q_kruskal", (_, e, _) => AnalyticsOps.kruskalWallis(e)),
+      // r9: one percentile agg + one co-moment groupBy — scan growth
+      ("q_levene", (_, e, _) => AnalyticsOps.leveneTest(e)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -361,6 +361,10 @@ object SparkEntry {
     // B54: omnibus rank test over the whole key family
     "q_kruskal" -> ((s, d) =>
       AnalyticsOps.kruskalWallis(Tables.events(s, d))),
+    // B55: Brown–Forsythe variance-homogeneity — the drift family's
+    // variance axis
+    "q_levene" -> ((s, d) =>
+      AnalyticsOps.leveneTest(Tables.events(s, d))),
     // C71/C72 (VERDICT r8 #6): the emitted PAIR SETS' recall against
     // exact similarity truth, re-measured by the driver at both SFs.
     // Corpus carries injected near-dup twins (the C29 synthetic-hazard
@@ -3008,6 +3012,41 @@ object SparkEntry {
         |       * CAST(nt.n_all AS DOUBLE) - CAST(nt.n_all AS DOUBLE))), 6)
         |END AS h_stat
         |FROM pk CROSS JOIN nt CROSS JOIN tt""".stripMargin,
+    // B55: Brown–Forsythe — half-up ×1e6 |x − med| deviations,
+    // HUGEINT co-moments, per-key SS terms floor-quantized before the
+    // cross-key sum (the B54 protocol; scale cancels in F), round-6
+    "q_levene" ->
+      """WITH med AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type,
+        |  CAST(floor(abs(e.value - m.med) * 1000000.0 + 0.5) AS HUGEINT)
+        |    AS zq
+        |  FROM events e JOIN med m USING (event_type)),
+        |g AS (SELECT event_type, count(*) AS n, sum(zq) AS s,
+        |  sum(zq * zq) AS q FROM z GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all, sum(s) AS s_all,
+        |  count(*) AS n_keys FROM g),
+        |p AS (SELECT g.n, g.s, g.q, t.n_all, t.s_all, t.n_keys,
+        |  CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS mj,
+        |  CAST(t.s_all AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS m
+        |  FROM g CROSS JOIN t),
+        |sq AS (SELECT n_all, n_keys,
+        |  CAST(floor(CAST(n AS DOUBLE) * (mj - m) * (mj - m))
+        |    AS DECIMAL(38,0)) AS bq,
+        |  CAST(floor(CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(38,0)) AS wq
+        |  FROM p),
+        |a AS (SELECT n_all, n_keys, sum(bq) AS ssb_sum, sum(wq) AS ssw_sum
+        |  FROM sq GROUP BY 1, 2)
+        |SELECT n_all, n_keys,
+        |n_keys - 1 AS dof_between, n_all - n_keys AS dof_within,
+        |CASE WHEN n_keys > 1 AND n_all > n_keys AND ssw_sum > 0
+        |THEN round(((CAST(n_all AS DOUBLE) - CAST(n_keys AS DOUBLE))
+        |    * CAST(ssb_sum AS DOUBLE))
+        |  / ((CAST(n_keys AS DOUBLE) - 1.0) * CAST(ssw_sum AS DOUBLE)), 6)
+        |END AS f_stat
+        |FROM a""".stripMargin,
     // C71: the exact-Jaccard truth pair COUNT is the oracle's half
     // (C64's gram-string construction); recall_ok (the LSH pair set
     // carried >= floor of them) must hold

@@ -887,20 +887,43 @@ object AnalyticsOps {
     * domains per the ksTestBinned protocol first — same fail-fast
     * guard), then ONE |keys|-row partial agg + a 1-row reduce.
     */
+  /** Long-safe floor-to-DECIMAL(38,0) of a non-negative double:
+    * Spark's floor(double) returns LONG and WRAPS past 2⁶³ — the
+    * kruskal sf0.1 gate caught exactly this (term·10⁶ ≈ 5·10¹⁹
+    * flipped the statistic's sign) — but above 2⁵³ a double is
+    * already integral, so the decimal cast IS the floor there (exact
+    * in both engines); DuckDB's floor stays in the double domain and
+    * needs no branch in the mirror.
+    */
+  private def floorDec(x: Column): Column =
+    when(x < lit(9.007199254740992e15),
+      floor(x).cast(DecimalType(38, 0))).otherwise(x.cast(DecimalType(38, 0)))
+
   def kruskalWallis(events: DataFrame,
+      maxGridValues: Long = 100000L): DataFrame =
+    kruskalFromCounts(events.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c")), maxGridValues)
+
+  /** B54's statistic from the (event_type, value, c) count grid —
+    * exposed because these integer counts are EXACTLY the mergeable
+    * state the D17 streaming monitor folds (the D14 argument: count
+    * addition is associative, so the folded grid equals the
+    * whole-history grid bit-for-bit and the live H is definitionally
+    * the batch H).
+    */
+  def kruskalFromCounts(cnt0: DataFrame,
       maxGridValues: Long = 100000L): DataFrame = {
     val I = DecimalType(38, 0)
-    val vals = graft.CacheRegistry.persist(
-      events.select(col("value")).distinct())
+    // persisted: guard count + grid + margins share one input scan
+    val cnt = graft.CacheRegistry.persist(cnt0)
+    val vals = cnt.select(col("value")).distinct()
     val nVals = vals.count()
     require(nVals <= maxGridValues,
       s"kruskalWallis ranks over an exact |keys x distinct-values| grid, " +
         s"quarantined to <= $maxGridValues distinct values, got $nVals; " +
         s"floor-quantize the value domain first (the ksTestBinned " +
         s"protocol) at this scale, or raise maxGridValues explicitly")
-    val keys = events.select(col("event_type")).distinct()
-    val cnt = events.groupBy("event_type", "value")
-      .agg(count(lit(1)).as("c"))
+    val keys = cnt.select(col("event_type")).distinct()
     val grid = keys.crossJoin(vals)
       .join(cnt, Seq("event_type", "value"), "left")
       .na.fill(0L, Seq("c"))
@@ -913,17 +936,11 @@ object AnalyticsOps {
       .withColumn("avgrank2",
         (col("cum_all") * 2 - col("cnt_all") + 1).cast(I))
     // (R2/2)²/n_k is deterministic per key; quantized so the
-    // cross-key sum can't pick up double association-order noise.
-    // Spark's floor(double) returns LONG and WRAPS past 2⁶³ — the
-    // sf0.1 gate caught exactly this (term·10⁶ ≈ 5·10¹⁹ flipped the
-    // statistic's sign) — but above 2⁵³ a double is already integral,
-    // so the decimal cast IS the floor there (exact in both engines);
-    // DuckDB's floor stays in the double domain and needs no branch.
+    // cross-key sum can't pick up double association-order noise
     val term = (col("r2").cast("double") / lit(2.0)) *
       (col("r2").cast("double") / lit(2.0)) /
       col("n_k").cast("double") * lit(1.0e6)
-    val tq = when(term < lit(9.007199254740992e15),
-      floor(term).cast(I)).otherwise(term.cast(I))
+    val tq = floorDec(term)
     val perKey = ranked.groupBy("event_type")
       .agg(sum(col("c").cast(I) * col("avgrank2")).as("r2"),
         sum(col("c")).as("n_k"))
@@ -932,7 +949,7 @@ object AnalyticsOps {
     val tieT = cnt.groupBy("value").agg(sum("c").as("t"))
       .agg(sum(col("t").cast(I) * col("t").cast(I) * col("t").cast(I)
         - col("t").cast(I)).as("tie_t"))
-    val nTot = events.agg(count(lit(1)).as("n_all"))
+    val nTot = cnt.agg(sum(col("c")).as("n_all"))
     val nD = col("n_all").cast("double")
     val s = col("term_sum").cast("double") / lit(1.0e6)
     val hRaw = (lit(12.0) / (nD * (nD + lit(1.0))) * s) -
@@ -944,6 +961,68 @@ object AnalyticsOps {
       .select(col("n_all"), col("n_keys"),
         (col("n_keys") - 1).as("dof"),
         when(ok, round(hRaw / corr, 6)).as("h_stat"))
+  }
+
+  /** B55: Brown–Forsythe variance-homogeneity test across all keys —
+    * the VARIANCE axis completing the drift family (B48/B53 detect a
+    * LEVEL shift, B44 any shape change, B54 the omnibus rank
+    * question; none isolates "same center, different SPREAD" — a
+    * sensor that starts jittering drifts in no mean but fails this
+    * first). The Brown–Forsythe form (ANOVA F over absolute
+    * deviations from each key's MEDIAN, not its mean) keeps the
+    * robustness story consistent with B37/B42: one wild outlier moves
+    * the median-based deviations by one rank, where Levene's
+    * mean-based original chases it.
+    *
+    * Exactness: medians are B15's round-4 interpolated percentiles;
+    * z = |x − med_k| is one subtraction of bit-identical doubles,
+    * half-up ×10⁶ quantized (the B46 protocol — limited-decimal
+    * inputs sit on representation edges); per-key co-moments
+    * (n, Σz, Σz²) accumulate in DECIMAL(38,0); the between/within
+    * sums of squares are fixed per-key double chains floor-quantized
+    * via the long-safe [[floorDec]] before the cross-key sum (the
+    * B54 order-independence protocol — the ×10¹² z-scale cancels in
+    * the F ratio); F and the two dofs publish round-6; zero
+    * within-variance publishes null.
+    *
+    * Scale shape: one |keys|-row percentile agg broadcast back, ONE
+    * partial-agg groupBy over the scored stream, a 1-row broadcast of
+    * the grand totals — the events never shuffle twice.
+    */
+  def leveneTest(events: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val med = events.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val zq = floor(abs(col("value") - col("med")) * lit(1000000.0)
+      + lit(0.5)).cast(I)
+    val g = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), zq.as("zq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("zq")).as("s"),
+        sum(col("zq") * col("zq")).as("q"))
+    val tot = g.agg(sum(col("n")).as("n_all"), sum(col("s")).as("s_all"),
+      count(lit(1)).as("n_keys"))
+    val nD = col("n").cast("double")
+    val mj = col("s").cast("double") / nD
+    val m = col("s_all").cast("double") / col("n_all").cast("double")
+    val ssb = nD * (mj - m) * (mj - m)
+    val ssw = (col("n").cast(I) * col("q") - col("s") * col("s"))
+      .cast("double") / nD
+    val sums = g.crossJoin(broadcast(tot))
+      .select(floorDec(ssb).as("bq"), floorDec(ssw).as("wq"),
+        col("n_all"), col("n_keys"))
+      .groupBy("n_all", "n_keys")
+      .agg(sum(col("bq")).as("ssb_sum"), sum(col("wq")).as("ssw_sum"))
+    val nA = col("n_all").cast("double")
+    val kD = col("n_keys").cast("double")
+    val f = ((nA - kD) * col("ssb_sum").cast("double")) /
+      ((kD - lit(1.0)) * col("ssw_sum").cast("double"))
+    val ok = col("n_keys") > 1 && col("n_all") > col("n_keys") &&
+      col("ssw_sum") > 0
+    sums.select(col("n_all"), col("n_keys"),
+      (col("n_keys") - 1).as("dof_between"),
+      (col("n_all") - col("n_keys")).as("dof_within"),
+      when(ok, round(f, 6)).as("f_stat"))
   }
 
   /** B44 production variant: KS over a FLOOR-QUANTIZED value domain —

@@ -589,6 +589,74 @@ object StreamOps {
       all.filter(col("batch") === latest).drop("batch"))
   }
 
+  /** D17: streaming Kruskal–Wallis — B54's omnibus rank gate LIVE.
+    * The state is B54's (event_type, value, c) count grid: per
+    * micro-batch one partial-agg groupBy, a full-outer integer ADD
+    * into the prior snapshot (the D14 associativity argument
+    * verbatim), and [[graft.operators.AnalyticsOps.kruskalFromCounts]]
+    * applied to the folded grid IS the whole-history batch statistic
+    * bit-for-bit — rank grids are a pure function of the counts, so
+    * even a rank-based test streams losslessly once its sufficient
+    * statistic is the count table. State is |keys × distinct values|
+    * rows (the same bounded domain B54's quarantine guards), under
+    * `stateDir/batch=<id>` with latest-prior reads + the retention
+    * sweep.
+    */
+  def streamingKruskal(events: DataFrame, stateDir: String,
+      retainBatches: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("event_type"), col("value"))
+          .localCheckpoint(true)
+        try {
+          val bObs = b.groupBy("event_type", "value")
+            .agg(count(lit(1)).as("c"))
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => bObs
+            case Some(p) => p
+              .select(col("event_type"), col("value"), col("c").as("c0"))
+              .join(bObs, Seq("event_type", "value"), "full_outer")
+              .select(col("event_type"), col("value"),
+                (coalesce(col("c0"), lit(0L)) + coalesce(col("c"), lit(0L)))
+                  .as("c"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D17 statistic: B54's exact math over the latest folded
+    * count grid.
+    */
+  def latestKruskal(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.AnalyticsOps.kruskalFromCounts(
+      all.filter(col("batch") === latest).drop("batch"))
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

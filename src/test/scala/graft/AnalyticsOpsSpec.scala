@@ -386,6 +386,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(full.head().getAs[Double]("h_stat") > -1e-4)
   }
 
+  test("leveneTest: closed-form F on a spread difference; equal spreads read small") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, typ, v, "{}")
+    // a: {0,2,2,4} (med 2, z = {2,0,0,2}); b: {10,16,16,22} (med 16,
+    // z = {6,0,0,6}) → ssb = 8e12, ssw = 40e12 (×1e12 z-scale),
+    // F = ((8−2)/(2−1))·(8/40) = 1.2
+    val rows = Seq(
+      ev(1, "a", 0.0), ev(2, "a", 2.0), ev(3, "a", 2.0), ev(4, "a", 4.0),
+      ev(5, "b", 10.0), ev(6, "b", 16.0), ev(7, "b", 16.0),
+      ev(8, "b", 22.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = AnalyticsOps.leveneTest(rows).head()
+    assert(r.getAs[Long]("n_all") === 8L && r.getAs[Long]("n_keys") === 2L)
+    assert(r.getAs[Long]("dof_between") === 1L
+      && r.getAs[Long]("dof_within") === 6L)
+    assert(r.getAs[Double]("f_stat") === 1.2)
+    // zero within-variance (all deviations equal) → null, not ±Inf
+    val flat = Seq(ev(1, "a", 0.0), ev(2, "a", 2.0),
+      ev(3, "b", 0.0), ev(4, "b", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(AnalyticsOps.leveneTest(flat).head().isNullAt(4))
+    // corpus: one row, F non-negative
+    val full = AnalyticsOps.leveneTest(Tables.events(spark, sf)).head()
+    assert(full.getAs[Double]("f_stat") >= 0.0)
+  }
+
   test("mannKendall: monotone series maxes S, constant reads 0, guard trips") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime

@@ -322,6 +322,35 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D17: streaming kruskal — folded count grid equals the batch statistic bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 3 batches, 3 keys, value distributions drifting apart per batch
+    def mkBatch(b: Int): Seq[Event] =
+      (1 to 60).map { i =>
+        val typ = Seq("a", "b", "c")(i % 3)
+        val v = ((i % 7) + b * (i % 3)).toDouble
+        Event(b * 1000L + i, new java.sql.Timestamp(ts0 + i * 1000L),
+          i.toLong, typ, v, "{}") }
+    val base = java.nio.file.Files.createTempDirectory("d17").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingKruskal(stream.toDF(), stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val batches = (0 until 3).map(mkBatch)
+    batches.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    // the live H over the folded counts IS the batch statistic on the
+    // whole history — rank grids are a pure function of the counts
+    val live = StreamOps.latestKruskal(spark, stateDir)
+    val twin = graft.operators.AnalyticsOps.kruskalWallis(
+      batches.flatten.toDF())
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("D16: streaming welch — folded co-moments equal batch; retention bounds state dirs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
