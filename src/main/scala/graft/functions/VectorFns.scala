@@ -69,10 +69,10 @@ object VectorFns {
   def media_meta(payload: Column): Column =
     bridge.column(MediaMetaExpr(bridge.expression(payload)))
 
-  /** Synthetic-media builder: prepend a real PNG/JPEG header with
+  /** Synthetic-media builder: prepend a real PNG/JPEG/GIF header with
     * doc_id-derived dimensions — see graftx.MediaWrapExpr.
     */
-  def media_wrap(docId: Column, payload: Column, png: Boolean): Column =
+  def media_wrap(docId: Column, payload: Column, fmt: String): Column =
     bridge.column(MediaWrapExpr(bridge.expression(docId),
-      bridge.expression(payload), png))
+      bridge.expression(payload), fmt))
 }

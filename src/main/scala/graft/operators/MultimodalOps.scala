@@ -44,7 +44,18 @@ object MultimodalOps {
     */
   def toPngMediaTable(spark: SparkSession, documents: DataFrame): DataFrame =
     toMediaTable(documents).select(col("doc_id"),
-      VectorFns.media_wrap(col("doc_id"), col("payload"), png = true)
+      VectorFns.media_wrap(col("doc_id"), col("payload"), "png")
+        .as("payload"))
+
+  /** Synthetic GIF media table: "GIF89a" signature + the 7-byte
+    * logical screen descriptor with doc_id-derived LITTLE-endian
+    * dimensions — the third real header-decode path (and the one
+    * that exercises the decoder's little-endian branch; PNG/JPEG dims
+    * are big-endian). Pure codegen'd projection.
+    */
+  def toGifMediaTable(spark: SparkSession, documents: DataFrame): DataFrame =
+    toMediaTable(documents).select(col("doc_id"),
+      VectorFns.media_wrap(col("doc_id"), col("payload"), "gif")
         .as("payload"))
 
   /** Synthetic JPEG media table: each doc's payload is a REAL JPEG
@@ -55,8 +66,12 @@ object MultimodalOps {
     */
   def toJpegMediaTable(spark: SparkSession, documents: DataFrame): DataFrame =
     toMediaTable(documents).select(col("doc_id"),
-      VectorFns.media_wrap(col("doc_id"), col("payload"), png = false)
+      VectorFns.media_wrap(col("doc_id"), col("payload"), "jpeg")
         .as("payload"))
+
+  /** GIF header builder re-exported for spec fixtures. */
+  def gifHeaderBytes(width: Int, height: Int): Array[Byte] =
+    org.apache.spark.sql.graftx.MediaWrapExpr.gifHeaderBytes(width, height)
 
   /** C11: feature extraction over the binary column — one codegen'd
     * expression per row, partition-parallel with no shuffle and no

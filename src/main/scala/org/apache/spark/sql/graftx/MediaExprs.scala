@@ -63,6 +63,7 @@ object MediaMetaExpr {
   // zero per-row string allocation in the hot path
   private val PNG = UTF8String.fromString("png")
   private val JPEG = UTF8String.fromString("jpeg")
+  private val GIF = UTF8String.fromString("gif")
   private val IMG_A = UTF8String.fromString("imgA")
   private val IMG_B = UTF8String.fromString("imgB")
 
@@ -119,12 +120,25 @@ object MediaMetaExpr {
     val isPng = p.length >= 26 &&
       PngSignature.indices.forall(i => p(i) == PngSignature(i)) &&
       p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'
-    val jdims = if (!isPng && p.length >= 4 &&
+    // GIF (public spec GIF89a §17-18): 6-byte signature "GIF87a"/
+    // "GIF89a" then the logical screen descriptor — width/height as
+    // LITTLE-endian u16 (the one endianness oddity among the three
+    // formats; PNG/JPEG carry big-endian dims)
+    val isGif = !isPng && p.length >= 13 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+    val jdims = if (!isPng && !isGif && p.length >= 4 &&
       (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) jpegDims(p) else null
     if (isPng)
       // n_frames 1: still PNG — animation (acTL) not parsed
       new GenericInternalRow(Array[Any](p.length, beInt(p, 16), beInt(p, 20),
         1, PNG))
+    else if (isGif)
+      // n_frames 1: image-descriptor blocks not walked (header scope)
+      new GenericInternalRow(Array[Any](p.length,
+        (p(6) & 0xFF) | ((p(7) & 0xFF) << 8),
+        (p(8) & 0xFF) | ((p(9) & 0xFF) << 8),
+        1, GIF))
     else if (jdims != null)
       new GenericInternalRow(Array[Any](p.length, jdims._1, jdims._2,
         1, JPEG))
@@ -145,20 +159,22 @@ object MediaMetaExpr {
   * builder used to be a `mapPartitions` closure splitting the codegen
   * span of every test-table construction.
   */
-case class MediaWrapExpr(left: Expression, right: Expression, png: Boolean)
+case class MediaWrapExpr(left: Expression, right: Expression, fmt: String)
     extends BinaryExpression with ExpectsInputTypes {
+  require(Seq("png", "jpeg", "gif").contains(fmt),
+    s"unknown media format $fmt")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
   override def dataType: DataType = BinaryType
-  override def prettyName: String = if (png) "png_wrap" else "jpeg_wrap"
+  override def prettyName: String = s"${fmt}_wrap"
 
   override def nullSafeEval(id: Any, payload: Any): Any =
-    MediaWrapExpr.wrap(png, id.asInstanceOf[Long],
+    MediaWrapExpr.wrap(fmt, id.asInstanceOf[Long],
       payload.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"org.apache.spark.sql.graftx.MediaWrapExpr.wrap($png, $a, $b)")
+      s"""org.apache.spark.sql.graftx.MediaWrapExpr.wrap("$fmt", $a, $b)""")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): MediaWrapExpr =
@@ -214,17 +230,35 @@ object MediaWrapExpr {
     buf.toByteArray
   }
 
+  /** Minimal VALID GIF header: "GIF89a" signature + the 7-byte
+    * logical screen descriptor (little-endian width/height, no global
+    * color table, background 0, aspect 0) — the 13 bytes every GIF
+    * encoder writes first (public GIF89a spec §17-18).
+    */
+  def gifHeaderBytes(width: Int, height: Int): Array[Byte] = {
+    val b = new Array[Byte](13)
+    "GIF89a".getBytes("US-ASCII").copyToArray(b)
+    b(6) = width.toByte; b(7) = (width >>> 8).toByte
+    b(8) = height.toByte; b(9) = (height >>> 8).toByte
+    // packed 0 (no GCT), background 0, aspect 0
+    b
+  }
+
   /** Static codegen/eval entry point: header(doc_id-derived dims) ++
     * payload, single output array allocation.
     */
-  def wrap(png: Boolean, docId: Long, payload: Array[Byte]): Array[Byte] = {
-    val header =
-      if (png)
+  def wrap(fmt: String, docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val header = fmt match {
+      case "png" =>
         pngHeaderBytes(64 + math.floorMod(docId, 512).toInt,
           64 + math.floorMod(docId * 31, 512).toInt)
-      else
+      case "gif" =>
+        gifHeaderBytes(64 + math.floorMod(docId * 3, 512).toInt,
+          64 + math.floorMod(docId * 17, 512).toInt)
+      case _ =>
         jpegHeaderBytes(64 + math.floorMod(docId * 7, 512).toInt,
           64 + math.floorMod(docId * 13, 512).toInt)
+    }
     val out = new Array[Byte](header.length + payload.length)
     System.arraycopy(header, 0, out, 0, header.length)
     System.arraycopy(payload, 0, out, header.length, payload.length)

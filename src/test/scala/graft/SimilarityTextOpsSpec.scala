@@ -261,6 +261,40 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(fake.getAs[String]("format") !== "png")
   }
 
+  test("GIF logical-screen-descriptor decode: little-endian dims, builder round-trip") {
+    import spark.implicits._
+    // hand-assembled GIF87a prefix: signature + LSD with
+    // LITTLE-endian 800×600 (0x0320 → bytes 0x20, 0x03) — the one
+    // endianness oddity among the three decoded formats
+    val literal: Array[Byte] = ("GIF87a".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0x20, 0x03, /* w 800 LE */ 0x58, 0x02, /* h 600 LE */
+        0x00, 0x00, 0x00) ++
+      Array(0x2C, 0x00)).map(_.toByte) // image descriptor start
+    val m = MultimodalOps.extractMetaFrom(spark,
+      Seq((47L, literal)).toDF("doc_id", "payload")).head()
+    assert(m.getAs[String]("format") === "gif")
+    assert(m.getAs[Int]("width") === 800)
+    assert(m.getAs[Int]("height") === 600)
+    assert(m.getAs[Int]("n_bytes") === literal.length)
+    // the synthetic-GIF builder round-trips through the same parser
+    val docs = Seq((11L, "gif body stand-in")).toDF("doc_id", "text")
+    val built = MultimodalOps.extractMetaFrom(spark,
+      MultimodalOps.toGifMediaTable(spark, docs)).head()
+    assert(built.getAs[String]("format") === "gif")
+    assert(built.getAs[Int]("width") === 64 + (11 * 3 % 512))
+    assert(built.getAs[Int]("height") === 64 + (11 * 17 % 512))
+    // a truncated signature (no full LSD) takes the declared fake
+    val trunc = MultimodalOps.extractMetaFrom(spark,
+      Seq((48L, "GIF89a".getBytes("US-ASCII")))
+        .toDF("doc_id", "payload")).head()
+    assert(trunc.getAs[String]("format") !== "gif")
+    // "GIF88a" is not a known version — fake path, never misparsed
+    val badVer = MultimodalOps.extractMetaFrom(spark,
+      Seq((49L, ("GIF88a" + "0123456789").getBytes("US-ASCII")))
+        .toDF("doc_id", "payload")).head()
+    assert(badVer.getAs[String]("format") !== "gif")
+  }
+
   test("JPEG SOFn scan reads dimensions from hand-built marker segments") {
     import spark.implicits._
     // hand-assembled JPEG prefix: SOI, a COM segment (to force the
