@@ -1039,7 +1039,6 @@ object AnalyticsOps {
     * DECIMAL(38,0) — no doubles in the ordering.
     */
   def ksTestBinned(events: DataFrame, decimals: Int = 2): DataFrame = {
-    val I = DecimalType(38, 0)
     val scale = math.pow(10.0, decimals)
     // round-HALF-UP binning (floor(v·scale + 0.5)), not bare floor
     // (ADVICE r8): double(0.29)·100 = 28.999999999999996, so bare
@@ -1048,12 +1047,25 @@ object AnalyticsOps {
     // sup and mislabeling d_at_bin) — the same failure B46 fixed with
     // the same correction; still bit-identical cross-engine (pure
     // double ops, mirrored in the oracle)
-    val binned = events.select(col("event_type"),
-      floor(col("value") * lit(scale) + lit(0.5)).cast("long").as("bin"))
-    val bins = binned.select(col("bin")).distinct()
-    val keys = binned.select(col("event_type")).distinct()
-    val cnt = binned.groupBy("event_type", "bin")
-      .agg(count(lit(1)).as("c"))
+    ksBinnedFromCounts(events.select(col("event_type"),
+        floor(col("value") * lit(scale) + lit(0.5)).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c")), decimals)
+  }
+
+  /** B44-binned's statistic from the (event_type, bin, c) count grid
+    * — exposed because these integer counts are EXACTLY the mergeable
+    * state the D18 streaming monitor folds (the D14/D17 argument:
+    * count addition is associative, so the folded grid equals the
+    * whole-history grid bit-for-bit and the live KS is
+    * definitionally the batch KS — CDFs are a pure function of the
+    * counts).
+    */
+  def ksBinnedFromCounts(cnt0: DataFrame, decimals: Int = 2): DataFrame = {
+    val I = DecimalType(38, 0)
+    val scale = math.pow(10.0, decimals)
+    val cnt = graft.CacheRegistry.persist(cnt0)
+    val bins = cnt.select(col("bin")).distinct()
+    val keys = cnt.select(col("event_type")).distinct()
     val grid = keys.crossJoin(bins)
       .join(cnt, Seq("event_type", "bin"), "left")
       .na.fill(0L, Seq("c"))
@@ -1062,9 +1074,9 @@ object AnalyticsOps {
     val cumK = grid.withColumn("cum_k", sum("c").over(wK))
       .withColumn("cum_all",
         sum("cum_k").over(Window.partitionBy("bin")))
-    val nK = binned.groupBy(col("event_type").as("et"))
-      .agg(count(lit(1)).as("n_k"))
-    val nTot = binned.agg(count(lit(1)).as("n_all"))
+    val nK = cnt.groupBy(col("event_type").as("et"))
+      .agg(sum(col("c")).as("n_k"))
+    val nTot = cnt.agg(sum(col("c")).as("n_all"))
     val scored = cumK
       .join(broadcast(nK), col("event_type") === col("et"))
       .crossJoin(broadcast(nTot))

@@ -657,6 +657,77 @@ object StreamOps {
       all.filter(col("batch") === latest).drop("batch"))
   }
 
+  /** D18: streaming binned Kolmogorov–Smirnov — B44's production
+    * variant as the LIVE distribution-SHAPE gate (the classic online
+    * drift monitor: has any key's value distribution diverged from
+    * the pooled rest since deployment?). The state is the
+    * (event_type, bin, c) half-up-quantized count grid — bounded by
+    * CONSTRUCTION (that is exactly why the binned form exists) — and
+    * the fold is the D17 full-outer integer ADD, so the folded grid
+    * equals the whole-history grid bit-for-bit and
+    * [[graft.operators.AnalyticsOps.ksBinnedFromCounts]] applied to
+    * it IS the batch statistic: CDFs, like ranks, are a pure function
+    * of the counts. Snapshots under `stateDir/batch=<id>`,
+    * latest-prior reads, retention sweep.
+    */
+  def streamingKsBinned(events: DataFrame, stateDir: String,
+      decimals: Int = 2, retainBatches: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val scale = math.pow(10.0, decimals)
+        val b = batch.select(col("event_type"), col("value"))
+          .localCheckpoint(true)
+        try {
+          val bObs = b.select(col("event_type"),
+              floor(col("value") * lit(scale) + lit(0.5)).cast("long")
+                .as("bin"))
+            .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => bObs
+            case Some(p) => p
+              .select(col("event_type"), col("bin"), col("c").as("c0"))
+              .join(bObs, Seq("event_type", "bin"), "full_outer")
+              .select(col("event_type"), col("bin"),
+                (coalesce(col("c0"), lit(0L)) + coalesce(col("c"), lit(0L)))
+                  .as("c"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D18 statistic: B44-binned's exact math over the latest
+    * folded count grid.
+    */
+  def latestKsBinned(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, decimals: Int = 2): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.AnalyticsOps.ksBinnedFromCounts(
+      all.filter(col("batch") === latest).drop("batch"), decimals)
+  }
+
   /** D1: streaming hourly mart — per (event_type, 1h window) mean,
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).

@@ -351,6 +351,36 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D18: streaming binned KS — folded count grid equals the batch statistic bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 3 batches, 2 keys; key b's distribution shifts upward per batch
+    def mkBatch(bi: Int): Seq[Event] =
+      (1 to 50).map { i =>
+        val typ = if (i % 2 == 0) "a" else "b"
+        val v = (i % 9) * 0.25 + (if (typ == "b") bi * 0.5 else 0.0)
+        Event(bi * 1000L + i, new java.sql.Timestamp(ts0 + i * 1000L),
+          i.toLong, typ, v, "{}") }
+    val base = java.nio.file.Files.createTempDirectory("d18").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingKsBinned(stream.toDF(), stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val batches = (0 until 3).map(mkBatch)
+    batches.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    // the live KS over the folded counts IS the batch statistic —
+    // CDFs are a pure function of the binned counts
+    val live = StreamOps.latestKsBinned(spark, stateDir)
+    val twin = graft.operators.AnalyticsOps.ksTestBinned(
+      batches.flatten.toDF())
+    assert(live.count() === 2L)
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("D16: streaming welch — folded co-moments equal batch; retention bounds state dirs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
