@@ -203,7 +203,13 @@ object ScaleSmoke {
       // r9: omnibus rank test on the same grid — flat grid, scan growth
       ("q_kruskal", (_, e, _) => AnalyticsOps.kruskalWallis(e)),
       // r9: one percentile agg + one co-moment groupBy — scan growth
-      ("q_levene", (_, e, _) => AnalyticsOps.leveneTest(e)))
+      ("q_levene", (_, e, _) => AnalyticsOps.leveneTest(e)),
+      // r9: two coarsening groupBys + a |keys × dry-days| window
+      ("q_dry_spell", (_, e, _) => AgriOps.drySpell(e)),
+      // r9: two strictly-coarsening groupBys — scan growth only
+      ("q_chill_hours", (_, e, _) => AgriOps.chillHours(e)),
+      // r9: pure map (in-row fold) + one |labels|-row partial agg
+      ("emb_norm_audit", (_, _, m) => SimilarityOps.embNormAudit(m)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
