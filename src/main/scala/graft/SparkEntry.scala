@@ -92,6 +92,9 @@ object SparkEntry {
     // daily threshold counts
     "q_dry_spell" -> ((s, d) => AgriOps.drySpell(Tables.events(s, d))),
     "q_chill_hours" -> ((s, d) => AgriOps.chillHours(Tables.events(s, d))),
+    // A41 (r9): SDII wet-day intensity — the ETCCDI metric beside
+    // A39's drought duration
+    "q_sdii" -> ((s, d) => AgriOps.sdii(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -1524,6 +1527,23 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY event_type) AS n_spells
         |  FROM islands)
         |WHERE rn = 1""".stripMargin,
+    // A41: SDII — exact-decimal mean of round-4 daily totals over
+    // wet (≥ own-median) days, unrounded IEEE quotient
+    "q_sdii" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |    AS p_total
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type,
+        |  round(quantile_cont(p_total, 0.5), 4) AS med
+        |  FROM daily GROUP BY 1),
+        |wet AS (SELECT daily.event_type, p_total
+        |  FROM daily JOIN med USING (event_type)
+        |  WHERE p_total >= med * 1.0)
+        |SELECT event_type, count(*) AS n_wet_days,
+        |CAST(sum(CAST(p_total AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+        |  AS sdii
+        |FROM wet GROUP BY 1""".stripMargin,
     // A40: chill hours — HOURLY exact-decimal means, month rollup
     // counting hours strictly below thr
     "q_chill_hours" ->

@@ -536,6 +536,36 @@ object AgriOps {
     * comparison runs on bit-identical doubles so the counts are exact
     * cross-engine.
     */
+  /** A41: simple daily intensity index (SDII) per key — mean
+    * precipitation on WET days (total wet-day precip ÷ wet-day
+    * count), the ETCCDI intensity metric completing the family: A39
+    * measures drought DURATION, A36 the anomaly LEVEL, this the
+    * character of the rain that does fall (same monthly total as
+    * drizzle or cloudbursts — crops and erosion care which). Wet =
+    * daily total ≥ the key's own round-4 median (A39's self-
+    * calibrating dichotomy — non-vacuous at any volume); the mean
+    * runs the Exact protocol on the round-4 totals (the DECIMAL cast
+    * of a 4-decimal double is exact), published UNROUNDED (IEEE
+    * quotient of identical operands).
+    *
+    * Scale: two strictly-coarsening groupBys + one |keys|-row
+    * percentile broadcast — raw events shuffle once.
+    */
+  def sdii(events: DataFrame, frac: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.sumD(col("value")).as("p_total"))
+    val med = daily.groupBy("event_type")
+      .agg(round(expr("percentile(p_total, 0.5)"), 4).as("med"))
+    daily.join(broadcast(med), "event_type")
+      .filter(col("p_total") >= col("med") * lit(frac))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_wet_days"),
+        (sum(col("p_total").cast(DecimalType(20, 6))).cast("double")
+          / count(lit(1))).as("sdii"))
+  }
+
   def chillHours(events: DataFrame, chillBelow: Double = 45.0): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))

