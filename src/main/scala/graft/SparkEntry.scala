@@ -1527,8 +1527,9 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY event_type) AS n_spells
         |  FROM islands)
         |WHERE rn = 1""".stripMargin,
-    // A41: SDII — exact-decimal mean of round-4 daily totals over
-    // wet (≥ own-median) days, unrounded IEEE quotient
+    // A41: SDII — wet-day totals floor(×1e6)-quantized (the derived
+    // round-4 double's DECIMAL cast rounds in Spark but truncates in
+    // DuckDB — ADVICE r9), integer sum, fixed double chain unrounded
     "q_sdii" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
@@ -1541,8 +1542,8 @@ object SparkEntry {
         |  FROM daily JOIN med USING (event_type)
         |  WHERE p_total >= med * 1.0)
         |SELECT event_type, count(*) AS n_wet_days,
-        |CAST(sum(CAST(p_total AS DECIMAL(20,6))) AS DOUBLE) / count(*)
-        |  AS sdii
+        |CAST(sum(CAST(floor(p_total * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+        |  / 1e6 / count(*) AS sdii
         |FROM wet GROUP BY 1""".stripMargin,
     // A40: chill hours — HOURLY exact-decimal means, month rollup
     // counting hours strictly below thr
@@ -2925,7 +2926,7 @@ object SparkEntry {
     "emb_norm_audit" ->
       """WITH q AS (SELECT label,
         |  len(list_filter(embedding,
-        |    x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0 AS bad,
+        |    x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) > 0 AS bad,
         |  embedding FROM embeddings),
         |g AS (SELECT label, bad,
         |  CASE WHEN NOT bad THEN list_aggregate(list_transform(embedding,

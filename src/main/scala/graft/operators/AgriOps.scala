@@ -544,9 +544,12 @@ object AgriOps {
     * drizzle or cloudbursts — crops and erosion care which). Wet =
     * daily total ≥ the key's own round-4 median (A39's self-
     * calibrating dichotomy — non-vacuous at any volume); the mean
-    * runs the Exact protocol on the round-4 totals (the DECIMAL cast
-    * of a 4-decimal double is exact), published UNROUNDED (IEEE
-    * quotient of identical operands).
+    * sums floor(p_total·10⁶) integers (ADVICE r9: p_total is a
+    * DERIVED round-4 double, and Spark's double→DECIMAL cast rounds
+    * HALF_UP while DuckDB's truncates — floor of the same double
+    * product is the only genuinely engine-identical quantizer; the
+    * A37/C69 protocol), then one fixed double chain, published
+    * UNROUNDED (identical ops on identical operands).
     *
     * Scale: two strictly-coarsening groupBys + one |keys|-row
     * percentile broadcast — raw events shuffle once.
@@ -558,12 +561,18 @@ object AgriOps {
       .agg(Exact.sumD(col("value")).as("p_total"))
     val med = daily.groupBy("event_type")
       .agg(round(expr("percentile(p_total, 0.5)"), 4).as("med"))
+    // long-safe floor (the B54 floorDec shape): Spark's floor(double)
+    // returns LONG and wraps past 2⁶³; above 2⁵³ the double is already
+    // integral so the decimal cast IS the floor there.
+    val prod = col("p_total") * lit(1e6)
+    val pq = when(prod < lit(9.007199254740992e15),
+      floor(prod).cast(DecimalType(38, 0)))
+      .otherwise(prod.cast(DecimalType(38, 0)))
     daily.join(broadcast(med), "event_type")
       .filter(col("p_total") >= col("med") * lit(frac))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_wet_days"),
-        (sum(col("p_total").cast(DecimalType(20, 6))).cast("double")
-          / count(lit(1))).as("sdii"))
+        (sum(pq).cast("double") / lit(1e6) / count(lit(1))).as("sdii"))
   }
 
   def chillHours(events: DataFrame, chillBelow: Double = 45.0): DataFrame = {

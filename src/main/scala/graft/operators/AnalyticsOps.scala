@@ -635,6 +635,12 @@ object AnalyticsOps {
     */
   def mannKendall(events: DataFrame, maxDaysPerKey: Long = 4000L,
       unit: String = "day"): DataFrame = {
+    // ADVICE r9: date_trunc returns NULL for an unrecognized unit —
+    // every row would collapse into one null group per key, the guard
+    // would pass (1 point), and a degenerate S=0 would publish
+    // silently. Fail fast on the units the coarsening dial supports.
+    require(Set("day", "week", "month")(unit),
+      s"""mannKendall unit must be "day", "week" or "month", got "$unit"""")
     // `unit` is the guard's named fallback made real: "week"/"month"
     // coarsen the series before the pairwise stage (÷7/÷30 points ⇒
     // ÷49/÷900 pairs) — the classical seasonal-Kendall coarsening.
@@ -1285,21 +1291,46 @@ object AnalyticsOps {
     * sort — the shape that survives 100 TB) instead of B15's exact
     * interpolated percentile. Gated the q_mad_approx way: the
     * published clip columns are the EXACT operator's (deterministic,
-    * hashable) plus an in-row `flags_match` the oracle asserts TRUE —
-    * the sketch's ±ε rank error may flip a clip decision ONLY for a
-    * value lying between the approx cut and the true percentile edge
-    * (the ccnet_bucket_approx excuse interval), so any disagreement
-    * outside that interval fails the hash.
+    * hashable) plus an in-row `flags_match` the oracle asserts TRUE.
+    *
+    * The excuse interval alone is a tautology (ADVICE r9: any
+    * clip_a/was_clipped disagreement necessarily places the value
+    * between the approx cut and the exact cut, so even a wildly broken
+    * sketch would be excused). flags_match therefore CONJOINS
+    * `cut_ok`: each approx cut must itself land inside the exact
+    * percentile bracket [p(q − rankBand), p(q + rankBand)] — the
+    * sketch's rank-error guarantee made checkable (accuracy 10000 ⇒
+    * rank error ≤ 1e-4 ≪ the 0.01 band). A mis-wired sketch (re-seeded,
+    * wrong column, off-by-one quantile) lands outside the bracket and
+    * every row of that key publishes FALSE — the oracle hash fails.
+    * WinsorizeSpec injects a broken cut table and pins the FALSE read.
     */
   def winsorizeApprox(events: DataFrame, lo: Double = 0.05,
-      hi: Double = 0.95): DataFrame = {
-    val exact = winsorize(events, lo, hi)
-    val cuts = events.groupBy("event_type").agg(
-      round(expr(s"percentile(value, $lo)"), 4).as("c_lo"),
-      round(expr(s"percentile(value, $hi)"), 4).as("c_hi"))
+      hi: Double = 0.95, rankBand: Double = 0.01): DataFrame = {
     val cutsA = events.groupBy("event_type").agg(
       percentile_approx(col("value"), lit(lo), lit(10000)).as("a_lo"),
       percentile_approx(col("value"), lit(hi), lit(10000)).as("a_hi"))
+    winsorizeApproxWith(events, cutsA, lo, hi, rankBand)
+  }
+
+  /** The gate body with the approx cut table injectable, so the spec
+    * can prove a broken sketch actually fails (non-vacuity).
+    */
+  private[graft] def winsorizeApproxWith(events: DataFrame,
+      cutsA: DataFrame, lo: Double, hi: Double,
+      rankBand: Double): DataFrame = {
+    val exact = winsorize(events, lo, hi)
+    val qLoLo = math.max(0.0, lo - rankBand)
+    val qLoHi = math.min(1.0, lo + rankBand)
+    val qHiLo = math.max(0.0, hi - rankBand)
+    val qHiHi = math.min(1.0, hi + rankBand)
+    val cuts = events.groupBy("event_type").agg(
+      round(expr(s"percentile(value, $lo)"), 4).as("c_lo"),
+      round(expr(s"percentile(value, $hi)"), 4).as("c_hi"),
+      expr(s"percentile(value, $qLoLo)").as("b_lo_lo"),
+      expr(s"percentile(value, $qLoHi)").as("b_lo_hi"),
+      expr(s"percentile(value, $qHiLo)").as("b_hi_lo"),
+      expr(s"percentile(value, $qHiHi)").as("b_hi_hi"))
     val flagA = events.join(broadcast(cutsA), "event_type")
       .select(col("event_id"),
         (col("value") < col("a_lo") || col("value") > col("a_hi"))
@@ -1309,11 +1340,13 @@ object AnalyticsOps {
       .join(broadcast(cuts), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         col("value_winsor"), col("was_clipped"),
-        (col("clip_a") <=> col("was_clipped")
-          || (col("value") >= least(col("a_lo"), col("c_lo"))
-            && col("value") <= greatest(col("a_lo"), col("c_lo")))
-          || (col("value") >= least(col("a_hi"), col("c_hi"))
-            && col("value") <= greatest(col("a_hi"), col("c_hi"))))
+        (col("a_lo").between(col("b_lo_lo"), col("b_lo_hi"))
+          && col("a_hi").between(col("b_hi_lo"), col("b_hi_hi"))
+          && (col("clip_a") <=> col("was_clipped")
+            || (col("value") >= least(col("a_lo"), col("c_lo"))
+              && col("value") <= greatest(col("a_lo"), col("c_lo")))
+            || (col("value") >= least(col("a_hi"), col("c_hi"))
+              && col("value") <= greatest(col("a_hi"), col("c_hi")))))
           .as("flags_match"))
   }
 

@@ -673,8 +673,13 @@ object SimilarityOps {
   def embNormAudit(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val I = DecimalType(38, 0)
+    // non-finite = NaN, null, OR ±Inf (ADVICE r9: an Inf component
+    // passed the old isnan/isNull filter, then floor(Inf·2⁴⁰)
+    // saturates in Spark while DuckDB's CAST(floor(Inf)) errors —
+    // exactly the pathological vector this audit exists to catch)
     val bad = exists(col("embedding"),
-      x => isnan(x.cast("double")) || x.isNull)
+      x => isnan(x.cast("double")) || x.isNull
+        || abs(x.cast("double")) === lit(Double.PositiveInfinity))
     val n2q = aggregate(
       transform(col("embedding"), x =>
         floor(x.cast("double") * x.cast("double")

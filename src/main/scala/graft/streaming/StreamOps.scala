@@ -279,6 +279,13 @@ object StreamOps {
     */
   private def pruneSnapshots(stateDir: String, id: Long,
       retain: Int): Unit = {
+    // ADVICE r9: the retain ≥ 2 contract was documented, not enforced
+    // — retain = 1 deletes the batch id−1 snapshot a replayed batch id
+    // needs, retain = 0 deletes batch = id right after writing it
+    // (silently zeroing monitor state). Fail fast instead.
+    require(retain >= 2,
+      s"pruneSnapshots: retainBatches must be >= 2 to preserve the " +
+        s"latest-prior crash-replay read (got $retain)")
     val root = new java.io.File(stateDir)
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
     dirs.filter(_.getName.startsWith("batch=")).foreach { d =>

@@ -358,6 +358,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("winsorizeApprox: a broken sketch fails the gate (non-vacuity)") {
+    // ADVICE r9: the excuse interval alone was a tautology — any
+    // disagreement is by definition between the approx and exact
+    // cuts, so a wildly-off sketch was excused. The cut_ok conjunct
+    // (approx cut inside the exact ±rankBand percentile bracket)
+    // is what makes the gate falsifiable: feed a mis-wired cut table
+    // and flags_match must read FALSE somewhere.
+    val events = Tables.events(spark, sf)
+    val broken = events.groupBy("event_type").agg(
+      // "cuts" from the wrong quantiles — the mis-wired-sketch shape
+      percentile_approx(col("value"), lit(0.50), lit(100)).as("a_lo"),
+      percentile_approx(col("value"), lit(0.60), lit(100)).as("a_hi"))
+    val out = AnalyticsOps.winsorizeApproxWith(events, broken,
+      0.05, 0.95, 0.01).cache()
+    try assert(out.filter(!col("flags_match")).count() > 0,
+      "a p50/p60 'sketch' must land outside the p05/p95 rank-error " +
+        "bracket and fail the gate")
+    finally out.unpersist()
+  }
+
   test("kruskalWallis: closed-form H on separated keys; all-tied reads null; guard trips") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
@@ -448,6 +468,11 @@ class AnalyticsOpsSpec extends SparkSpec {
       unit = "week").head()
     assert(weekly.getAs[Long]("n_days") === 3L)
     assert(weekly.getAs[Long]("s_stat") === 3L)
+    // ADVICE r9: an unrecognized unit must fail fast, not collapse
+    // every row into one null date_trunc group and publish S = 0
+    intercept[IllegalArgumentException] {
+      AnalyticsOps.mannKendall(events, unit = "fortnight")
+    }
     // corpus: one row per key; sign statistic bounded by C(n,2)
     val ev = Tables.events(spark, sf)
     val full = AnalyticsOps.mannKendall(ev)

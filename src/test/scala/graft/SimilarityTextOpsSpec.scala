@@ -1003,11 +1003,16 @@ class SimilarityTextOpsSpec extends SparkSpec {
       (1L, Seq(3.0f, 4.0f), "l0"),          // norm² = 25
       (2L, Seq(1.0f, 0.0f), "l0"),          // norm² = 1
       (3L, Seq(0.0f, 0.0f), "l0"),          // zero vector
-      (4L, Seq(Float.NaN, 1.0f), "l0"))     // bad vector
+      (4L, Seq(Float.NaN, 1.0f), "l0"),     // bad vector (NaN)
+      // ADVICE r9: ±Inf must count as bad too — the old isnan/isNull
+      // predicate let it through to floor(Inf·2⁴⁰), which saturates
+      // in Spark and errors in DuckDB
+      (5L, Seq(Float.PositiveInfinity, 1.0f), "l0"),
+      (6L, Seq(Float.NegativeInfinity, 1.0f), "l0"))
       .toDF("vec_id", "embedding", "label")
     val r = SimilarityOps.embNormAudit(vecs).head()
-    assert(r.getAs[Long]("n_vecs") === 4L)
-    assert(r.getAs[Long]("n_bad") === 1L)
+    assert(r.getAs[Long]("n_vecs") === 6L)
+    assert(r.getAs[Long]("n_bad") === 3L)
     assert(r.getAs[Long]("n_zero") === 1L)
     assert(r.getAs[Double]("min_norm2") === 0.0)
     assert(r.getAs[Double]("max_norm2") === 25.0)

@@ -417,6 +417,21 @@ class StreamOpsSpec extends SparkSpec {
     val twin = graft.operators.AnalyticsOps.welchDrift(batches.flatten.toDF())
     assert(live.count() === twin.count() && live.count() > 0)
     assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    // ADVICE r9: retain < 2 breaks the latest-prior crash-replay
+    // contract (retain=1 deletes the snapshot a replayed batch reads,
+    // retain=0 deletes a batch's own snapshot right after writing it)
+    // — the sweep now fails fast instead of silently zeroing state
+    val base2 = java.nio.file.Files.createTempDirectory("d16r1").toString
+    val s2 = MemoryStream[Event]
+    val q2 = StreamOps.streamingWelch(s2.toDF(), s"$base2/state",
+        retainBatches = 1)
+      .option("checkpointLocation", s"$base2/ckpt").start()
+    s2.addData(mkBatch(0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("retainBatches must be >= 2"))
+    q2.stop()
     CacheRegistry.unpersistAll()
   }
 
