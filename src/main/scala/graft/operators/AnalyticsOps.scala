@@ -530,10 +530,11 @@ object AnalyticsOps {
     * average can associate differently across engines).
     */
   def theilSen(events: DataFrame, maxDaysPerKey: Long = 4000L): DataFrame = {
-    // persisted (ADVICE r8): the guard's count action below would
-    // otherwise recompute this daily aggregation, and the pair join
-    // then computes it twice more — one scan + cache instead of three
-    val daily = graft.CacheRegistry.persist(events
+    // persisted when the scan is worth sharing (ADVICE r8 / VERDICT
+    // r9 #4): guard count + pair join reuse one cached scan at
+    // production scale; at gate scale the recompute is cheaper than
+    // the persist materialization
+    val daily = graft.CacheRegistry.persistIfLarge(events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(Exact.avgD(col("value")).as("y"))
       .withColumn("x",
@@ -575,7 +576,7 @@ object AnalyticsOps {
     * the sampled median is engine-replayable — not just band-gated.
     */
   def theilSenSampledRaw(events: DataFrame, sampleMod: Int = 2): DataFrame = {
-    val daily = graft.CacheRegistry.persist(events
+    val daily = graft.CacheRegistry.persistIfLarge(events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(Exact.avgD(col("value")).as("y"))
       .withColumn("x",
@@ -644,9 +645,9 @@ object AnalyticsOps {
     // `unit` is the guard's named fallback made real: "week"/"month"
     // coarsen the series before the pairwise stage (÷7/÷30 points ⇒
     // ÷49/÷900 pairs) — the classical seasonal-Kendall coarsening.
-    // persisted (ADVICE r8): guard count + sign join + tie rollup all
-    // read this aggregate — one scan + cache instead of three.
-    val daily = graft.CacheRegistry.persist(events
+    // size-thresholded persist (ADVICE r8 / VERDICT r9 #4): guard
+    // count + sign join + tie rollup share one scan when it's big.
+    val daily = graft.CacheRegistry.persistIfLarge(events
       .groupBy(col("event_type"), date_trunc(unit, col("ts")).as("day"))
       .agg(Exact.avgD(col("value")).as("y"))
       .withColumn("yq", floor(col("y") * lit(1000000.0))))
@@ -747,10 +748,10 @@ object AnalyticsOps {
     * autocorr); the oracle mirrors with HUGEINT.
     */
   def ksTest(events: DataFrame, maxGridValues: Long = 100000L): DataFrame = {
-    // persisted (ADVICE r8): the guard count below materializes the
-    // distinct-value set once; the grid cross-join reuses the cache
-    // instead of recomputing the distinct aggregation
-    val vals = graft.CacheRegistry.persist(
+    // size-thresholded persist (VERDICT r9 #4): guard count + grid
+    // share one distinct scan at production scale; a gate-scale input
+    // recomputes the distinct instead of paying the materialization
+    val vals = graft.CacheRegistry.persistIfLarge(
       events.select(col("value")).distinct())
     val nVals = vals.count()
     require(nVals <= maxGridValues,
@@ -823,8 +824,8 @@ object AnalyticsOps {
   def mannWhitney(events: DataFrame,
       maxGridValues: Long = 100000L): DataFrame = {
     val I = DecimalType(38, 0)
-    // persisted (ADVICE r8): guard count + grid share one distinct scan
-    val vals = graft.CacheRegistry.persist(
+    // size-thresholded persist (VERDICT r9 #4; shared-scan at scale)
+    val vals = graft.CacheRegistry.persistIfLarge(
       events.select(col("value")).distinct())
     val nVals = vals.count()
     require(nVals <= maxGridValues,
@@ -920,8 +921,9 @@ object AnalyticsOps {
   def kruskalFromCounts(cnt0: DataFrame,
       maxGridValues: Long = 100000L): DataFrame = {
     val I = DecimalType(38, 0)
-    // persisted: guard count + grid + margins share one input scan
-    val cnt = graft.CacheRegistry.persist(cnt0)
+    // size-thresholded persist (VERDICT r9 #4): guard count + grid +
+    // margins share one input scan when that scan is big enough to matter
+    val cnt = graft.CacheRegistry.persistIfLarge(cnt0)
     val vals = cnt.select(col("value")).distinct()
     val nVals = vals.count()
     require(nVals <= maxGridValues,
@@ -1069,7 +1071,7 @@ object AnalyticsOps {
   def ksBinnedFromCounts(cnt0: DataFrame, decimals: Int = 2): DataFrame = {
     val I = DecimalType(38, 0)
     val scale = math.pow(10.0, decimals)
-    val cnt = graft.CacheRegistry.persist(cnt0)
+    val cnt = graft.CacheRegistry.persistIfLarge(cnt0)
     val bins = cnt.select(col("bin")).distinct()
     val keys = cnt.select(col("event_type")).distinct()
     val grid = keys.crossJoin(bins)

@@ -71,4 +71,25 @@ class CacheRegistrySpec extends SparkSpec {
     // release the pinned blocks
     bridge.checkpointRdd(ck).foreach(_.unpersist(true))
   }
+
+  test("persistIfLarge: gate-scale inputs skip the persist, large inputs take it") {
+    // VERDICT r9 #4: the statistical guards' shared-scan persist cost
+    // 2.5x at gate scale. The decision rides the plan's LEAF input
+    // estimate: a tiny local relation stays unpersisted; forcing the
+    // threshold to 0 restores the shared-scan persist (and registers
+    // it for harness release).
+    val df = spark.range(1000)
+      .select((col("id") % 7).as("k"), col("id").cast("double").as("v"))
+      .groupBy("k").agg(sum("v").as("s"))
+    val small = CacheRegistry.persistIfLarge(df)
+    assert(small.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "a sub-threshold input must not pay the persist")
+    val large = CacheRegistry.persistIfLarge(df, minInputBytes = 0L)
+    try {
+      assert(large.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+        "past the threshold the shared-scan persist must engage")
+    } finally CacheRegistry.unpersistAll()
+    assert(large.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "persistIfLarge frames must release through unpersistAll")
+  }
 }
