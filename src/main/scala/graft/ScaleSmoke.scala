@@ -224,7 +224,7 @@ object ScaleSmoke {
     // flag skipped only the ops map, so the slowest section still ran
     // and the promised quick iteration loop didn't exist.)
     val selectors = args.drop(2).toSet
-    val known = Set("ops", "giant", "fold", "grid")
+    val known = Set("ops", "giant", "fold", "grid", "tsdays")
     require(selectors.subsetOf(known),
       s"unknown section selector(s) ${selectors -- known}; valid: $known")
     def want(s: String): Boolean = selectors.isEmpty || selectors(s)
@@ -289,6 +289,42 @@ object ScaleSmoke {
       val cRatio = ck / c1
       println(f"[scale] dedup_groups_giant    1x=$c1%6.2fs  ${k}x=$ck%6.2fs  ratio=$cRatio%5.2f")
       Seq(s""""dedup_groups_giant":{"t1":$c1,"tk":$ck,"ratio":$cRatio}""")
+    }
+
+    // theilSen day-sampling at the guard boundary (VERDICT r9 #3):
+    // the sampled path must be sub-|days|² — candidate GENERATION is
+    // (|days|/mod)²/2 because the md5 day draw filters BEFORE the
+    // self-join, so doubling mod should quarter the pairwise cost.
+    // The r9 pair-residual form evaluated |days|²/2 candidates at ANY
+    // mod and would read ratio ≈ 1 here — this entry is the
+    // regression trap for that shape.
+    val tsdays = if (!want("tsdays")) Seq.empty else {
+      val nDays = 4000L // the guard boundary
+      def spanEvents(days: Long): DataFrame =
+        spark.range(days * 8).select(
+          col("id").as("event_id"),
+          timestamp_seconds(lit(1704067200L)
+            + (col("id") / 8) * 86400L).as("ts"),
+          lit(1L).as("user_id"),
+          concat(lit("k"), pmod(col("id"), lit(8)).cast("string"))
+            .as("event_type"),
+          (col("id") % 1000).cast("double").as("value"),
+          lit("{}").as("props"))
+      val span = spanEvents(nDays).localCheckpoint(true)
+      def run(f: => DataFrame): Double = {
+        force(f); CacheRegistry.unpersistAll()        // warm
+        val t = time { force(f) }; CacheRegistry.unpersistAll(); t
+      }
+      val tExact = run(AnalyticsOps.theilSen(span, maxDaysPerKey = nDays))
+      val tM2 = run(AnalyticsOps.theilSenSampledRaw(span, sampleMod = 2))
+      val tM8 = run(AnalyticsOps.theilSenSampledRaw(span, sampleMod = 8))
+      println(f"[scale] theilsen_days_4000     exact=$tExact%6.2fs  " +
+        f"mod2=$tM2%6.2fs  mod8=$tM8%6.2fs  " +
+        f"mod2/exact=${tM2 / tExact}%5.2f  mod8/exact=${tM8 / tExact}%5.2f")
+      org.apache.spark.sql.graftx.bridge.checkpointRdd(span)
+        .foreach(_.unpersist(true))
+      Seq(s""""theilsen_days_4000":{"exact":$tExact,"mod2":$tM2""" +
+        s""","mod8":$tM8}""")
     }
 
     // Incremental fold (C43): time ONLY the fold of a batch into an
@@ -418,7 +454,7 @@ object ScaleSmoke {
         s""","pruned":$tPruned,"one_var_ratio":$rVar,"pruned_ratio":$rPrune}""")
     }
 
-    println((rows ++ giant ++ fold ++ grid)
+    println((rows ++ giant ++ tsdays ++ fold ++ grid)
       .mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
     spark.stop()
   }

@@ -561,19 +561,22 @@ object AnalyticsOps {
         count(lit(1)).as("n_pairs"))
   }
 
-  /** B42's guard-named fallback, PRODUCTION path (VERDICT r8 #3):
-    * seeded median-of-sampled-slopes. Each day pair carries a
-    * deterministic 32-bit md5 priority on (key, day_a, day_b) — the
-    * C40/C46 seeded-permutation construction, reproduced by DuckDB's
-    * md5_number_upper — and only pairs with priority ≡ 0 (mod
-    * `sampleMod`) materialize a slope, so the median sorts ~|days|²/
-    * (2·sampleMod) rows per key. Candidate predicate evaluation is
-    * still |days|²/2 compares inside the join (cheap, never
-    * materialized); a span hot enough that even the compares matter
-    * coarsens first ([[mannKendall]]'s unit="week" dial applies to
-    * the daily aggregate here identically). Deterministic end to end:
-    * the sampled pair SET is a pure function of (key, days, seed), so
-    * the sampled median is engine-replayable — not just band-gated.
+  /** B42's guard-named fallback, PRODUCTION path (VERDICT r8 #3,
+    * de-quadratic'd per VERDICT r9 #3): seeded
+    * median-of-day-subsample slopes. Each DAY carries a deterministic
+    * 32-bit md5 priority on (key, day) — the C40/C46
+    * seeded-permutation construction, reproduced by DuckDB's
+    * md5_number_upper — and only days with priority ≡ 0 (mod
+    * `sampleMod`) enter the pairwise stage at all, so CANDIDATE
+    * GENERATION (not just rows emitted) shrinks quadratically to
+    * ~(|days|/sampleMod)²/2 per key. The r9 form sampled PAIRS via a
+    * residual predicate on the equi self-join, which still EVALUATED
+    * |days|²/2 candidates per key (~10⁷ at the >4000-day guard
+    * boundary); sampling the day set moves the cut before the join.
+    * The estimator is Theil–Sen on a seeded subsample of the daily
+    * series — same robustness story, engine-replayable end to end:
+    * the kept day SET is a pure function of (key, days, seed), so the
+    * sampled median is replayed by the oracle, not just band-gated.
     */
   def theilSenSampledRaw(events: DataFrame, sampleMod: Int = 2): DataFrame = {
     val daily = graft.CacheRegistry.persistIfLarge(events
@@ -581,14 +584,14 @@ object AnalyticsOps {
       .agg(Exact.avgD(col("value")).as("y"))
       .withColumn("x",
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("double")))
-    val prio = graft.functions.VectorFns.md5_hash32(
-      concat_ws("|", col("a.event_type"),
-        col("a.day").cast("date").cast("string"),
-        col("b.day").cast("date").cast("string")))
-    val pairs = daily.as("a").join(daily.as("b"),
+    val dayPrio = graft.functions.VectorFns.md5_hash32(
+      concat_ws("|", col("event_type"),
+        col("day").cast("date").cast("string")))
+    val sampled = daily
+      .filter(pmod(dayPrio, lit(sampleMod.toLong)) === lit(0L))
+    val pairs = sampled.as("a").join(sampled.as("b"),
         col("a.event_type") === col("b.event_type")
-          && col("a.day") < col("b.day")
-          && pmod(prio, lit(sampleMod.toLong)) === lit(0L))
+          && col("a.day") < col("b.day"))
       .select(col("a.event_type").as("event_type"),
         ((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("slope"))
     pairs.groupBy("event_type")
@@ -601,15 +604,18 @@ object AnalyticsOps {
     * asserts — run at gate scale only (it contains the exact twin;
     * production past the day guard calls [[theilSenSampledRaw]]
     * alone). Both slope columns are deterministic AND
-    * engine-replayable, so the oracle recomputes band_ok rather than
-    * trusting a constant TRUE. `band` is sized to the GATE span's
-    * sampling noise — ~30 daily points ⇒ ~220 of 435 slopes kept,
-    * measured |Δmedian| up to 0.14 across SFs (0.25 ≈ 2× margin); at
-    * the production spans the guard quarantines (4000+ days ⇒ 10⁶+
-    * sampled slopes) the estimator's error is orders tighter.
+    * engine-replayable, so the certification is the BIT-EXACT replay
+    * of the sampled median itself; band_ok is a recomputed sanity
+    * rail, sized to the GATE span's small-sample noise: the day draw
+    * keeps ~12 of ~30 days ⇒ 66 slopes, measured |Δmedian| 0.60 at
+    * sf0.001 (noisy 6-event daily means), 0.23 at sf0.01, 0.085 at
+    * sf0.1 — band 1.0 ≈ 1.6× the worst gate reading. At the
+    * production spans the guard quarantines (4000+ days ⇒ 2000+
+    * sampled days, 2·10⁶ slopes) the estimator's error is orders
+    * tighter.
     */
   def theilSenSampled(events: DataFrame, sampleMod: Int = 2,
-      band: Double = 0.25): DataFrame = {
+      band: Double = 1.0): DataFrame = {
     val exact = theilSen(events)
     exact.join(theilSenSampledRaw(events, sampleMod), Seq("event_type"), "left")
       .select(col("event_type"), col("n_pairs"), col("ts_slope"),
