@@ -1003,17 +1003,40 @@ object AnalyticsOps {
     * partial-agg groupBy over the scored stream, a 1-row broadcast of
     * the grand totals — the events never shuffle twice.
     */
-  def leveneTest(events: DataFrame): DataFrame = {
-    val I = DecimalType(38, 0)
-    val med = events.groupBy("event_type")
+  def leveneTest(events: DataFrame): DataFrame =
+    leveneFromComoments(leveneComoments(events, leveneMedians(events)))
+
+  /** B55's per-key medians — the OFFLINE MODEL half of the D7/D12
+    * split: Brown–Forsythe deviations are taken from a FIXED center,
+    * so the live monitor (D19) trains these once at deployment and
+    * scores every micro-batch against them.
+    */
+  def leveneMedians(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
       .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+
+  /** B55's (key, n, Σz, Σz²) co-moment grid against a given median
+    * table — the mergeable integer state D19 folds (exact
+    * DECIMAL(38,0) addition is associative, so the folded grid equals
+    * the whole-history grid bit-for-bit on any batch split).
+    */
+  def leveneComoments(events: DataFrame, med: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
     val zq = floor(abs(col("value") - col("med")) * lit(1000000.0)
       + lit(0.5)).cast(I)
-    val g = events.join(broadcast(med), "event_type")
+    events.join(broadcast(med), "event_type")
       .select(col("event_type"), zq.as("zq"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("zq")).as("s"),
         sum(col("zq") * col("zq")).as("q"))
+  }
+
+  /** B55's statistic from the co-moment grid — the SHARED math object
+    * between the batch operator and the D19 live feed (one statistic,
+    * two feeds; the D14 design).
+    */
+  def leveneFromComoments(g: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
     val tot = g.agg(sum(col("n")).as("n_all"), sum(col("s")).as("s_all"),
       count(lit(1)).as("n_keys"))
     val nD = col("n").cast("double")

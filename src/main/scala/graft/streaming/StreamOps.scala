@@ -596,6 +596,83 @@ object StreamOps {
       all.filter(col("batch") === latest).drop("batch"))
   }
 
+  /** D19: streaming Brown–Forsythe variance-drift monitor — B55 as a
+    * LIVE gate, completing the streaming drift family's VARIANCE axis
+    * (D16 watches the mean, D17 the omnibus ranks, D18 the CDF shape;
+    * a sensor that starts JITTERING drifts in none of those first).
+    * The offline-model/online-score split is D7/D12's: deviations are
+    * taken from the FIXED per-key medians trained at deployment
+    * ([[graft.operators.AnalyticsOps.leveneMedians]]), so the state —
+    * B55's (key, n, Σz, Σz²) co-moment grid — is mergeable integer
+    * state, folded per micro-batch by a full-outer exact ADD (the D14
+    * associativity argument verbatim), and
+    * [[graft.operators.AnalyticsOps.leveneFromComoments]] applied to
+    * the folded grid IS the whole-history batch statistic bit-for-bit
+    * on any batch split. State ≤ |keys| rows per snapshot forever,
+    * under `stateDir/batch=<id>` with latest-prior reads + the
+    * retention sweep.
+    */
+  def streamingLevene(events: DataFrame, medians: DataFrame,
+      stateDir: String, retainBatches: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("event_type"), col("value"))
+          .localCheckpoint(true)
+        try {
+          val bG = graft.operators.AnalyticsOps.leveneComoments(b, medians)
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => bG
+            case Some(p) => p
+              .select(col("event_type"), col("n").as("n0"),
+                col("s").as("s_0"), col("q").as("q_0"))
+              .join(bG, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("n0"), lit(0L))
+                  + coalesce(col("n"), lit(0L))).as("n"),
+                (coalesce(col("s_0"), lit(0).cast(DecimalType(38, 0)))
+                  + coalesce(col("s"), lit(0).cast(DecimalType(38, 0))))
+                  .as("s"),
+                (coalesce(col("q_0"), lit(0).cast(DecimalType(38, 0)))
+                  + coalesce(col("q"), lit(0).cast(DecimalType(38, 0))))
+                  .as("q"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D19 statistic: B55's exact math over the latest folded
+    * co-moment grid.
+    */
+  def latestLevene(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.AnalyticsOps.leveneFromComoments(
+      all.filter(col("batch") === latest).drop("batch"))
+  }
+
   /** D17: streaming Kruskal–Wallis — B54's omnibus rank gate LIVE.
     * The state is B54's (event_type, value, c) count grid: per
     * micro-batch one partial-agg groupBy, a full-outer integer ADD

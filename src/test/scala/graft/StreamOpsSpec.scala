@@ -381,6 +381,45 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D19: streaming levene — folded co-moments equal the batch statistic bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 3 batches, 3 keys; key c's SPREAD grows per batch while every
+    // key's center stays put — the drift axis only B55 isolates
+    def mkBatch(bi: Int): Seq[Event] =
+      (1 to 60).map { i =>
+        val typ = Seq("a", "b", "c")(i % 3)
+        val spread = if (typ == "c") 1.0 + bi else 1.0
+        val v = 10.0 + ((i % 5) - 2) * spread
+        Event(bi * 1000L + i, new java.sql.Timestamp(ts0 + i * 1000L),
+          i.toLong, typ, v, "{}") }
+    val base = java.nio.file.Files.createTempDirectory("d19").toString
+    val stateDir = s"$base/state"
+    // the offline model: medians trained on the first batch (the
+    // deployment-time reference the monitor scores against)
+    val medians = graft.operators.AnalyticsOps.leveneMedians(
+      mkBatch(0).toDF())
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingLevene(stream.toDF(), medians, stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val batches = (0 until 3).map(mkBatch)
+    batches.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    // the live F over the folded co-moments IS the batch statistic on
+    // the whole history scored against the SAME fixed medians
+    val live = StreamOps.latestLevene(spark, stateDir)
+    val twin = graft.operators.AnalyticsOps.leveneFromComoments(
+      graft.operators.AnalyticsOps.leveneComoments(
+        batches.flatten.toDF(), medians))
+    assert(live.count() === 1L)
+    assert(live.head().getAs[Double]("f_stat") > 1.0,
+      "a key whose spread triples must push F above 1")
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("D16: streaming welch — folded co-moments equal batch; retention bounds state dirs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
