@@ -191,20 +191,24 @@ object SparkEntry {
         MultimodalOps.toPngMediaTable(s, docs)
           .union(MultimodalOps.toJpegMediaTable(s, docs))
           .union(MultimodalOps.toGifMediaTable(s, docs))
+          .union(MultimodalOps.toGifAnimMediaTable(s, docs))
           .union(MultimodalOps.toMediaTable(docs)))
     }),
     // C11 oracle-gated twin (VERDICT r7 #5): the REAL-format decode
     // paths (PNG IHDR + JPEG SOFn + GIF logical screen descriptor,
-    // r9) produce deterministic doc_id-derived metadata, so the
-    // per-item projection is fully DuckDB-expressible — rows+schema+
-    // hash gated; only the fake-decode fallback and the binary
-    // payload itself stay spec-gated in multimodal_stub
+    // r9; r10 adds the ANIMATED-GIF branch whose frame count is
+    // DECODED by walking image-descriptor blocks — VERDICT r9 #6)
+    // produce deterministic doc_id-derived metadata, so the per-item
+    // projection is fully DuckDB-expressible — rows+schema+hash
+    // gated; only the fake-decode fallback and the binary payload
+    // itself stay spec-gated in multimodal_stub
     "multimodal_meta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       MultimodalOps.extractMetaFrom(s,
         MultimodalOps.toPngMediaTable(s, docs)
           .union(MultimodalOps.toJpegMediaTable(s, docs))
-          .union(MultimodalOps.toGifMediaTable(s, docs)))
+          .union(MultimodalOps.toGifMediaTable(s, docs))
+          .union(MultimodalOps.toGifAnimMediaTable(s, docs)))
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) =>
@@ -2084,6 +2088,13 @@ object SparkEntry {
         |CAST(64 + (doc_id * 3) % 512 AS INTEGER) AS width,
         |CAST(64 + (doc_id * 17) % 512 AS INTEGER) AS height,
         |CAST(1 AS INTEGER) AS n_frames, 'gif' AS format
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |CAST(14 + 14 * (1 + doc_id % 7) AS INTEGER) AS n_bytes,
+        |CAST(64 + (doc_id * 5) % 512 AS INTEGER) AS width,
+        |CAST(64 + (doc_id * 11) % 512 AS INTEGER) AS height,
+        |CAST(1 + doc_id % 7 AS INTEGER) AS n_frames, 'gif' AS format
         |FROM documents""".stripMargin,
     // C34: same injected URL, same regex subset; domain = host group
     "url_domains" ->

@@ -73,6 +73,25 @@ object MultimodalOps {
   def gifHeaderBytes(width: Int, height: Int): Array[Byte] =
     org.apache.spark.sql.graftx.MediaWrapExpr.gifHeaderBytes(width, height)
 
+  /** Complete multi-frame GIF builder re-exported for spec fixtures. */
+  def gifAnimationBytes(width: Int, height: Int, frames: Int): Array[Byte] =
+    org.apache.spark.sql.graftx.MediaWrapExpr
+      .gifAnimationBytes(width, height, frames)
+
+  /** Synthetic ANIMATED-GIF media table (VERDICT r9 #6): each doc's
+    * payload is a COMPLETE valid GIF with 1 + doc_id % 7 image-
+    * descriptor blocks — the fixture whose frame count the decoder
+    * must WALK, not assume (the other wrap tables append payload
+    * after the header, which is not a parseable block stream, and
+    * correctly keep the header-scope default of 1). Pure codegen'd
+    * projection; n_bytes has the closed form 14 + 14·n_frames the
+    * oracle rebuilds.
+    */
+  def toGifAnimMediaTable(spark: SparkSession, documents: DataFrame): DataFrame =
+    toMediaTable(documents).select(col("doc_id"),
+      VectorFns.media_wrap(col("doc_id"), col("payload"), "gifanim")
+        .as("payload"))
+
   /** C11: feature extraction over the binary column — one codegen'd
     * expression per row, partition-parallel with no shuffle and no
     * object-serialization barrier. Memory stays flat when payloads

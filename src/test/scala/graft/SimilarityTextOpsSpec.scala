@@ -293,6 +293,55 @@ class SimilarityTextOpsSpec extends SparkSpec {
       Seq((49L, ("GIF88a" + "0123456789").getBytes("US-ASCII")))
         .toDF("doc_id", "payload")).head()
     assert(badVer.getAs[String]("format") !== "gif")
+    // the truncated block stream above (0x2C with no descriptor body)
+    // keeps the header-scope default — a frame count guessed from a
+    // torn stream would be worse than the honest 1
+    assert(m.getAs[Int]("n_frames") === 1)
+  }
+
+  test("GIF frame count decoded by walking image-descriptor blocks") {
+    import spark.implicits._
+    // hand-assembled 2-frame GIF89a exercising every skip branch the
+    // walk must get right: a GLOBAL color table (packed 0x80 → 6
+    // bytes), a graphic-control EXTENSION (0x21 F9, 4-byte sub-block),
+    // frame 1 with a LOCAL color table (packed 0x80 → 6 bytes) and a
+    // 2-byte data sub-block, frame 2 bare, then the 0x3B trailer
+    val literal: Array[Byte] = ("GIF89a".getBytes("US-ASCII").map(_.toInt) ++
+      Array(0x03, 0x00, 0x02, 0x00, 0x80, 0x00, 0x00) ++ // LSD w3 h2 + GCT flag
+      Array(0, 0, 0, 0, 0, 0) ++                          // global color table
+      Array(0x21, 0xF9, 0x04, 0, 0, 0, 0, 0x00) ++        // GCE extension
+      Array(0x2C, 0, 0, 0, 0, 0x03, 0x00, 0x02, 0x00, 0x80) ++ // frame 1 + LCT flag
+      Array(0, 0, 0, 0, 0, 0) ++                          // local color table
+      Array(0x02, 0x02, 0x4C, 0x4C, 0x00) ++              // LZW + data + term
+      Array(0x2C, 0, 0, 0, 0, 0x03, 0x00, 0x02, 0x00, 0x00) ++ // frame 2
+      Array(0x02, 0x01, 0x4C, 0x00) ++                    // LZW + data + term
+      Array(0x3B)).map(_.toByte)                          // trailer
+    val m = MultimodalOps.extractMetaFrom(spark,
+      Seq((50L, literal)).toDF("doc_id", "payload")).head()
+    assert(m.getAs[String]("format") === "gif")
+    assert(m.getAs[Int]("width") === 3 && m.getAs[Int]("height") === 2)
+    assert(m.getAs[Int]("n_frames") === 2)
+    // the animation builder round-trips through the same walk, and
+    // its size is the closed form the oracle rebuilds
+    val anim = MultimodalOps.gifAnimationBytes(5, 4, 3)
+    assert(anim.length === 14 + 14 * 3)
+    val ma = MultimodalOps.extractMetaFrom(spark,
+      Seq((51L, anim)).toDF("doc_id", "payload")).head()
+    assert(ma.getAs[String]("format") === "gif")
+    assert(ma.getAs[Int]("width") === 5 && ma.getAs[Int]("height") === 4)
+    assert(ma.getAs[Int]("n_frames") === 3)
+    // the table builder's doc_id formulas (the oracle's contract)
+    val docs = Seq((11L, "ignored")).toDF("doc_id", "text")
+    val built = MultimodalOps.extractMetaFrom(spark,
+      MultimodalOps.toGifAnimMediaTable(spark, docs)).head()
+    assert(built.getAs[Int]("n_frames") === 1 + 11 % 7)
+    assert(built.getAs[Int]("width") === 64 + (11 * 5 % 512))
+    assert(built.getAs[Int]("height") === 64 + (11 * 11 % 512))
+    assert(built.getAs[Int]("n_bytes") === 14 + 14 * (1 + 11 % 7))
+    // a stream missing its trailer keeps the header-scope default
+    val noTrailer = MultimodalOps.extractMetaFrom(spark,
+      Seq((52L, anim.dropRight(1))).toDF("doc_id", "payload")).head()
+    assert(noTrailer.getAs[Int]("n_frames") === 1)
   }
 
   test("JPEG SOFn scan reads dimensions from hand-built marker segments") {
