@@ -124,6 +124,10 @@ object ScaleSmoke {
       ("bm25", (d, _, _) => TextOps.bm25(d)),
       // per round: corpus × broadcast(k cells) map + two partial aggs
       ("emb_kmeans", (_, _, m) => SimilarityOps.embKmeans(m)),
+      // r10 (VERDICT r9 #7): the parametric loop at 5 rounds — per-
+      // round plain checkpoints keep plan depth CONSTANT in rounds,
+      // so 5 rounds should cost ~2.5x the 2-round entry, not nest
+      ("emb_kmeans_r5", (_, _, m) => SimilarityOps.embKmeans(m, iters = 5)),
       // pure map — the histogram runs inside one native expression
       // per row (the explode forms measured ratio ~17 at 10×)
       ("doc_entropy", (d, _, _) => TextOps.docEntropy(d)),

@@ -766,7 +766,7 @@ object SimilarityOps {
     * (cluster, cemb): round-6 cosine, argmax via partial-aggregable
     * struct-max (no window), cluster-id tiebreak.
     */
-  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("rsim", round(cosG(col("embedding"), col("cemb")), 6))
       .groupBy("vec_id")
@@ -779,9 +779,31 @@ object SimilarityOps {
     * missing training step, exposed for [[knnIvfTrained]].
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    kmeansTrain(embeddings, k, iters)._1
+
+  /** N-round Lloyd training (VERDICT r9 #7 — the statically-nested
+    * loop made parametric): each round's assignment and centroid
+    * table are eagerly pinned via the label loop's
+    * `plainLocalCheckpoint` (round r+1's plan references a LEAF, not
+    * round r's whole plan — without this the lineage NESTS per round
+    * and analysis cost grows with the round count, the same disease
+    * the dedup loop had), prior rounds' blocks released the moment
+    * the next round materializes, final tables registered for harness
+    * release. With `trackChanges` the per-round ASSIGNMENT-CHANGE
+    * count — the standard Lloyd convergence diagnostic (stop when it
+    * hits ~0) — is published alongside: entry r counts vectors whose
+    * cluster differs between update rounds r and r+1 (length
+    * iters − 1; the first assignment has no predecessor).
+    */
+  def kmeansTrain(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      trackChanges: Boolean = false): (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.types.DecimalType
     require(k >= 2 && iters >= 0, "need k >= 2 clusters, iters >= 0")
+    val bridge = org.apache.spark.sql.graftx.bridge
+    def release(df: DataFrame): Unit =
+      bridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     val e = embeddings.select(col("vec_id"), col("embedding"))
     def update(asg: DataFrame): DataFrame = {
       val q = floor(col("val").cast("double") * lit(1048576.0))
@@ -798,8 +820,25 @@ object SimilarityOps {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"),
         transform(col("embedding"), v => v.cast("double")).as("cemb"))
-    for (_ <- 1 to iters) cents = update(kmeansAssign(e, cents))
-    cents
+    var prevAsg: DataFrame = null
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to iters) {
+      val asg = bridge.plainLocalCheckpoint(
+        kmeansAssign(e, cents).select(col("vec_id"), col("cluster")))
+      if (trackChanges && prevAsg != null)
+        changes += asg.join(
+            prevAsg.select(col("vec_id"), col("cluster").as("prev")),
+            "vec_id")
+          .filter(col("cluster") =!= col("prev")).count()
+      val next = bridge.plainLocalCheckpoint(update(asg))
+      release(cents)
+      if (prevAsg != null) release(prevAsg)
+      if (trackChanges) prevAsg = asg else release(asg)
+      cents = next
+    }
+    if (prevAsg != null) release(prevAsg)
+    graft.CacheRegistry.registerCheckpoint(cents)
+    (cents, changes.toSeq)
   }
 
   def embKmeans(embeddings: DataFrame, k: Int = 8,

@@ -807,6 +807,49 @@ class SimilarityTextOpsSpec extends SparkSpec {
     assert(m2 >= m0 - 1e-6, s"mean sim degraded: $m0 -> $m2")
   }
 
+  test("kmeansTrain: n-round loop equals the unrolled form; change counts published") {
+    import org.apache.spark.sql.types.DecimalType
+    // reference: the pre-r10 statically-composed 2-round form, inlined
+    // here WITHOUT checkpoints — the loop + plainLocalCheckpoint
+    // rewrite must be value-identical (VERDICT r9 #7's done-criterion)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    def update(asg: org.apache.spark.sql.DataFrame) = {
+      val q = floor(col("val").cast("double") * lit(1048576.0))
+        .cast(DecimalType(38, 0))
+      e.join(asg.select("vec_id", "cluster"), "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("cluster", "pos")
+        .agg((sum(q).cast("double") / (count(lit(1)) * lit(1048576.0)))
+          .as("cval"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x.getField("cval")).as("cemb"))
+    }
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"), v => v.cast("double")).as("cemb"))
+    val unrolled = update(SimilarityOps.kmeansAssign(e,
+      update(SimilarityOps.kmeansAssign(e, seed))))
+    val (looped, changes) = SimilarityOps.kmeansTrain(embeddings,
+      k = 8, iters = 2, trackChanges = true)
+    assert(looped.except(unrolled).isEmpty
+      && unrolled.except(looped).isEmpty,
+      "loop + per-round checkpoints must be value-identical to the " +
+        "statically-composed rounds")
+    // the convergence diagnostic: one entry per update round past the
+    // first, each a sane count over the corpus
+    val n = embeddings.count()
+    assert(changes.length === 1)
+    assert(changes.forall(c => c >= 0 && c <= n))
+    // a 5-round run publishes 4 counts and Lloyd settles: the last
+    // round moves no more vectors than the first
+    val (c5, ch5) = SimilarityOps.kmeansTrain(embeddings,
+      k = 8, iters = 5, trackChanges = true)
+    assert(ch5.length === 4 && ch5.last <= ch5.head)
+    assert(c5.count() <= 8)
+    CacheRegistry.unpersistAll()
+  }
+
   test("knnIvfTrained: recall clears the floor, trained cells are more balanced") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select(col("q_id"), col("c_id")).collect()
