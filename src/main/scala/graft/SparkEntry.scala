@@ -95,6 +95,10 @@ object SparkEntry {
     // A41 (r9): SDII wet-day intensity — the ETCCDI metric beside
     // A39's drought duration
     "q_sdii" -> ((s, d) => AgriOps.sdii(Tables.events(s, d))),
+    // A42 (r10): Rx5day — max 5-day precipitation window per key
+    "q_rx5day" -> ((s, d) => AgriOps.rx5day(Tables.events(s, d))),
+    // A43 (r10): WSDI — cumulative warm-spell day load per key
+    "q_wsdi" -> ((s, d) => AgriOps.wsdi(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -1549,6 +1553,57 @@ object SparkEntry {
         |CAST(sum(CAST(floor(p_total * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
         |  / 1e6 / count(*) AS sdii
         |FROM wet GROUP BY 1""".stripMargin,
+    // A42: Rx5day — daily round-4 totals floor(×1e6)-quantized, a
+    // calendar RANGE window (4 preceding days) summing integers, one
+    // struct-max with the latest-end tiebreak, ÷1e6 publish
+    "q_rx5day" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |    AS p_total,
+        |  datediff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |win AS (SELECT event_type, day,
+        |  sum(CAST(floor(p_total * 1e6) AS DECIMAL(38,0)))
+        |    OVER (PARTITION BY event_type ORDER BY x
+        |      RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS tot5q
+        |  FROM daily)
+        |SELECT event_type, CAST(tot5q AS DOUBLE) / 1e6 AS rx5day,
+        |day AS window_end
+        |FROM (SELECT event_type, tot5q, day,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY tot5q DESC, day DESC) AS rn FROM win)
+        |WHERE rn = 1""".stripMargin,
+    // A43: WSDI — warm = daily mean strictly above the key's own
+    // round-4 pct-percentile, A30's islands, runs >= minRun summed;
+    // keys with no qualifying run yield no row
+    "q_wsdi" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS t_mean
+        |  FROM events GROUP BY 1, 2),
+        |thr AS (SELECT event_type,
+        |  round(quantile_cont(t_mean, 0.5), 4) AS thr
+        |  FROM daily GROUP BY 1),
+        |hot AS (SELECT daily.event_type, day,
+        |  datediff('day', DATE '2024-01-01', day)
+        |    - row_number() OVER (PARTITION BY daily.event_type
+        |      ORDER BY day) AS grp
+        |  FROM daily JOIN thr USING (event_type)
+        |  WHERE t_mean > thr),
+        |islands AS (SELECT event_type, grp, count(*) AS len,
+        |  min(day) AS spell_start FROM hot GROUP BY 1, 2),
+        |q AS (SELECT * FROM islands WHERE len >= 3),
+        |agg AS (SELECT event_type, CAST(sum(len) AS BIGINT) AS wsdi_days,
+        |  count(*) AS n_spells FROM q GROUP BY 1),
+        |top AS (SELECT event_type, len AS longest_spell,
+        |  spell_start AS longest_start FROM
+        |  (SELECT event_type, len, spell_start,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, spell_start DESC) AS rn FROM q)
+        |  WHERE rn = 1)
+        |SELECT agg.event_type, wsdi_days, n_spells, longest_spell,
+        |longest_start
+        |FROM agg JOIN top USING (event_type)""".stripMargin,
     // A40: chill hours — HOURLY exact-decimal means, month rollup
     // counting hours strictly below thr
     "q_chill_hours" ->

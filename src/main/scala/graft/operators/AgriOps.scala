@@ -575,6 +575,87 @@ object AgriOps {
         (sum(pq).cast("double") / lit(1e6) / count(lit(1))).as("sdii"))
   }
 
+  /** A42: Rx5day — max 5-day precipitation total per key (ETCCDI's
+    * flood-risk intensity index; SDII says how hard it rains on a wet
+    * day, this how much can land in one storm WINDOW — levee design
+    * and waterlogging care about the 5-day accumulation, not the
+    * daily mean). Daily totals via [[Exact.sumD]] (round-4, bit-
+    * identical), floor(×10⁶)-quantized (derived doubles — the A37/A41
+    * protocol; a windowed double SUM is 3–9 ulps apart cross-engine),
+    * then a calendar RANGE window (4 preceding days .. current — a
+    * ROWS frame would silently span gaps in sparse series) summing
+    * INTEGERS, and one struct-max with the deterministic latest-end
+    * tiebreak. Published as the exact quotient ÷10⁶.
+    *
+    * Scale: one strictly-coarsening groupBy, one bounded-frame window
+    * over the |keys × days| daily mart (never raw events), one
+    * partial-agg struct-max.
+    */
+  def rx5day(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.sumD(col("value")).as("p_total"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    val prod = col("p_total") * lit(1e6)
+    val pq = when(prod < lit(9.007199254740992e15),
+      floor(prod).cast(DecimalType(38, 0)))
+      .otherwise(prod.cast(DecimalType(38, 0)))
+    val w = Window.partitionBy("event_type").orderBy("x")
+      .rangeBetween(-4, 0)
+    daily.withColumn("pq", pq)
+      .withColumn("tot5q", sum(col("pq")).over(w))
+      .groupBy("event_type")
+      .agg(max(struct(col("tot5q"), col("day"))).as("m"))
+      .select(col("event_type"),
+        (col("m.tot5q").cast("double") / lit(1e6)).as("rx5day"),
+        col("m.day").as("window_end"))
+  }
+
+  /** A43: WSDI — warm-spell duration per key (ETCCDI's heat-wave
+    * EXPOSURE index: total days inside runs of at least `minRun`
+    * consecutive above-threshold days; A30 finds the single longest
+    * spell, this the season's cumulative warm-spell load, which is
+    * what heat-stress accumulation actually tracks). Threshold = the
+    * key's OWN round-4 `pct` percentile of daily means (B15's
+    * construction — self-calibrating like A39's median dichotomy).
+    * The classical ETCCDI dials are pct 0.90 / minRun 6; the GATE
+    * runs 0.5 / 3 because at the 30-day test span p90 leaves ~3
+    * scattered warm days and a 6-run never forms (measured 0 rows at
+    * every SF — the A39 vacuity lesson), while the median dichotomy
+    * forms qualifying runs at any volume. Comparisons on
+    * bit-identical doubles; A30's gaps-and-islands; keys with no
+    * qualifying run yield no row (oracle-mirrored).
+    *
+    * Scale: two strictly-coarsening groupBys + a |keys|-row
+    * percentile broadcast + one window over the |keys × warm-days|
+    * mart.
+    */
+  def wsdi(events: DataFrame, pct: Double = 0.5,
+      minRun: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("t_mean"))
+    val thr = daily.groupBy("event_type")
+      .agg(round(expr(s"percentile(t_mean, $pct)"), 4).as("thr"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val islands = daily.join(broadcast(thr), "event_type")
+      .filter(col("t_mean") > col("thr"))
+      .withColumn("grp",
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("spell_start"))
+    islands.filter(col("len") >= minRun)
+      .groupBy("event_type")
+      .agg(sum(col("len")).as("wsdi_days"), count(lit(1)).as("n_spells"),
+        max(struct(col("len"), col("spell_start"))).as("m"))
+      .select(col("event_type"), col("wsdi_days"), col("n_spells"),
+        col("m.len").as("longest_spell"),
+        col("m.spell_start").as("longest_start"))
+  }
+
   def chillHours(events: DataFrame, chillBelow: Double = 45.0): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))

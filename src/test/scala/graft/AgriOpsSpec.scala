@@ -137,6 +137,60 @@ class AgriOpsSpec extends SparkSpec {
     assert(full.filter(col("n_wet_days") < 1).count() === 0)
   }
 
+  test("rx5day: max 5-calendar-day total; RANGE frame spans gaps correctly") {
+    import spark.implicits._
+    // days 1..9 with a gap at day 5; totals chosen so the best
+    // 5-day CALENDAR window is days 5..9 = 0+4+4+4+20 = 32 (a ROWS
+    // frame would instead sum 5 observed rows across 6 calendar days)
+    val rows = Seq(("2024-03-01", 1.0), ("2024-03-02", 1.0),
+      ("2024-03-03", 1.0), ("2024-03-04", 1.0), // day 5 missing
+      ("2024-03-06", 4.0), ("2024-03-07", 4.0), ("2024-03-08", 4.0),
+      ("2024-03-09", 20.0))
+    val ev = rows.toDF("d", "value")
+      .select(lit("a").as("event_type"),
+        to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"),
+        col("value"))
+    val r = AgriOps.rx5day(ev).head()
+    assert(r.getAs[Double]("rx5day") === 32.0)
+    assert(r.getAs[java.sql.Timestamp]("window_end")
+      .toString.take(10) === "2024-03-09")
+    // corpus: one row per key, never below the best single day
+    val events = Tables.events(spark, sf)
+    val full = AgriOps.rx5day(events)
+    assert(full.count() ===
+      events.select("event_type").distinct().count())
+  }
+
+  test("wsdi: cumulative warm-spell days above the key's own percentile") {
+    import spark.implicits._
+    // means {1,9,9,9,1,8,8,1,8}: sorted {1,1,1,8,8,8,9,9,9} → median
+    // 8 → strictly-above days are 2,3,4 (one run of 3, the 8s don't
+    // qualify); minRun 3 keeps it → wsdi_days 3, n_spells 1,
+    // longest 3 starting 03-02
+    val vals = Seq(1.0, 9.0, 9.0, 9.0, 1.0, 8.0, 8.0, 1.0, 8.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-03-0${i + 1}%s", v) }
+      .toDF("event_type", "d", "value")
+      .select(col("event_type"),
+        to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"),
+        col("value"))
+    val r = AgriOps.wsdi(ev).head()
+    assert(r.getAs[Long]("wsdi_days") === 3L)
+    assert(r.getAs[Long]("n_spells") === 1L)
+    assert(r.getAs[Long]("longest_spell") === 3L)
+    assert(r.getAs[java.sql.Timestamp]("longest_start")
+      .toString.take(10) === "2024-03-02")
+    // a constant key has no day strictly above its percentile → no row
+    assert(AgriOps.wsdi(ev.withColumn("value", lit(7.0))).count() === 0)
+    // corpus: the gate dials (median, run >= 3) must be NON-VACUOUS at
+    // any SF — the A39 lesson; classical (p90, 6) measured 0 rows at
+    // the 30-day gate span and stays a production dial
+    val events = Tables.events(spark, sf)
+    val full = AgriOps.wsdi(events)
+    assert(full.count() > 0, "gate dials produced no warm spells")
+    assert(full.filter(col("wsdi_days") < col("longest_spell")).count() === 0)
+  }
+
   test("chillHours counts hourly means below threshold per month") {
     import spark.implicits._
     // 3 hours on one day: means 40, 50, 44 → 2 chill hours (< 45)
