@@ -168,6 +168,10 @@ object ScaleSmoke {
       ("q_heavy_hitters", (_, e, _) => AnalyticsOps.heavyHitters(e)),
       // three row-local gates + doc_id joins — map-shaped throughout
       ("quality_report", (d, _, _) => TextOps.qualityReport(d)),
+      // r10 (C74): two bucket-bounded model tables (broadcast) + one
+      // (doc, bucket) partial agg — growth is the token-explode scan
+      ("dsir_weights", (d, _, _) => TextOps.dsirWeights(d,
+        d.filter(pmod(col("doc_id"), lit(20)) === 0))),
       // corpus gram stream grows ×k on the semi-join's probe side;
       // the benchmark side grows too (per-copy split)
       ("ngram_coverage", (d, _, _) => DedupOps.ngramCoverage(

@@ -174,6 +174,13 @@ object SparkEntry {
       DedupOps.decontaminate(docs,
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), 0.5)
     }),
+    // C74 (r10): DSIR importance weights — the deterministic
+    // doc_id-derived subset stands in for the external target domain
+    "dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.dsirWeights(docs,
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    }),
     // C62: the same benchmark split, audited from the benchmark's
     // side — corpus EXCLUDES the benchmark docs so coverage is earned
     // through genuine overlap, not self-matches
@@ -1265,6 +1272,39 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    // C74: DSIR — hashed-unigram importance ratios; bucket via the
+    // md5_number_upper mirror, per-bucket log ratio floor(·1e9)-
+    // quantized (C69's protocol), integer per-doc sum, target_like
+    // compared on the INTEGER sum so the boolean has no knife-edge
+    "dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id,
+        |  CAST(md5_number_upper(tok) >> 32 AS BIGINT) % 4096 AS bucket
+        |  FROM tok),
+        |raw AS (SELECT bucket, count(*) AS c_r FROM tb GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*) AS c_t FROM tb
+        |  WHERE doc_id % 20 = 0 GROUP BY 1),
+        |nr AS (SELECT count(*) AS n_r FROM tb),
+        |nt AS (SELECT count(*) AS n_t FROM tb WHERE doc_id % 20 = 0),
+        |model AS (SELECT coalesce(raw.bucket, tgt.bucket) AS bucket,
+        |  CAST(floor((ln((coalesce(c_t, 0) + 1.0) / (n_t + 4096.0))
+        |    - ln((coalesce(c_r, 0) + 1.0) / (n_r + 4096.0))) * 1e9)
+        |    AS DECIMAL(38,0)) AS term_q
+        |  FROM raw FULL JOIN tgt ON raw.bucket = tgt.bucket
+        |  CROSS JOIN nr CROSS JOIN nt),
+        |db AS (SELECT doc_id, bucket, count(*) AS c_db
+        |  FROM tb GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_toks,
+        |  sum(CAST(c_db AS DECIMAL(38,0)) * term_q) AS lwq
+        |  FROM db JOIN model USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, d.source, n_toks,
+        |round(CAST(lwq AS DOUBLE) / 1e9, 6) AS log_weight,
+        |round(CAST(lwq AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE), 6)
+        |  AS lw_per_tok,
+        |lwq > 0 AS target_like
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // C63: composite of the C8/C19/C61 keeps with the fixed-precedence
     // first-failing-reason — each rule's oracle fragment reused
     "quality_report" ->

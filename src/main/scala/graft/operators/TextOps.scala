@@ -1018,6 +1018,80 @@ object TextOps {
         + (lit(1.0) - qs) * lit(math.log(2.0))) / lit(2.0), 4).as("jsd"))
   }
 
+  /** C74: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the published
+    * method behind domain-targeted pretraining mixes): score every
+    * raw-corpus doc by how much more likely its hashed-unigram
+    * profile is under a TARGET domain's bag-of-words model than under
+    * the raw corpus's own — lw(doc) = Σ_b c_doc(b)·[ln p_t(b) −
+    * ln p_r(b)] over `buckets` hash buckets with add-1 smoothing.
+    * Positive means target-leaning; downstream C41/C18 samplers
+    * consume the weight as their mixture dial. This is the
+    * "make more data look like Wikipedia" selection step C16's
+    * decontamination and C52's perplexity buckets don't cover.
+    *
+    * Determinism: bucket = md5_hash32(token) mod buckets (the
+    * C10/C40-established DuckDB md5_number_upper mirror); model
+    * probabilities are exact integer ratios; each bucket's log ratio
+    * is ONE fixed double chain floor(·10⁹)-quantized (C69's protocol
+    * — a libm ulp flips a floor with probability ~2e-7/term at this
+    * scale and a flipped term moves a doc's weight by c·10⁻⁹, which
+    * dies at the round-6 publish), multiplied by the doc's integer
+    * bucket count and summed in DECIMAL(38,0) — order-independent on
+    * any partitioning. `target_like` compares the INTEGER sum to
+    * zero, so the boolean can't sit on a float knife-edge.
+    *
+    * Scale shape: token explode → two ≤`buckets`-row partial-agg
+    * model tables (broadcast) → one (doc, bucket) partial agg → one
+    * groupBy back to |docs| rows, joined LEFT so token-less docs
+    * still report. The corpus shuffles once at (doc, bucket)
+    * granularity; the models are bucket-bounded at any corpus size.
+    */
+  def dsirWeights(documents: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val I = DecimalType(38, 0)
+    val bD = buckets.toDouble
+    def toBuckets(df: DataFrame) = df
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.VectorFns.md5_hash32(col("tok")),
+          lit(buckets.toLong)).as("bucket"))
+    // persisted via the size-thresholded registry: the raw bucket
+    // stream feeds the raw model AND the per-doc counts
+    val tb = graft.CacheRegistry.persistIfLarge(toBuckets(documents))
+    val ttb = toBuckets(target)
+    val raw = tb.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgt = ttb.groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val nR = tb.agg(count(lit(1)).as("n_r"))
+    val nT = ttb.agg(count(lit(1)).as("n_t"))
+    val termQ = floor(
+      (log((coalesce(col("c_t"), lit(0L)).cast("double") + lit(1.0))
+          / (col("n_t").cast("double") + lit(bD)))
+        - log((coalesce(col("c_r"), lit(0L)).cast("double") + lit(1.0))
+          / (col("n_r").cast("double") + lit(bD)))) * lit(1.0e9))
+      .cast(I)
+    val model = raw.join(tgt, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("bucket"), termQ.as("term_q"))
+    val perDoc = tb.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c_db"))
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c_db")).as("n_toks"),
+        sum(col("c_db").cast(I) * col("term_q")).as("lwq"))
+    documents.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("lwq").cast("double") / lit(1.0e9), 6).as("log_weight"),
+        // length-normalized form: the raw sum scales with doc length
+        // (a long off-target doc out-negatives a short one), so the
+        // per-token mean is the affinity signal samplers compare
+        round(col("lwq").cast("double") / lit(1.0e9)
+          / col("n_toks").cast("double"), 6).as("lw_per_tok"),
+        (col("lwq") > 0).as("target_like"))
+  }
+
   /** C34: URL extraction + per-domain stats — the audit behind
     * domain-level corpus curation (allow/deny lists, per-domain
     * quality priors): pull every URL, normalize to its registrable

@@ -1031,6 +1031,42 @@ class SimilarityTextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("dsirWeights: target-vocab docs score positive, off-target negative") {
+    import spark.implicits._
+    // corpus = {d0: "aa aa", d1: "bb bb"}, target = {d0}. Raw model:
+    // aa 2, bb 2 of 4; target: aa 2 of 2. Per-token log ratios:
+    // aa → ln((3/4098)/(3/4100)) = ln(4100/4098) > 0,
+    // bb → ln((1/4098)/(3/4100)) ≈ ln(1/3) < 0; each doc carries two
+    // copies of its token, so lw(d0) ≈ +2·0.000488, lw(d1) ≈ −2.197
+    val docs = Seq((0L, "aa aa", "s0"), (1L, "bb bb", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.dsirWeights(docs, docs.filter(col("doc_id") === 0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Double]("log_weight"),
+          r.getAs[Boolean]("target_like")))).toMap
+    assert(out(0L)._1 === 2L && out(1L)._1 === 2L)
+    assert(out(0L)._2 > 0.0 && out(0L)._2 < 0.01)
+    assert(math.abs(out(1L)._2 - 2.0 * math.log((4100.0 / 4098.0) / 3.0))
+      < 1e-5)
+    assert(out(0L)._3 && !out(1L)._3)
+    // corpus + the gated query's deterministic target subset: target
+    // members must average a higher PER-TOKEN importance than
+    // non-members (they define the target distribution; the raw sum
+    // scales with doc length, so the normalized column carries the
+    // affinity signal — measured: the raw means point the other way
+    // because target docs run longer), and every doc reports a row
+    val full = TextOps.dsirWeights(documents,
+      documents.filter(pmod(col("doc_id"), lit(20)) === 0)).cache()
+    try {
+      assert(full.count() === documents.count())
+      val m = full.withColumn("tgt", pmod(col("doc_id"), lit(20)) === 0)
+        .groupBy("tgt").agg(avg("lw_per_tok").as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(m(true) > m(false),
+        s"target members must out-score non-members per token: $m")
+    } finally { full.unpersist(); CacheRegistry.unpersistAll() }
+  }
+
   test("corpusDivergence: zero on itself, closed form on disjoint vocabularies, bounded") {
     import spark.implicits._
     // one source IS the corpus: p = q pointwise → JSD exactly 0
