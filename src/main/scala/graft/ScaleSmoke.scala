@@ -212,6 +212,8 @@ object ScaleSmoke {
       ("q_kruskal", (_, e, _) => AnalyticsOps.kruskalWallis(e)),
       // r9: one percentile agg + one co-moment groupBy — scan growth
       ("q_levene", (_, e, _) => AnalyticsOps.leveneTest(e)),
+      // r10 (B56): same shape with two more power columns
+      ("q_jarque_bera", (_, e, _) => AnalyticsOps.jarqueBera(e)),
       // r9: two coarsening groupBys + a |keys × dry-days| window
       ("q_dry_spell", (_, e, _) => AgriOps.drySpell(e)),
       // r9: two strictly-coarsening groupBys — scan growth only

@@ -336,6 +336,9 @@ object SparkEntry {
     "q_mad_approx" -> ((s, d) => AnalyticsOps.madFlagsApprox(Tables.events(s, d))),
     "q_heavy_hitters" -> ((s, d) => AnalyticsOps.heavyHitters(Tables.events(s, d))),
     "q_welch" -> ((s, d) => AnalyticsOps.welchDrift(Tables.events(s, d))),
+    // B56 (r10): Jarque–Bera normality screen — the parametric shape
+    // axis of the drift family
+    "q_jarque_bera" -> ((s, d) => AnalyticsOps.jarqueBera(Tables.events(s, d))),
     "q_mann_kendall" -> ((s, d) => AnalyticsOps.mannKendall(Tables.events(s, d))),
     "q_spearman" -> ((s, d) => AnalyticsOps.spearman(Tables.events(s, d))),
     "q_spearman_approx" -> ((s, d) =>
@@ -2808,6 +2811,42 @@ object SparkEntry {
         |    / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
         |       + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) END AS dof
         |FROM z""".stripMargin,
+    // B56: Jarque–Bera — deviations from the key's round-4 median
+    // (central moments are shift-invariant; the median is the proven
+    // cross-engine center), half-up ×1e4 quantized, HUGEINT power
+    // sums, fixed double chains; g1/g2 round-6, JB round-4 (grows
+    // with n — the A38 >2⁵³ cast caveat)
+    "q_jarque_bera" ->
+      """WITH c AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS ref_c
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT e.event_type,
+        |  CAST(floor((value - ref_c) * 10000.0 + 0.5) AS HUGEINT) AS zq
+        |  FROM events e JOIN c USING (event_type)),
+        |g AS (SELECT event_type, count(*) AS n, sum(zq) AS s1,
+        |  sum(zq * zq) AS s2, sum(zq * zq * zq) AS s3,
+        |  sum(zq * zq * zq * zq) AS s4 FROM q GROUP BY 1),
+        |z AS (SELECT event_type, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4,
+        |  s2 * n > s1 * s1 AND n > 3 AS ok
+        |  FROM g),
+        |m AS (SELECT event_type, n, ok,
+        |  e2 - m1 * m1 AS m2,
+        |  e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1 AS m3,
+        |  e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2
+        |    - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM z),
+        |s AS (SELECT event_type, n, ok,
+        |  m3 / sqrt(m2 * m2 * m2) AS g1, m4 / (m2 * m2) AS g2 FROM m)
+        |SELECT event_type, n,
+        |CASE WHEN ok THEN round(g1, 6) END AS skewness,
+        |CASE WHEN ok THEN round(g2, 6) END AS kurtosis,
+        |CASE WHEN ok THEN round(CAST(n AS DOUBLE) / 6.0
+        |  * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0), 4) END AS jb_stat
+        |FROM s""".stripMargin,
     // B50: tie-corrected Spearman — integer 2·avg-rank domain
     // (2·min_rank + |ties| − 1), HUGEINT co-moments, one fixed double
     // chain, round-6

@@ -1062,6 +1062,88 @@ object AnalyticsOps {
       when(ok, round(f, 6)).as("f_stat"))
   }
 
+  /** B56: Jarque–Bera normality screen per key — the PARAMETRIC shape
+    * axis completing the drift family (B44/D18 detect any CDF change
+    * against a reference sample, B48 a mean shift, B55 a spread
+    * change; none asks the model-residual question "is this key's
+    * distribution still normal-SHAPED?" — the standard gate before
+    * trusting z-score thresholds, B28's operating assumption):
+    * JB = n/6·(g₁² + (g₂ − 3)²/4) from sample skewness g₁ = m₃/m₂^1.5
+    * and kurtosis g₂ = m₄/m₂².
+    *
+    * Conditioning + exactness: raw 4th-power sums cancel
+    * catastrophically (E[x⁴]/m₄ blows up when mean ≫ spread), so
+    * values CENTER FIRST against the key's round-4 reference MEDIAN
+    * (central moments are shift-invariant, so any constant near the
+    * data works; the median is the proven cross-engine round-4
+    * construction, and at monitoring time it is the deployment-time
+    * model — the B28/D19 split), then quantize half-up
+    * ×10⁴ (the B46 protocol) and accumulate (n, Σz..Σz⁴) in
+    * DECIMAL(38,0); moments are fixed double chains on those exact
+    * integers, g₁/g₂ published round-6 (scale cancels), JB round-4
+    * (it grows with n, and the >2⁵³ sums carry the A38 one-ulp
+    * HUGEINT→DOUBLE caveat). m₂ = 0 publishes nulls.
+    *
+    * Scale shape: one |keys|-row mean agg broadcast back + ONE
+    * partial-agg groupBy — the B48 shape with two more powers.
+    */
+  def jarqueBera(events: DataFrame): DataFrame =
+    jarqueBeraFromComoments(jarqueBeraComoments(events, jbCenter(events)))
+
+  /** B56's reference centers — the offline model of the D20 split.
+    * Central moments are SHIFT-INVARIANT, so the center only needs to
+    * sit near the data; the round-4 MEDIAN is the proven cross-engine
+    * construction (rounding a double MEAN diverges at .5 midpoints —
+    * the documented Spark-HALF_UP vs DuckDB-float-round trap).
+    */
+  def jbCenter(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("ref_c"))
+
+  /** B56's (key, n, Σz, Σz², Σz³, Σz⁴) grid against a fixed reference
+    * center — mergeable integer state (the D14 argument), folded live
+    * by D20.
+    */
+  def jarqueBeraComoments(events: DataFrame, center: DataFrame): DataFrame = {
+    val I = DecimalType(38, 0)
+    val zq = floor((col("value") - col("ref_c")) * lit(10000.0)
+      + lit(0.5)).cast(I)
+    events.join(broadcast(center), "event_type")
+      .select(col("event_type"), zq.as("zq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("zq")).as("s1"),
+        sum(col("zq") * col("zq")).as("s2"),
+        sum(col("zq") * col("zq") * col("zq")).as("s3"),
+        sum(col("zq") * col("zq") * col("zq") * col("zq")).as("s4"))
+  }
+
+  /** B56's statistic from the grid — ONE math object, two feeds
+    * (batch [[jarqueBera]], live D20).
+    */
+  def jarqueBeraFromComoments(g: DataFrame): DataFrame = {
+    val nD = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nD
+    val e2 = col("s2").cast("double") / nD
+    val e3 = col("s3").cast("double") / nD
+    val e4 = col("s4").cast("double") / nD
+    val m2 = e2 - m1 * m1
+    // NOTE the kruskal lesson: a continuation line that STARTS with a
+    // minus parses as a separate unary statement under semicolon
+    // inference — keep each arithmetic step on one line
+    val m3 = (e3 - lit(3.0) * m1 * e2) + lit(2.0) * m1 * m1 * m1
+    val m4 = ((e4 - lit(4.0) * m1 * e3) + lit(6.0) * m1 * m1 * e2) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2)
+    val jb = nD / lit(6.0) *
+      (g1 * g1 + (g2 - lit(3.0)) * (g2 - lit(3.0)) / lit(4.0))
+    val ok = col("n") > 3 && col("s2") * col("n") > col("s1") * col("s1")
+    g.select(col("event_type"), col("n"),
+      when(ok, round(g1, 6)).as("skewness"),
+      when(ok, round(g2, 6)).as("kurtosis"),
+      when(ok, round(jb, 4)).as("jb_stat"))
+  }
+
   /** B44 production variant: KS over a FLOOR-QUANTIZED value domain —
     * bins of width 10^-decimals (the A37 ×10ᵈ protocol: `floor` of
     * the exactly-rounded double product is bit-identical across

@@ -673,6 +673,84 @@ object StreamOps {
       all.filter(col("batch") === latest).drop("batch"))
   }
 
+  /** D20: streaming Jarque–Bera normality monitor — B56 LIVE,
+    * completing the drift family's parametric-SHAPE axis (D16 mean,
+    * D19 variance, D17/D18 nonparametric; this one watches the
+    * skewness/kurtosis the z-score thresholds assume). Deviations are
+    * taken from the FIXED per-key reference centers trained at
+    * deployment ([[graft.operators.AnalyticsOps.jbCenter]] — central
+    * moments are shift-invariant, so the frozen center changes
+    * nothing), making the state — B56's (key, n, Σz..Σz⁴) grid —
+    * mergeable integer state folded by a full-outer exact ADD, and
+    * [[graft.operators.AnalyticsOps.jarqueBeraFromComoments]] over
+    * the folded grid IS the whole-history batch statistic bit-for-bit
+    * on any batch split. State ≤ |keys| rows per snapshot.
+    */
+  def streamingJarqueBera(events: DataFrame, center: DataFrame,
+      stateDir: String, retainBatches: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("event_type"), col("value"))
+          .localCheckpoint(true)
+        try {
+          val bG = graft.operators.AnalyticsOps.jarqueBeraComoments(b, center)
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val zero = lit(0).cast(DecimalType(38, 0))
+          val merged = prior match {
+            case None => bG
+            case Some(p) => p
+              .select(col("event_type"), col("n").as("n0"),
+                col("s1").as("s1_0"), col("s2").as("s2_0"),
+                col("s3").as("s3_0"), col("s4").as("s4_0"))
+              .join(bG, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("n0"), lit(0L))
+                  + coalesce(col("n"), lit(0L))).as("n"),
+                (coalesce(col("s1_0"), zero)
+                  + coalesce(col("s1"), zero)).as("s1"),
+                (coalesce(col("s2_0"), zero)
+                  + coalesce(col("s2"), zero)).as("s2"),
+                (coalesce(col("s3_0"), zero)
+                  + coalesce(col("s3"), zero)).as("s3"),
+                (coalesce(col("s4_0"), zero)
+                  + coalesce(col("s4"), zero)).as("s4"))
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D20 statistic: B56's exact math over the latest folded
+    * grid.
+    */
+  def latestJarqueBera(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    graft.operators.AnalyticsOps.jarqueBeraFromComoments(
+      all.filter(col("batch") === latest).drop("batch"))
+  }
+
   /** D17: streaming Kruskal–Wallis — B54's omnibus rank gate LIVE.
     * The state is B54's (event_type, value, c) count grid: per
     * micro-batch one partial-agg groupBy, a full-outer integer ADD

@@ -393,6 +393,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     finally out.unpersist()
   }
 
+  test("jarqueBera: closed-form skew/kurtosis/JB; constant key reads null") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(ts0 + id * 1000L), 1L, typ, v, "{}")
+    // "skew": {0,0,0,4} about its median 0 → m2=3, m3=6, m4=21 →
+    // g1 = 6/3^1.5 = 2/√3, g2 = 21/9, JB = (4/6)(4/3 + (2/9... )
+    // = 26/27; "sym": {1,2,2,3} → g1 = 0, g2 = 2, JB = (4/6)(1/4) = 1/6;
+    // "flat": constant → m2 = 0 → nulls
+    val events = (Seq(ev(1, "skew", 0.0), ev(2, "skew", 0.0),
+      ev(3, "skew", 0.0), ev(4, "skew", 4.0),
+      ev(11, "sym", 1.0), ev(12, "sym", 2.0),
+      ev(13, "sym", 2.0), ev(14, "sym", 3.0),
+      ev(21, "flat", 5.0), ev(22, "flat", 5.0),
+      ev(23, "flat", 5.0), ev(24, "flat", 5.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.jarqueBera(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("skew").getAs[Double]("skewness") === 1.154701)
+    assert(out("skew").getAs[Double]("kurtosis") === 2.333333)
+    assert(out("skew").getAs[Double]("jb_stat") === 0.963)
+    assert(out("sym").getAs[Double]("skewness") === 0.0)
+    assert(out("sym").getAs[Double]("kurtosis") === 2.0)
+    assert(out("sym").getAs[Double]("jb_stat") === 0.1667)
+    assert(out("flat").isNullAt(2) && out("flat").isNullAt(3)
+      && out("flat").isNullAt(4))
+    // corpus: one row per key, kurtosis strictly positive where defined
+    val full = AnalyticsOps.jarqueBera(Tables.events(spark, sf))
+    assert(full.count() ===
+      Tables.events(spark, sf).select("event_type").distinct().count())
+    assert(full.filter(col("kurtosis") <= 0.0).count() === 0)
+  }
+
   test("kruskalWallis: closed-form H on separated keys; all-tied reads null; guard trips") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime

@@ -420,6 +420,43 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D20: streaming jarque-bera — folded power sums equal the batch statistic bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 3 batches, 2 keys; key b grows a heavy right tail per batch
+    // (the shape drift D16's mean test and D19's spread test are
+    // slowest to see)
+    def mkBatch(bi: Int): Seq[Event] =
+      (1 to 60).map { i =>
+        val typ = if (i % 2 == 0) "a" else "b"
+        val tail = if (typ == "b" && i % 10 == 1) bi * 25.0 else 0.0
+        Event(bi * 1000L + i, new java.sql.Timestamp(ts0 + i * 1000L),
+          i.toLong, typ, 10.0 + (i % 5) + tail, "{}") }
+    val base = java.nio.file.Files.createTempDirectory("d20").toString
+    val stateDir = s"$base/state"
+    // the offline model: reference centers trained on the first batch
+    val center = graft.operators.AnalyticsOps.jbCenter(mkBatch(0).toDF())
+    val stream = MemoryStream[Event]
+    val q = StreamOps.streamingJarqueBera(stream.toDF(), center, stateDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val batches = (0 until 3).map(mkBatch)
+    batches.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    val live = StreamOps.latestJarqueBera(spark, stateDir)
+    val twin = graft.operators.AnalyticsOps.jarqueBeraFromComoments(
+      graft.operators.AnalyticsOps.jarqueBeraComoments(
+        batches.flatten.toDF(), center))
+    assert(live.count() === 2L)
+    val jb = live.collect().map(r => r.getString(0) ->
+      r.getAs[Double]("jb_stat")).toMap
+    assert(jb("b") > jb("a"),
+      "the tail-growing key must out-score the stable one")
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("D16: streaming welch — folded co-moments equal batch; retention bounds state dirs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
