@@ -172,6 +172,9 @@ object ScaleSmoke {
       // (doc, bucket) partial agg — growth is the token-explode scan
       ("dsir_weights", (d, _, _) => TextOps.dsirWeights(d,
         d.filter(pmod(col("doc_id"), lit(20)) === 0))),
+      // r10 (C75): |strata|-row seat plan + one priority window per
+      // stratum — the per-group sort is the cost, k rows emitted
+      ("sample_stratified", (d, _, _) => TextOps.sampleStratified(d, 100)),
       // corpus gram stream grows ×k on the semi-join's probe side;
       // the benchmark side grows too (per-copy split)
       ("ngram_coverage", (d, _, _) => DedupOps.ngramCoverage(

@@ -137,6 +137,9 @@ object SparkEntry {
     "q_range_window" -> ((s, d) => TimeSeriesOps.trailingWindow(Tables.events(s, d))),
     "q_ewma" -> ((s, d) => TimeSeriesOps.ewma(Tables.events(s, d))),
     "sample_per_group" -> ((s, d) => TextOps.samplePerGroup(Tables.documents(s, d))),
+    // C75 (r10): Neyman-allocated stratified sample, budget 100
+    "sample_stratified" -> ((s, d) =>
+      TextOps.sampleStratified(Tables.documents(s, d), 100)),
     // C. training-data pipeline
     "dedup_exact" -> ((s, d) => DedupOps.exactDedup(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
@@ -1036,6 +1039,42 @@ object SparkEntry {
         |    AS BIGINT) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 5""".stripMargin,
+    // C75: Neyman allocation — exact integer co-moments per stratum,
+    // weights n_h·S_h floor(·1e6)-quantized so the cross-strata total
+    // is an exact integer sum (sqrt is IEEE-correctly-rounded in both
+    // engines), Hamilton largest-remainder seats, C13's Knuth ring
+    "sample_stratified" ->
+      """WITH g AS (SELECT source AS stratum, count(*) AS n_h,
+        |  sum(CAST(n_chars AS HUGEINT)) AS s1,
+        |  sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, n_h,
+        |  CASE WHEN n_h > 1 AND n_h * s2 > s1 * s1
+        |    THEN CAST(floor(CAST(n_h AS DOUBLE)
+        |      * sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)
+        |        / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+        |      * 1e6) AS BIGINT)
+        |    ELSE 0 END AS wq
+        |  FROM g),
+        |t AS (SELECT *, sum(wq) OVER () AS wq_tot FROM w),
+        |i AS (SELECT stratum, n_h,
+        |  CAST(100 AS DOUBLE) * CAST(wq AS DOUBLE)
+        |    / CAST(wq_tot AS DOUBLE) AS ideal FROM t),
+        |b AS (SELECT stratum, n_h, ideal,
+        |  CAST(floor(ideal) AS BIGINT) AS base,
+        |  ideal - floor(ideal) AS rem FROM i),
+        |r AS (SELECT *, 100 - sum(base) OVER () AS leftover,
+        |  row_number() OVER (ORDER BY rem DESC, stratum) AS rr FROM b),
+        |seats AS (SELECT stratum,
+        |  CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS seats FROM r),
+        |sel AS (SELECT d.source AS stratum, seats, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY d.source
+        |    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+        |      doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents d JOIN seats ON d.source = seats.stratum)
+        |SELECT stratum, seats, sample_rank, doc_id, n_chars
+        |FROM sel WHERE sample_rank <= seats""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |count(*) AS n_copies

@@ -527,6 +527,92 @@ object TextOps {
       .select("source", "sample_rank", "doc_id", "lang")
   }
 
+  /** C75: stratified sampling with NEYMAN allocation (Neyman 1934 —
+    * the survey-sampling optimum behind principled eval-set
+    * construction): a global budget `k` splits across strata
+    * ∝ n_h·S_h (stratum size × stratum std of the cost proxy,
+    * n_chars), so heterogeneous strata get proportionally more probes
+    * and homogeneous ones fewer — the allocation that minimizes the
+    * stratified estimator's variance, where uniform or proportional
+    * draws waste budget. Integer seats via Hamilton largest-remainder;
+    * within each stratum, C13's Knuth-ring priority picks the rows
+    * (rerun-stable, append-stable, engine-replayable).
+    *
+    * Exactness: S_h² from exact integer co-moments (n·Σx² − (Σx)² in
+    * DECIMAL(38,0)); n_h·S_h is one double chain ending in sqrt
+    * (IEEE-correctly-rounded in BOTH engines, unlike ln) then
+    * floor(·10⁶)-quantized so the cross-strata weight TOTAL is an
+    * exact integer sum (a raw double Σ is partition-order-dependent);
+    * ideal shares, floors and remainders are then fixed double chains
+    * on exact integers — bit-identical; remainder ranking breaks ties
+    * by stratum name. A stratum with n_h = 1 or zero variance gets
+    * weight 0 — the textbook behavior (its mean is exact already). A
+    * budget exceeding some stratum's size fails fast naming the dial
+    * rather than silently under-sampling.
+    *
+    * Scale: one |strata|-row co-moment agg + 1-row broadcast totals +
+    * one priority window per stratum (B8's per-group top-k class) —
+    * the corpus shuffles once on the stratum key.
+    */
+  def sampleStratified(documents: DataFrame, k: Int = 100,
+      strata: String = "source"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"need a positive sample budget, got $k")
+    val I = DecimalType(38, 0)
+    val g = documents.groupBy(col(strata).as("stratum"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars").cast(I)).as("s1"),
+        sum(col("n_chars").cast(I) * col("n_chars").cast(I)).as("s2"))
+    val nD = col("n_h").cast("double")
+    val varh = (col("n_h").cast(I) * col("s2") - col("s1") * col("s1"))
+      .cast("double") / (nD * (nD - lit(1.0)))
+    val wq = when(col("n_h") > 1 && col("n_h").cast(I) * col("s2")
+        > col("s1") * col("s1"),
+      floor(nD * sqrt(varh) * lit(1.0e6)).cast("long"))
+      .otherwise(lit(0L))
+    val weighted = g.withColumn("wq", wq)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val ideal = lit(k.toDouble) * col("wq").cast("double") /
+      col("wq_tot").cast("double")
+    // size-thresholded persist: the guard's head(1) and the broadcast
+    // join both read the seat plan (one corpus scan each otherwise)
+    val seats = graft.CacheRegistry.persistIfLarge(weighted
+      .withColumn("wq_tot", sum(col("wq")).over(wAll))
+      .withColumn("ideal", ideal)
+      .withColumn("base", floor(col("ideal")).cast("long"))
+      .withColumn("rem", col("ideal") - col("base").cast("double"))
+      .withColumn("leftover", lit(k.toLong) - sum(col("base")).over(wAll))
+      .withColumn("rr", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("rem").desc, col("stratum"))))
+      .select(col("stratum"),
+        (col("base") + when(col("rr") <= col("leftover"), 1L)
+          .otherwise(0L)).as("seats"),
+        col("n_h")))
+    // saturation fail-fast (the C5-style guard): a budget that outruns
+    // a stratum must error naming the dial, not silently under-sample.
+    // The probe reads the |strata|-row seat table, never the corpus.
+    val sat = seats.filter(col("seats") > col("n_h")).head(1)
+    require(sat.isEmpty,
+      s"Neyman budget $k allocates ${sat.headOption.map(_.get(1)).orNull} " +
+        s"seats to stratum '${sat.headOption.map(_.get(0)).orNull}' of " +
+        s"only ${sat.headOption.map(_.get(2)).orNull} rows; lower k or " +
+        "pre-split the stratum")
+    val priority = pmod(
+      col("doc_id").cast(DecimalType(20, 0)) *
+        lit(2654435761L).cast(DecimalType(10, 0)),
+      lit(4294967296L).cast(DecimalType(11, 0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(priority, col("doc_id"))
+    documents.select(col(strata).as("stratum"), col("doc_id"),
+        col("n_chars"))
+      .join(broadcast(seats.select("stratum", "seats")), "stratum")
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= col("seats"))
+      .select(col("stratum"), col("seats"), col("sample_rank"),
+        col("doc_id"), col("n_chars"))
+  }
+
   /** C17: text normalization — the cheap canonicalization pass every
     * training corpus gets before dedup/tokenization: lowercase,
     * long digit runs → a <num> placeholder (so "2023" and "2024"

@@ -1031,6 +1031,39 @@ class SimilarityTextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("sampleStratified: Neyman seats follow n_h*S_h; saturation fails fast") {
+    import spark.implicits._
+    // stratum a is CONSTANT (S=0 → weight 0 → zero seats: its mean is
+    // already exact); stratum b is heterogeneous and takes the whole
+    // budget — the allocation uniform/proportional draws can't make
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (11L, "b", 1L), (12L, "b", 100L), (13L, "b", 50L), (14L, "b", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextOps.sampleStratified(docs, k = 3).cache()
+    try {
+      assert(out.filter(col("stratum") === "a").count() === 0)
+      assert(out.filter(col("stratum") === "b").count() === 3)
+      assert(out.agg(max("seats")).head.getLong(0) === 3L)
+    } finally out.unpersist()
+    // a budget outrunning the only weighted stratum errors by name
+    val e = intercept[IllegalArgumentException] {
+      TextOps.sampleStratified(docs, k = 5).count()
+    }
+    assert(e.getMessage.contains("stratum"))
+    // corpus: exactly k rows, per-stratum counts equal the seat table,
+    // rerun-identical (the Knuth ring is RNG-free)
+    val full = TextOps.sampleStratified(documents, 100).cache()
+    try {
+      assert(full.count() === 100L)
+      val perStratum = full.groupBy("stratum").count()
+        .join(full.groupBy("stratum").agg(max("seats").as("s")), "stratum")
+      assert(perStratum.filter(col("count") =!= col("s")).count() === 0)
+      val again = TextOps.sampleStratified(documents, 100)
+      assert(full.except(again).isEmpty && again.except(full).isEmpty)
+    } finally { full.unpersist(); CacheRegistry.unpersistAll() }
+  }
+
   test("dsirWeights: target-vocab docs score positive, off-target negative") {
     import spark.implicits._
     // corpus = {d0: "aa aa", d1: "bb bb"}, target = {d0}. Raw model:
