@@ -177,6 +177,12 @@ object SparkEntry {
       DedupOps.decontaminate(docs,
         docs.filter(pmod(col("doc_id"), lit(20)) === 0), 0.5)
     }),
+    // C76 (r10): batch novelty vs the standing corpus (C43's split)
+    "ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.ngramNovelty(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+    }),
     // C74 (r10): DSIR importance weights — the deterministic
     // doc_id-derived subset stands in for the external target domain
     "dsir_weights" -> ((s, d) => {
@@ -1314,6 +1320,33 @@ object SparkEntry {
         |round(n_hits * 1.0 / n_grams, 4) AS contamination,
         |(n_hits * 1.0 / n_grams <= 0.5) AS keep
         |FROM j""".stripMargin,
+    // C76: batch novelty — string grams (the C48/C62 collision-free
+    // oracle convention for Spark's 8-byte gram-hash join)
+    "ngram_novelty" ->
+      """WITH bt AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS t FROM documents WHERE doc_id % 10 = 0),
+        |bgr AS (SELECT source, CASE WHEN len(t) >= 3
+        |  THEN list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM bt),
+        |bg AS (SELECT DISTINCT source, gm FROM
+        |  (SELECT source, unnest(grams) AS gm FROM bgr)),
+        |ct AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS t FROM documents WHERE doc_id % 10 <> 0),
+        |cgr AS (SELECT CASE WHEN len(t) >= 3
+        |  THEN list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM ct),
+        |cg AS (SELECT DISTINCT gm FROM
+        |  (SELECT unnest(grams) AS gm FROM cgr)),
+        |tot AS (SELECT source, count(*) AS n_grams FROM bg GROUP BY 1),
+        |nov AS (SELECT source, count(*) AS n_new
+        |  FROM bg ANTI JOIN cg USING (gm) GROUP BY 1)
+        |SELECT tot.source, n_grams, coalesce(n_new, 0) AS n_new,
+        |round(coalesce(n_new, 0) * 1.0 / n_grams, 6) AS novelty
+        |FROM tot LEFT JOIN nov ON tot.source = nov.source""".stripMargin,
     // C74: DSIR — hashed-unigram importance ratios; bucket via the
     // md5_number_upper mirror, per-bucket log ratio floor(·1e9)-
     // quantized (C69's protocol), integer per-doc sum, target_like

@@ -513,6 +513,40 @@ object DedupOps {
           .as("coverage"))
   }
 
+  /** C76: crawl-batch n-gram NOVELTY — the corpus-level "is this new
+    * snapshot adding anything" datasheet (C62 audits eval
+    * contamination per DOC; this audits an INCOMING BATCH per source
+    * BEFORE the pipeline pays full dedup cost: a mirror re-crawl
+    * reads novelty ≈ 0 and can be dropped wholesale, and downstream
+    * dedup rates track 1 − novelty): per batch source, distinct
+    * trigram count, grams unseen anywhere in the standing corpus
+    * (LEFT ANTI on the 8-byte gram hash — C62's probe reversed),
+    * novelty ratio round-6.
+    *
+    * Scale: both sides reduce to DISTINCT gram keys before the join
+    * (map-side combine collapses repeats per partition); the corpus
+    * side never carries a payload column, and the output is
+    * |sources| rows. The oracle joins on STRING grams — same counts
+    * absent 64-bit collisions (the C48/C62 convention).
+    */
+  def ngramNovelty(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val batchGrams = batch.select(col("source"),
+      explode(array_distinct(
+        transform(shingles(col("text")), g => xxhash64(g)))).as("g"))
+      .distinct()
+    val corpGrams = corpus.select(
+      explode(transform(shingles(col("text")), g => xxhash64(g))).as("g"))
+    val totals = batchGrams.groupBy("source")
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = batchGrams.join(corpGrams, Seq("g"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_new"))
+    totals.join(novel, Seq("source"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("source"), col("n_grams"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** doc_id + 64-bit SimHash: per bit, sum ±1 over token hashes; bit

@@ -1178,6 +1178,73 @@ object TextOps {
         (col("lwq") > 0).as("target_like"))
   }
 
+  /** C74's FROZEN model: the ≤`buckets`-row term table collected into
+    * a driver-side artifact (this is the one justified collect in the
+    * family — the model IS a deployment artifact, bounded by the
+    * bucket count regardless of corpus size, exactly like a
+    * regression's coefficient vector), plus the closed-form term for
+    * unseen buckets (c_t = c_r = 0 ⇒ ln((n_r+B)/(n_t+B)), a
+    * constant).
+    */
+  final case class DsirModel(terms: Map[Long, Long], defaultTermQ: Long,
+      buckets: Int)
+
+  def dsirTrain(documents: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DsirModel = {
+    val bD = buckets.toDouble
+    def toBuckets(df: DataFrame) = df
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(pmod(graft.functions.VectorFns.md5_hash32(col("tok")),
+        lit(buckets.toLong)).as("bucket"))
+    val tb = graft.CacheRegistry.persistIfLarge(toBuckets(documents))
+    val ttb = toBuckets(target)
+    val raw = tb.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgt = ttb.groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val nR = tb.agg(count(lit(1))).head.getLong(0)
+    val nT = ttb.agg(count(lit(1))).head.getLong(0)
+    def termQ(ct: Column, cr: Column) = floor(
+      (log((ct.cast("double") + lit(1.0)) / lit(nT.toDouble + bD))
+        - log((cr.cast("double") + lit(1.0)) / lit(nR.toDouble + bD)))
+        * lit(1.0e9)).cast("long")
+    val rows = raw.join(tgt, Seq("bucket"), "full_outer")
+      .select(col("bucket"), termQ(coalesce(col("c_t"), lit(0L)),
+        coalesce(col("c_r"), lit(0L))).as("term_q"))
+      .collect()
+    val default = math.floor(
+      (math.log(1.0 / (nT.toDouble + bD))
+        - math.log(1.0 / (nR.toDouble + bD))) * 1.0e9).toLong
+    DsirModel(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      default, buckets)
+  }
+
+  /** C74's scorer against a FROZEN model — a PURE MAP (the model is a
+    * plan-literal map, the per-doc weight an in-row integer fold), so
+    * it runs unchanged on a batch table or a live document STREAM
+    * (D21: stateless — no state store, no watermark, no shuffle; the
+    * D7/D10 offline-model/online-score split). Integer addition makes
+    * the in-row fold order-exactly the distributed groupBy sum, so
+    * [[dsirWeights]]-with-the-same-model and this scorer agree
+    * bit-for-bit (spec-pinned).
+    */
+  def dsirScore(documents: DataFrame, model: DsirModel): DataFrame = {
+    val m = typedlit(model.terms)
+    val toks = tokens(col("text"))
+    val bucketArr = transform(toks,
+      t => pmod(graft.functions.VectorFns.md5_hash32(t),
+        lit(model.buckets.toLong)))
+    val lwq = aggregate(bucketArr, lit(0L),
+      (acc, b) => acc + coalesce(element_at(m, b),
+        lit(model.defaultTermQ)))
+    documents.select(col("doc_id"), col("source"),
+        when(size(toks) > 0, size(toks).cast("long")).as("n_toks"),
+        when(size(toks) > 0, lwq).as("lwq"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("lwq").cast("double") / lit(1.0e9), 6).as("log_weight"),
+        round(col("lwq").cast("double") / lit(1.0e9)
+          / col("n_toks").cast("double"), 6).as("lw_per_tok"),
+        (col("lwq") > 0).as("target_like"))
+  }
+
   /** C34: URL extraction + per-domain stats — the audit behind
     * domain-level corpus curation (allow/deny lists, per-domain
     * quality priors): pull every URL, normalize to its registrable

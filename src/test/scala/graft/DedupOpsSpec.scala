@@ -114,6 +114,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(full.filter(col("n_covered") > col("n_grams")).count() === 0)
   }
 
+  test("ngramNovelty: per-source batch novelty; a mirror re-crawl reads zero") {
+    import spark.implicits._
+    val corpus = Seq((10L, "a b c d e", "s0")).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (1L, "a b c x", "fresh"),   // {a b c, b c x}: 1 of 2 new
+      (2L, "a b c d", "mirror"),  // {a b c, b c d}: all seen
+      (3L, "p q r s", "fresh"))   // {p q r, q r s}: both new
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.ngramNovelty(corpus, batch).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // fresh: distinct grams {a b c, b c x, p q r, q r s} → 3 new of 4
+    assert(out("fresh") === ((4L, 3L, 0.75)))
+    assert(out("mirror") === ((2L, 0L, 0.0)))
+    // corpus: the C43 split — one row per batch source, ratios sane
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = DedupOps.ngramNovelty(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)).cache()
+    try {
+      assert(full.count() === docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select("source").distinct().count())
+      assert(full.filter(col("n_new") > col("n_grams")).count() === 0)
+      assert(full.filter(col("novelty") < 0 || col("novelty") > 1)
+        .count() === 0)
+    } finally full.unpersist()
+  }
+
   /** Tiny corpus with a planted exact dup + near dup for recall checks. */
   lazy val planted = {
     import spark.implicits._

@@ -632,4 +632,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("D21: frozen-model DSIR scorer streams statelessly, bit-for-bit vs batch") {
+    // the model is a plan-literal map and the per-doc weight an
+    // in-row integer fold, so scoring is a PURE projection — the
+    // D7/D10 offline-model/online-score split with zero state; the
+    // in-row long fold equals dsirWeights' distributed DECIMAL
+    // groupBy sum because integer addition is exact in any order
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Schemas.Document
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val target = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val model = graft.operators.TextOps.dsirTrain(docs, target)
+    // batch parity: frozen scorer ≡ the oracle-gated distributed form
+    val frozen = graft.operators.TextOps.dsirScore(docs, model)
+    val distributed = graft.operators.TextOps.dsirWeights(docs, target)
+    assert(frozen.except(distributed).isEmpty
+      && distributed.except(frozen).isEmpty,
+      "frozen-model scorer must equal the distributed form bit-for-bit")
+    // stream parity: same operator object over a MemoryStream
+    val stream = MemoryStream[Document]
+    stream.addData(docs.as[Document].collect().toSeq)
+    val q = graft.operators.TextOps.dsirScore(stream.toDF(), model)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_stream")
+    assert(streamed.count() === docs.count())
+    assert(streamed.exceptAll(frozen).count() === 0)
+    assert(frozen.exceptAll(streamed).count() === 0)
+    CacheRegistry.unpersistAll()
+  }
 }
