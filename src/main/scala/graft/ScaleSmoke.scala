@@ -180,6 +180,11 @@ object ScaleSmoke {
       ("ngram_coverage", (d, _, _) => DedupOps.ngramCoverage(
         d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         d.filter(pmod(col("doc_id"), lit(20)) === 0))),
+      // r10 (C76): both sides distinct-reduced before the anti join —
+      // growth is the gram scan, output stays |sources| rows
+      ("ngram_novelty", (d, _, _) => DedupOps.ngramNovelty(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(10)) === 0))),
       // one partial-agg groupBy to 2·|keys| rows — pure scan growth
       ("q_welch", (_, e, _) => AnalyticsOps.welchDrift(e)),
       // B42's coarsen-first shape with an extra rollup — same bound
