@@ -36,6 +36,47 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_us_b")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the engine-side complement to the explicit salting patterns:
+    // B21/B29 are the build-sides-AQE-can't-split story, this pins
+    // that Spark's adaptive skew-join DOES fire where it can — so at
+    // 100 TB a hot key in a fact-fact join is split without manual
+    // salting, and a regression in our session conf (AQE off, skew
+    // thresholds broken) fails here instead of in production
+    val hot = spark.range(200000).select(lit(1L).as("k"),
+      col("id").as("v"))
+    val rest = spark.range(64).select((col("id") + 2).as("k"),
+      col("id").as("v"))
+    val left = hot.union(rest)
+    // one row per key on the right: the join output is |left|, and
+    // the skewed 200k-row LEFT partition is what AQE must split
+    val right = spark.range(66).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // thresholds low enough that the 200k-row hot partition counts
+      // as skewed at test scale; broadcasts off so the join stays SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val j = left.join(right, "k")
+      // execute THIS dataset's query execution — count() builds a
+      // separate one whose adaptive plan would never finalize here
+      assert(j.collect().length === 200064)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not fire:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val events = Tables.events(spark, sf)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_total"))
