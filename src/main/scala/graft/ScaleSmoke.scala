@@ -180,6 +180,16 @@ object ScaleSmoke {
       ("ngram_coverage", (d, _, _) => DedupOps.ngramCoverage(
         d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         d.filter(pmod(col("doc_id"), lit(20)) === 0))),
+      // r10 (C77): eval side broadcast (fixed size), corpus scans
+      // once — growth is |corpus| x |eval| dot products, linear in
+      // the corpus at a fixed benchmark
+      ("decontaminate_semantic", (_, _, m) => {
+        val aug = SimilarityOps.withSyntheticParaphrases(m)
+        SimilarityOps.decontaminateSemantic(
+          aug.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+          aug.filter(pmod(col("vec_id"), lit(20)) === 0)
+            .filter(col("vec_id") < 10000000L))
+      }),
       // r10 (C76): both sides distinct-reduced before the anti join —
       // growth is the gram scan, output stays |sources| rows
       ("ngram_novelty", (d, _, _) => DedupOps.ngramNovelty(

@@ -155,6 +155,15 @@ object SparkEntry {
     "emb_kmeans" -> ((s, d) => SimilarityOps.embKmeans(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => SimilarityOps.knnIvfTrained(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimilarityOps.dedupSemantic(Tables.embeddings(s, d))),
+    // C77 (r10): semantic decontamination over the twin-injected
+    // corpus (natural max cosine 0.49 — the injection is what makes
+    // the 0.95 gate non-vacuous, the C71 pattern)
+    "decontaminate_semantic" -> ((s, d) => {
+      val aug = SimilarityOps.withSyntheticParaphrases(Tables.embeddings(s, d))
+      SimilarityOps.decontaminateSemantic(
+        aug.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        aug.filter(pmod(col("vec_id"), lit(20)) === 0))
+    }),
     "cluster_purity" -> ((s, d) => SimilarityOps.clusterPurity(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => SimilarityOps.knnGraph(Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -1167,6 +1176,24 @@ object SparkEntry {
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
+    // C77: max round-3 cosine per corpus vector vs the eval side of
+    // the mod-20 split over the twin-injected table; the flag
+    // compares the ROUNDED value (same branch both engines)
+    "decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |aug AS (SELECT * FROM e
+        |  UNION ALL SELECT vec_id + 1000000001, emb FROM e
+        |  WHERE vec_id % 40 = 0),
+        |ev AS (SELECT vec_id AS e_id, emb AS e_emb FROM aug
+        |  WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id, emb FROM aug WHERE vec_id % 20 <> 0),
+        |s AS (SELECT c.vec_id, count(*) AS n_eval,
+        |  max(round(list_cosine_similarity(c.emb, ev.e_emb), 3))
+        |    AS max_sim
+        |  FROM c, ev GROUP BY 1)
+        |SELECT vec_id, n_eval, max_sim,
+        |max_sim >= 0.95 AS contaminated FROM s""".stripMargin,
     // C57: C12's exact round-3 pair condition under a recursive
     // transitive closure (the C21 oracle pattern in embedding space)
     "dedup_semantic" ->

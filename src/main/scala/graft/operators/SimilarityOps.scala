@@ -906,6 +906,58 @@ object SimilarityOps {
       .select("q_id", "rank", "c_id", "sim")
   }
 
+  /** C71's injected-twin construction for EMBEDDINGS: every eval-side
+    * vector with id ≡ 0 (mod 40) gains a corpus-side PARAPHRASE twin
+    * (identical embedding, id + 10⁹+1 — the offset keeps the twin on
+    * the corpus side of the mod-20 split, since 10⁹ itself is ≡ 0
+    * mod 20). Needed because the natural corpus has NO near-eval
+    * vectors (measured max cosine 0.49 at both SFs) — without the
+    * twins the semantic-decontamination gate would be vacuous, the
+    * A39/C71 lesson.
+    */
+  def withSyntheticParaphrases(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(embeddings
+        .filter(pmod(col("vec_id"), lit(40)) === 0)
+        .select((col("vec_id") + lit(1000000001L)).as("vec_id"),
+          col("embedding"), col("label")))
+
+  /** C77: SEMANTIC decontamination — benchmark leakage through
+    * PARAPHRASE, the gap C16's lexical 3-gram overlap can't see (a
+    * reworded eval item shares no n-grams but sits next to its source
+    * in embedding space): per corpus vector, the max cosine against
+    * the EVAL set's embeddings, flagged when the round-3 value clears
+    * `tau` (both engines branch on the identical rounded double — no
+    * knife-edge).
+    *
+    * Scale: the eval side is SMALL by nature (benchmarks are
+    * thousands of items), so it BROADCASTS and the corpus scans
+    * exactly once with no shuffle before the |corpus|-row partial-agg
+    * max — linear in the corpus at any size; the broadcast-side guard
+    * fails fast if someone points it at a non-eval-sized table. C16
+    * stays the cheap lexical first pass; this is the second screen.
+    */
+  def decontaminateSemantic(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double = 0.95, maxEvalRows: Long = 100000L): DataFrame = {
+    val nEval = evalSet.count()
+    require(nEval <= maxEvalRows,
+      s"decontaminateSemantic broadcasts the eval side (got $nEval rows, " +
+        s"cap $maxEvalRows); an eval set past broadcast size should route " +
+        "through knnGraph candidates instead, or raise maxEvalRows")
+    val ev = broadcast(evalSet.select(col("vec_id").as("e_id"),
+      col("embedding").as("e_emb"), norm(col("embedding")).as("e_norm")))
+    corpus.select(col("vec_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"))
+      .crossJoin(ev)
+      .select(col("vec_id"),
+        round(dot(col("c_emb"), col("e_emb"))
+          / (col("c_norm") * col("e_norm")), 3).as("sim"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval"), max(col("sim")).as("max_sim"))
+      .select(col("vec_id"), col("n_eval"), col("max_sim"),
+        (col("max_sim") >= lit(tau)).as("contaminated"))
+  }
+
   /** C57: SEMANTIC dedup — transitive closure over embedding-space
     * near-dup pairs (cosine ≥ τ), the modern pipeline step exact and
     * lexical near-dup passes miss (a translation or paraphrase shares

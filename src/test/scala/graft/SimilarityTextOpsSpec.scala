@@ -1031,6 +1031,43 @@ class SimilarityTextOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("decontaminateSemantic: paraphrase twins flag, orthogonal corpus doesn't") {
+    import spark.implicits._
+    // eval = one axis vector; corpus = its exact twin (cos 1.0 →
+    // contaminated) and an orthogonal vector (cos 0.0 → clean)
+    val evalSet = Seq((0L, Seq(1.0f, 0.0f), "l")).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), "l"),   // twin
+      (2L, Seq(0.0f, 1.0f), "l"))   // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.decontaminateSemantic(corpus, evalSet)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("max_sim"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L) === ((1.0, true)))
+    assert(out(2L) === ((0.0, false)))
+    // broadcast-side guard: a corpus-sized eval set fails by name
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.decontaminateSemantic(corpus, embeddings,
+        maxEvalRows = 3L)
+    }
+    assert(e.getMessage.contains("broadcast"))
+    // the gated construction: every injected twin (and ONLY the
+    // twins — natural max cosine measured 0.49) reads contaminated
+    val aug = SimilarityOps.withSyntheticParaphrases(embeddings)
+    val full = SimilarityOps.decontaminateSemantic(
+      aug.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+      aug.filter(pmod(col("vec_id"), lit(20)) === 0)).cache()
+    try {
+      val nTwins = embeddings.filter(pmod(col("vec_id"), lit(40)) === 0)
+        .count()
+      assert(nTwins > 0)
+      val flagged = full.filter(col("contaminated"))
+      assert(flagged.count() === nTwins,
+        "exactly the injected paraphrase twins must flag")
+      assert(flagged.filter(col("vec_id") < 1000000001L).count() === 0)
+    } finally full.unpersist()
+  }
+
   test("sampleStratified: Neyman seats follow n_h*S_h; saturation fails fast") {
     import spark.implicits._
     // stratum a is CONSTANT (S=0 → weight 0 → zero seats: its mean is
