@@ -232,6 +232,8 @@ object ScaleSmoke {
       ("q_levene", (_, e, _) => AnalyticsOps.leveneTest(e)),
       // r10 (B56): same shape with two more power columns
       ("q_jarque_bera", (_, e, _) => AnalyticsOps.jarqueBera(e)),
+      // r10 (B57): coarsen-first, ONE window pass with h lag columns
+      ("q_ljung_box", (_, e, _) => AnalyticsOps.ljungBox(e)),
       // r9: two coarsening groupBys + a |keys × dry-days| window
       ("q_dry_spell", (_, e, _) => AgriOps.drySpell(e)),
       // r9: two strictly-coarsening groupBys — scan growth only

@@ -297,6 +297,8 @@ object SparkEntry {
     "q_gini" -> ((s, d) => AnalyticsOps.gini(Tables.events(s, d))),
     "q_benford" -> ((s, d) => AnalyticsOps.benford(Tables.events(s, d))),
     "q_autocorr" -> ((s, d) => AnalyticsOps.autocorr(Tables.events(s, d))),
+    // B57 (r10): Ljung–Box portmanteau whiteness test, lags 1..3
+    "q_ljung_box" -> ((s, d) => AnalyticsOps.ljungBox(Tables.events(s, d))),
     "bm25" -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
     "url_dedup" -> ((s, d) =>
       TextOps.urlDedup(TextOps.withSyntheticCrawlUrl(Tables.documents(s, d)))),
@@ -2569,6 +2571,60 @@ object SparkEntry {
         |  / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
         |     * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r1
         |FROM s""".stripMargin,
+    // B57: Ljung–Box — three lag columns from one window pass, B43's
+    // paired-Pearson r_k per lag on exact HUGEINT co-moments, fixed
+    // double chains; r round-6, Q round-4; degenerate lags null
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS y
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, day,
+        |  CAST(floor(y * 1000000.0) AS HUGEINT) AS yq FROM daily),
+        |p AS (SELECT event_type, yq,
+        |  lag(yq, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |  lag(yq, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |  lag(yq, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+        |  FROM q),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |  count(l1) AS n1, sum(CASE WHEN l1 IS NOT NULL THEN l1 END) AS sx1,
+        |  sum(CASE WHEN l1 IS NOT NULL THEN yq END) AS sy1,
+        |  sum(l1 * yq) AS sxy1, sum(l1 * l1) AS sxx1,
+        |  sum(CASE WHEN l1 IS NOT NULL THEN yq * yq END) AS syy1,
+        |  count(l2) AS n2, sum(CASE WHEN l2 IS NOT NULL THEN l2 END) AS sx2,
+        |  sum(CASE WHEN l2 IS NOT NULL THEN yq END) AS sy2,
+        |  sum(l2 * yq) AS sxy2, sum(l2 * l2) AS sxx2,
+        |  sum(CASE WHEN l2 IS NOT NULL THEN yq * yq END) AS syy2,
+        |  count(l3) AS n3, sum(CASE WHEN l3 IS NOT NULL THEN l3 END) AS sx3,
+        |  sum(CASE WHEN l3 IS NOT NULL THEN yq END) AS sy3,
+        |  sum(l3 * yq) AS sxy3, sum(l3 * l3) AS sxx3,
+        |  sum(CASE WHEN l3 IS NOT NULL THEN yq * yq END) AS syy3
+        |  FROM p GROUP BY 1),
+        |z AS (SELECT event_type, n_days,
+        |  CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+        |    / (sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE))
+        |       * sqrt(CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE))) AS r1,
+        |  CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE)
+        |    / (sqrt(CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE))
+        |       * sqrt(CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE))) AS r2,
+        |  CAST(n3 * sxy3 - sx3 * sy3 AS DOUBLE)
+        |    / (sqrt(CAST(n3 * sxx3 - sx3 * sx3 AS DOUBLE))
+        |       * sqrt(CAST(n3 * syy3 - sy3 * sy3 AS DOUBLE))) AS r3,
+        |  (n1 > 1 AND n1 * sxx1 > sx1 * sx1 AND n1 * syy1 > sy1 * sy1
+        |   AND n2 > 1 AND n2 * sxx2 > sx2 * sx2 AND n2 * syy2 > sy2 * sy2
+        |   AND n3 > 1 AND n3 * sxx3 > sx3 * sx3 AND n3 * syy3 > sy3 * sy3
+        |   AND n_days > 4) AS ok
+        |  FROM s)
+        |SELECT event_type, n_days,
+        |CASE WHEN ok THEN round(r1, 6) END AS r1,
+        |CASE WHEN ok THEN round(r2, 6) END AS r2,
+        |CASE WHEN ok THEN round(r3, 6) END AS r3,
+        |CASE WHEN ok THEN round(CAST(n_days AS DOUBLE)
+        |  * (CAST(n_days AS DOUBLE) + 2.0)
+        |  * (r1 * r1 / (CAST(n_days AS DOUBLE) - 1.0)
+        |     + r2 * r2 / (CAST(n_days AS DOUBLE) - 2.0)
+        |     + r3 * r3 / (CAST(n_days AS DOUBLE) - 3.0)), 4) END AS lb_stat
+        |FROM z""".stripMargin,
     // B44: key-vs-rest KS — sup computed on the integer cross-product
     // form (cum_k·n_rest − cum_rest·n_k), value-ASC tie chain, one
     // division publishes D

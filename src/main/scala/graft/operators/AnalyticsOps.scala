@@ -724,6 +724,75 @@ object AnalyticsOps {
         .as("r1"))
   }
 
+  /** B57: Ljung–Box portmanteau test per key — "is there ANY serial
+    * correlation in the first h lags?" in one statistic
+    * (B43 reads lag 1 alone and misses pure lag-2/seasonal coupling;
+    * B52 counts runs and misses smooth oscillation): Q = n(n+2)·
+    * Σ_{k≤h} r_k²/(n−k), the standard residual-whiteness gate before
+    * trusting a forecast or an anomaly threshold tuned on "independent"
+    * errors. Each r_k is B43's paired-Pearson estimator at lag k
+    * (exact DECIMAL(38,0) co-moments over the floor(×10⁶)-quantized
+    * daily means; the pairs-present sample, not the circular form —
+    * documented estimator choice, identical in the oracle).
+    *
+    * Exactness: all h lag columns come from ONE window pass; each r_k
+    * is a fixed double chain on exact integers (sqrt correctly
+    * rounded), published round-6; Q round-4 (grows with n — the A38
+    * caveat class); degenerate series (any lag with zero variance or
+    * too few pairs) publish null. Closed-form spec: an alternating
+    * series reads r = (−1, +1, −1) exactly and Q = 80·107/210.
+    *
+    * Scale shape: coarsen-first (events → |keys × days|), ONE window
+    * + ONE partial-agg groupBy over daily rows; h is a small constant
+    * so the agg is 6h narrow columns.
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val I = DecimalType(38, 0)
+    require(maxLag >= 1 && maxLag <= 10,
+      s"ljungBox needs 1 <= maxLag <= 10, got $maxLag")
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("y"))
+      .withColumn("yq", floor(col("y") * lit(1000000.0)).cast(I))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("yq"), k).over(w))
+    }
+    val aggs = (1 to maxLag).flatMap { k =>
+      val x = col(s"l$k")
+      val y = col("yq")
+      val nn = x.isNotNull
+      Seq(count(when(nn, 1)).as(s"n$k"),
+        sum(when(nn, x)).as(s"sx$k"), sum(when(nn, y)).as(s"sy$k"),
+        sum(when(nn, x * y)).as(s"sxy$k"),
+        sum(when(nn, x * x)).as(s"sxx$k"),
+        sum(when(nn, y * y)).as(s"syy$k"))
+    } :+ count(lit(1)).as("n_days")
+    val stats = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    def rk(k: Int): Column = {
+      val n = col(s"n$k").cast(I)
+      (n * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k")).cast("double") /
+        (sqrt((n * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k"))
+          .cast("double")) *
+          sqrt((n * col(s"syy$k") - col(s"sy$k") * col(s"sy$k"))
+            .cast("double")))
+    }
+    val nD = col("n_days").cast("double")
+    val q = nD * (nD + lit(2.0)) *
+      (1 to maxLag).map(k => rk(k) * rk(k) / (nD - lit(k.toDouble)))
+        .reduce(_ + _)
+    val ok = (1 to maxLag).map { k =>
+      val n = col(s"n$k").cast(I)
+      col(s"n$k") > 1 &&
+        n * col(s"sxx$k") > col(s"sx$k") * col(s"sx$k") &&
+        n * col(s"syy$k") > col(s"sy$k") * col(s"sy$k")
+    }.reduce(_ && _) && col("n_days") > maxLag + 1
+    val rCols = (1 to maxLag).map(k =>
+      when(ok, round(rk(k), 6)).as(s"r$k"))
+    stats.select(Seq(col("event_type"), col("n_days")) ++ rCols
+      :+ when(ok, round(q, 4)).as("lb_stat"): _*)
+  }
+
   /** B44: two-sample Kolmogorov–Smirnov statistic, each key vs the
     * pooled rest — the distribution-drift detector (did this key's
     * value distribution diverge from everyone else's?) behind data-

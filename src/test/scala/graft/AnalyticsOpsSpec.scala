@@ -393,6 +393,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     finally out.unpersist()
   }
 
+  test("ljungBox: alternating series reads r=(-1,+1,-1), Q=80*107/210; flat reads null") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def series(vs: Seq[Double], typ: String, off: Long) = vs.zipWithIndex.map {
+      case (v, i) => (off + i,
+        new java.sql.Timestamp(ts0 + i * 86400000L), 1L, typ, v, "{}")
+    }
+    // 8 alternating days: lag-1 pairs anti-correlate exactly, lag-2
+    // correlate exactly, lag-3 anti-correlate → Q = 8·10·(1/7+1/6+1/5)
+    val events = (series(Seq(5, 7, 5, 7, 5, 7, 5, 7), "alt", 0L)
+      ++ series(Seq(6, 6, 6, 6, 6, 6, 6, 6), "flat", 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.ljungBox(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val alt = out("alt")
+    assert(alt.getAs[Long]("n_days") === 8L)
+    assert(alt.getAs[Double]("r1") === -1.0)
+    assert(alt.getAs[Double]("r2") === 1.0)
+    assert(alt.getAs[Double]("r3") === -1.0)
+    assert(alt.getAs[Double]("lb_stat") === 40.7619) // 80·107/210
+    val flat = out("flat")
+    assert(flat.isNullAt(2) && flat.isNullAt(5))
+    // corpus: one row per key, Q non-negative where defined
+    val full = AnalyticsOps.ljungBox(Tables.events(spark, sf))
+    assert(full.count() ===
+      Tables.events(spark, sf).select("event_type").distinct().count())
+    assert(full.filter(col("lb_stat") < 0).count() === 0)
+  }
+
   test("jarqueBera: closed-form skew/kurtosis/JB; constant key reads null") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
