@@ -894,6 +894,66 @@ object StreamOps {
     * 10-minute watermark. Works on any streaming DataFrame with the
     * events schema (tests feed it from MemoryStream).
     */
+  /** D22: streaming RESERVOIR sample — C46's deterministic
+    * corpus-global k-draw over an UNBOUNDED stream: the k smallest
+    * seeded-md5 priorities are a MERGEABLE summary (top-k of a union
+    * is the top-k of per-part top-k's, and the (priority, doc_id)
+    * order is total), so the state is ≤ k rows forever and the live
+    * sample equals the batch draw over the whole history BIT-FOR-BIT
+    * on any batch split — the deterministic form of reservoir
+    * sampling, with rerun/replay stability the classical
+    * random-replacement reservoir cannot offer (same latest-prior
+    * snapshot shape as D11-D20; docs are assumed exactly-once per id,
+    * the D5 dedup's contract, since a duplicate arrival would win ties
+    * against itself harmlessly but inflate nothing).
+    */
+  def streamingSample(docs: DataFrame, stateDir: String, k: Int = 100,
+      seed: String = "graft", retainBatches: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("source"))
+          .localCheckpoint(true)
+        try {
+          val scored = graft.operators.TextOps.sampleTopK(b, k, seed)
+          val prior: Option[DataFrame] =
+            if (!new java.io.File(stateDir).exists()) None
+            else {
+              val all = spark.read.parquet(stateDir)
+                .filter(col("batch") < lit(id))
+              val latest = all.agg(max("batch")).head()
+              if (latest.isNullAt(0)) None
+              else Some(all.filter(col("batch") === latest.get(0))
+                .drop("batch").localCheckpoint(true))
+            }
+          val merged = prior match {
+            case None => scored
+            case Some(p) => p.unionByName(scored)
+              .orderBy(col("prio"), col("doc_id")).limit(k)
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+          pruneSnapshots(stateDir, id, retainBatches)
+          prior.foreach { p =>
+            org.apache.spark.sql.graftx.bridge.checkpointRdd(p)
+              .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          }
+        } finally {
+          org.apache.spark.sql.graftx.bridge.checkpointRdd(b)
+            .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+          graft.CacheRegistry.unpersistAll()
+        }
+      }
+
+  /** The live D22 sample: the latest carried k-draw. */
+  def latestSample(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val all = spark.read.parquet(stateDir)
+    val latest = all.agg(max("batch")).head().get(0)
+    all.filter(col("batch") === latest).drop("batch")
+  }
+
   /** D7: stream-STATIC scoring join — the online half of B28: a
     * batch-built stats table (tiny, one row per key) broadcast onto
     * the live stream, each event scored and flagged as it arrives.

@@ -633,6 +633,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("D22: streaming reservoir sample equals the batch draw on the whole history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Schemas.Document
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val slices = docs.as[Document].collect().toSeq
+      .grouped((docs.count() / 3 + 1).toInt).toSeq
+    val base = java.nio.file.Files.createTempDirectory("d22").toString
+    val stateDir = s"$base/state"
+    val stream = MemoryStream[Document]
+    val q = StreamOps.streamingSample(stream.toDF(), stateDir, k = 50)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    slices.foreach { g => stream.addData(g); q.processAllAvailable() }
+    q.stop()
+    // the carried k-draw IS the batch draw over everything seen —
+    // the k smallest seeded priorities are a mergeable summary
+    val live = StreamOps.latestSample(spark, stateDir)
+    val twin = graft.operators.TextOps.sampleTopK(docs, 50)
+    assert(live.count() === 50L)
+    assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("D21: frozen-model DSIR scorer streams statelessly, bit-for-bit vs batch") {
     // the model is a plan-literal map and the per-doc weight an
     // in-row integer fold, so scoring is a PURE projection — the
