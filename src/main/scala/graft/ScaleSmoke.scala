@@ -199,6 +199,8 @@ object ScaleSmoke {
       ("q_welch", (_, e, _) => AnalyticsOps.welchDrift(e)),
       // B42's coarsen-first shape with an extra rollup — same bound
       ("q_mann_kendall", (_, e, _) => AnalyticsOps.mannKendall(e)),
+      // r10 (B58): within-season pairs — a ~12x tighter quadratic
+      ("q_seasonal_mk", (_, e, _) => AnalyticsOps.seasonalMannKendall(e)),
       // two rank windows (per-key sort) + one partial agg — the exact
       // semantics' cost class; growth should track the sort
       ("q_spearman", (_, e, _) => AnalyticsOps.spearman(e)),

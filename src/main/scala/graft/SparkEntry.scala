@@ -360,6 +360,9 @@ object SparkEntry {
     // axis of the drift family
     "q_jarque_bera" -> ((s, d) => AnalyticsOps.jarqueBera(Tables.events(s, d))),
     "q_mann_kendall" -> ((s, d) => AnalyticsOps.mannKendall(Tables.events(s, d))),
+    // B58 (r10): seasonal Mann–Kendall — within-season sign pairs
+    "q_seasonal_mk" -> ((s, d) =>
+      AnalyticsOps.seasonalMannKendall(Tables.events(s, d))),
     "q_spearman" -> ((s, d) => AnalyticsOps.spearman(Tables.events(s, d))),
     "q_spearman_approx" -> ((s, d) =>
       AnalyticsOps.spearmanApprox(Tables.events(s, d))),
@@ -2931,6 +2934,42 @@ object SparkEntry {
         |    - nt.tie_term AS DOUBLE) / 18.0), 6)
         |ELSE 0.0 END AS mk_z
         |FROM s JOIN nt ON s.event_type = nt.event_type""".stripMargin,
+    // B58: Hirsch–Slack seasonal MK — within-season sign pairs,
+    // per-season tie-corrected variance summed as INTEGER numerators
+    // (one ÷18 after the exact cross-season sum), continuity-corrected
+    // z round-6
+    "q_seasonal_mk" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value)
+        |    AS y
+        |  FROM events GROUP BY 1, 2),
+        |q AS (SELECT event_type, day, month(day) AS season,
+        |  floor(y * 1000000.0) AS yq FROM daily),
+        |s AS (SELECT a.event_type, a.season,
+        |  sum(CASE WHEN b.yq > a.yq THEN 1
+        |           WHEN b.yq < a.yq THEN -1 ELSE 0 END) AS s_m
+        |  FROM q a JOIN q b ON a.event_type = b.event_type
+        |    AND a.season = b.season AND a.day < b.day GROUP BY 1, 2),
+        |t AS (SELECT event_type, season, yq, count(*) AS t FROM q
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT event_type, season, sum(t) AS n_m,
+        |  sum(t * (t - 1) * (2 * t + 5)) AS tie_m FROM t GROUP BY 1, 2),
+        |v2 AS (SELECT event_type, season, n_m,
+        |  n_m * (n_m - 1) * (2 * n_m + 5) - tie_m AS num_m FROM v),
+        |tot AS (SELECT s.event_type, count(*) AS n_seasons,
+        |  CAST(sum(n_m) AS BIGINT) AS n_days,
+        |  CAST(sum(s_m) AS BIGINT) AS s_stat,
+        |  CAST(sum(num_m) AS BIGINT) AS var_num
+        |  FROM s JOIN v2 ON s.event_type = v2.event_type
+        |    AND s.season = v2.season GROUP BY 1)
+        |SELECT event_type, n_seasons, n_days, s_stat,
+        |CASE WHEN var_num <= 0 THEN NULL
+        |WHEN s_stat > 0 THEN round(CAST(s_stat - 1 AS DOUBLE)
+        |  / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+        |WHEN s_stat < 0 THEN round(CAST(s_stat + 1 AS DOUBLE)
+        |  / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+        |ELSE 0.0 END AS smk_z
+        |FROM tot""".stripMargin,
     // B48: Welch's t, odd vs even days — exact HUGEINT co-moments per
     // (key, parity), the identical fixed double chain for mean /
     // variance / t / dof in both engines, round-6 published (the

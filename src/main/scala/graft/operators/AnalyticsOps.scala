@@ -1751,6 +1751,72 @@ object AnalyticsOps {
       when(ok, round(dof, 6)).as("dof"))
   }
 
+  /** B58: SEASONAL Mann–Kendall trend test per key (Hirsch & Slack
+    * 1984 — the hydrology-standard form): sign pairs form only WITHIN
+    * each season (month-of-year), so a seasonal cycle can't
+    * masquerade as — or mask — a monotone trend the way it can in
+    * B49's all-pairs S (a sawtooth seasonal series scores |S| ≈ 0
+    * here and a within-season drift scores full strength; B49's
+    * unit="month" coarsening AVERAGES seasons away, this CONDITIONS
+    * on them — different tool). S = Σ_m S_m; Var = Σ_m Var_m with
+    * each season's tie-corrected variance kept as its INTEGER
+    * numerator and divided by 18 once after the exact cross-season
+    * sum (a per-season double Σ would be order-dependent); z with the
+    * continuity correction, round-6.
+    *
+    * Scale shape: B49's coarsen-first pairwise bounded per (key,
+    * season) — the quadratic is |days-in-season|²/2, a ~12× tighter
+    * bound than the all-pairs form at the same span; same fail-fast
+    * guard.
+    */
+  def seasonalMannKendall(events: DataFrame,
+      maxDaysPerSeason: Long = 2000L): DataFrame = {
+    val daily = graft.CacheRegistry.persistIfLarge(events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.avgD(col("value")).as("y"))
+      .withColumn("yq", floor(col("y") * lit(1000000.0)))
+      .withColumn("season", month(col("day"))))
+    val maxN = daily.groupBy("event_type", "season").count()
+      .agg(coalesce(max("count"), lit(0L)).as("m")).head.getLong(0)
+    require(maxN <= maxDaysPerSeason,
+      s"seasonalMannKendall forms |days|^2/2 sign pairs per (key, " +
+        s"season), quarantined to <= $maxDaysPerSeason points, got $maxN; " +
+        "coarsen the series first or raise maxDaysPerSeason explicitly")
+    val sM = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.season") === col("b.season")
+          && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.season").as("season"),
+        when(col("b.yq") > col("a.yq"), 1L)
+          .when(col("b.yq") < col("a.yq"), -1L).otherwise(0L).as("sgn"))
+      .groupBy("event_type", "season").agg(sum("sgn").as("s_m"))
+    val varM = daily.groupBy(col("event_type").as("et"),
+        col("season").as("sn"), col("yq"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("et", "sn")
+      .agg(sum(col("t")).as("n_m"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tie_m"))
+      .select(col("et"), col("sn"), col("n_m"),
+        (col("n_m") * (col("n_m") - 1) * (lit(2L) * col("n_m") + 5)
+          - col("tie_m")).as("num_m"))
+    val tot = sM.join(varM,
+        col("event_type") === col("et") && col("season") === col("sn"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_seasons"), sum(col("n_m")).as("n_days"),
+        sum(col("s_m")).as("s_stat"), sum(col("num_m")).as("var_num"))
+    val varD = col("var_num").cast("double") / 18.0
+    tot.select(col("event_type"), col("n_seasons"), col("n_days"),
+      col("s_stat"),
+      when(col("var_num") <= 0, lit(null).cast("double"))
+        .when(col("s_stat") > 0,
+          round((col("s_stat") - 1).cast("double") / sqrt(varD), 6))
+        .when(col("s_stat") < 0,
+          round((col("s_stat") + 1).cast("double") / sqrt(varD), 6))
+        .otherwise(lit(0.0)).as("smk_z"))
+  }
+
   /** B50: Spearman rank correlation per key — the monotone-
     * association screen beside B17's Pearson (a nonlinear but
     * monotone coupling scores ~1 here while Pearson under-reads it;

@@ -558,6 +558,46 @@ class AnalyticsOpsSpec extends SparkSpec {
       col("n_days") * (col("n_days") - 1) / 2).count() === 0)
   }
 
+  test("seasonalMannKendall: opposing seasonal trends cancel; aligned ones sum") {
+    import spark.implicits._
+    def day(m: Int, d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-$m%02d-$d%02d 12:00:00")
+    def ev(id: Long, typ: String, m: Int, d: Int, v: Double) =
+      (id, day(m, d), 1L, typ, v, "{}")
+    // "cancel": January rises {1,2,3}, February falls {3,2,1} —
+    // within-season S = +3 and −3, total 0 (B49's all-pairs S would
+    // mix cross-month pairs into the verdict); "trend": both months
+    // rise — S = 6, var = 2·(3·2·11)/18 = 132/18, z = 5/√(132/18)
+    val events = (Seq(
+      ev(1, "cancel", 1, 1, 1), ev(2, "cancel", 1, 2, 2),
+      ev(3, "cancel", 1, 3, 3), ev(4, "cancel", 2, 1, 3),
+      ev(5, "cancel", 2, 2, 2), ev(6, "cancel", 2, 3, 1),
+      ev(11, "trend", 1, 1, 1), ev(12, "trend", 1, 2, 2),
+      ev(13, "trend", 1, 3, 3), ev(14, "trend", 2, 1, 4),
+      ev(15, "trend", 2, 2, 5), ev(16, "trend", 2, 3, 6)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = AnalyticsOps.seasonalMannKendall(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = out("cancel")
+    assert(c.getAs[Long]("n_seasons") === 2L)
+    assert(c.getAs[Long]("s_stat") === 0L)
+    assert(c.getAs[Double]("smk_z") === 0.0)
+    val t = out("trend")
+    assert(t.getAs[Long]("s_stat") === 6L)
+    assert(math.abs(t.getAs[Double]("smk_z")
+      - 5.0 / math.sqrt(132.0 / 18.0)) < 1e-6)
+    // guard trips past the per-(key, season) bound and names the dial
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsOps.seasonalMannKendall(events, maxDaysPerSeason = 2L)
+    }
+    assert(e.getMessage.contains("maxDaysPerSeason"))
+    // corpus: one row per key, |S| bounded by total within-season pairs
+    val full = AnalyticsOps.seasonalMannKendall(Tables.events(spark, sf))
+    assert(full.count() ===
+      Tables.events(spark, sf).select("event_type").distinct().count())
+    CacheRegistry.unpersistAll()
+  }
+
   test("autocorr: alternating series gives exactly r1 = -1") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
