@@ -99,6 +99,8 @@ object SparkEntry {
     "q_rx5day" -> ((s, d) => AgriOps.rx5day(Tables.events(s, d))),
     // A43 (r10): WSDI — cumulative warm-spell day load per key
     "q_wsdi" -> ((s, d) => AgriOps.wsdi(Tables.events(s, d))),
+    // A44 (r10): R95pTOT — extreme-precip concentration share
+    "q_r95ptot" -> ((s, d) => AgriOps.r95ptot(Tables.events(s, d))),
     // B. general analytics
     "q1_pricing" -> ((s, d) => AnalyticsOps.pricingSummary(Tables.lineitem(s, d))),
     "q3_shipping" -> ((s, d) => AnalyticsOps.shippingPriority(
@@ -1720,6 +1722,30 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY tot5q DESC, day DESC) AS rn FROM win)
         |WHERE rn = 1""".stripMargin,
+    // A44: R95pTOT — very-wet = daily total strictly above the key's
+    // own round-4 p95; both sums on floor(×1e6) integers, one double
+    // division; zero-total keys null
+    "q_r95ptot" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+        |    AS p_total
+        |  FROM events GROUP BY 1, 2),
+        |thr AS (SELECT event_type,
+        |  round(quantile_cont(p_total, 0.95), 4) AS thr
+        |  FROM daily GROUP BY 1),
+        |q AS (SELECT daily.event_type,
+        |  CAST(floor(p_total * 1e6) AS DECIMAL(38,0)) AS pq,
+        |  p_total > thr AS vw
+        |  FROM daily JOIN thr USING (event_type)),
+        |g AS (SELECT event_type,
+        |  count(CASE WHEN vw THEN 1 END) AS n_very_wet,
+        |  sum(CASE WHEN vw THEN pq END) AS wet_q, sum(pq) AS tot_q
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n_very_wet,
+        |CASE WHEN tot_q <> 0 THEN
+        |  CAST(coalesce(wet_q, 0) AS DOUBLE) / CAST(tot_q AS DOUBLE)
+        |END AS r95ptot
+        |FROM g""".stripMargin,
     // A43: WSDI — warm = daily mean strictly above the key's own
     // round-4 pct-percentile, A30's islands, runs >= minRun summed;
     // keys with no qualifying run yield no row

@@ -656,6 +656,47 @@ object AgriOps {
         col("m.spell_start").as("longest_start"))
   }
 
+  /** A44: R95pTOT — the share of total precipitation that falls on
+    * VERY WET days (strictly above the key's own round-4 p95 of daily
+    * totals; ETCCDI's extreme-precip concentration index): Rx5day
+    * reads the worst single window, SDII the mean wet-day intensity —
+    * this reads how much of the water budget arrives in the extreme
+    * tail (0.4 means flood infrastructure carries 40% of the rain).
+    * Daily totals via [[Exact.sumD]], threshold via B15's round-4
+    * interpolated percentile (self-calibrating — non-vacuous at any
+    * volume: an interpolated p95 sits strictly below the max unless
+    * the top days tie), totals floor(×10⁶)-quantized (the A41/A42
+    * protocol) so both sums are exact integers and the share is ONE
+    * double division; zero-total keys publish null.
+    *
+    * Scale: two strictly-coarsening groupBys + a |keys|-row
+    * percentile broadcast.
+    */
+  def r95ptot(events: DataFrame, pct: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(Exact.sumD(col("value")).as("p_total"))
+    val thr = daily.groupBy("event_type")
+      .agg(round(expr(s"percentile(p_total, $pct)"), 4).as("thr"))
+    val prod = col("p_total") * lit(1e6)
+    val pq = when(prod < lit(9.007199254740992e15),
+      floor(prod).cast(DecimalType(38, 0)))
+      .otherwise(prod.cast(DecimalType(38, 0)))
+    daily.join(broadcast(thr), "event_type")
+      .select(col("event_type"), pq.as("pq"),
+        (col("p_total") > col("thr")).as("vw"))
+      .groupBy("event_type")
+      .agg(count(when(col("vw"), 1)).as("n_very_wet"),
+        sum(when(col("vw"), col("pq"))).as("wet_q"),
+        sum(col("pq")).as("tot_q"))
+      .select(col("event_type"), col("n_very_wet"),
+        when(col("tot_q") =!= 0,
+          coalesce(col("wet_q"), lit(0).cast(DecimalType(38, 0)))
+            .cast("double") / col("tot_q").cast("double"))
+          .as("r95ptot"))
+  }
+
   def chillHours(events: DataFrame, chillBelow: Double = 45.0): DataFrame = {
     val hourly = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))

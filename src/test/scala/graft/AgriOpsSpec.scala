@@ -191,6 +191,31 @@ class AgriOpsSpec extends SparkSpec {
     assert(full.filter(col("wsdi_days") < col("longest_spell")).count() === 0)
   }
 
+  test("r95ptot: extreme-tail share of the water budget, closed form") {
+    import spark.implicits._
+    // totals 1..10: interpolated p95 = 9.55 → very wet = {10} →
+    // share = 10/55, n_very_wet = 1
+    val ev = (1 to 10).map { i => ("a", f"2024-03-$i%02d", i.toDouble) }
+      .toDF("event_type", "d", "value")
+      .select(col("event_type"),
+        to_timestamp(concat(col("d"), lit(" 12:00:00"))).as("ts"),
+        col("value"))
+    val r = AgriOps.r95ptot(ev).head()
+    assert(r.getAs[Long]("n_very_wet") === 1L)
+    assert(math.abs(r.getAs[Double]("r95ptot") - 10.0 / 55.0) < 1e-12)
+    // a constant key has no day strictly above its p95 → share 0
+    val flat = AgriOps.r95ptot(ev.withColumn("value", lit(3.0))).head()
+    assert(flat.getAs[Long]("n_very_wet") === 0L)
+    assert(flat.getAs[Double]("r95ptot") === 0.0)
+    // corpus: one row per key, the self-calibrating tail is non-empty
+    val events = Tables.events(spark, sf)
+    val full = AgriOps.r95ptot(events)
+    assert(full.count() ===
+      events.select("event_type").distinct().count())
+    assert(full.filter(col("n_very_wet") < 1).count() === 0,
+      "interpolated p95 must leave a non-empty tail")
+  }
+
   test("chillHours counts hourly means below threshold per month") {
     import spark.implicits._
     // 3 hours on one day: means 40, 50, 44 → 2 chill hours (< 45)
