@@ -240,6 +240,8 @@ object ScaleSmoke {
       ("q_dry_spell", (_, e, _) => AgriOps.drySpell(e)),
       // r9: two strictly-coarsening groupBys — scan growth only
       ("q_chill_hours", (_, e, _) => AgriOps.chillHours(e)),
+      // r10 (A44): same coarsening shape + a |keys|-row broadcast
+      ("q_r95ptot", (_, e, _) => AgriOps.r95ptot(e)),
       // r9: pure map (in-row fold) + one |labels|-row partial agg
       ("emb_norm_audit", (_, _, m) => SimilarityOps.embNormAudit(m)))
 
