@@ -242,6 +242,10 @@ object ScaleSmoke {
       ("q_chill_hours", (_, e, _) => AgriOps.chillHours(e)),
       // r10 (A44): same coarsening shape + a |keys|-row broadcast
       ("q_r95ptot", (_, e, _) => AgriOps.r95ptot(e)),
+      // r10 (A42): bounded 5-day RANGE window over the daily mart
+      ("q_rx5day", (_, e, _) => AgriOps.rx5day(e)),
+      // r10 (A43): islands window over the |keys x warm-days| mart
+      ("q_wsdi", (_, e, _) => AgriOps.wsdi(e)),
       // r9: pure map (in-row fold) + one |labels|-row partial agg
       ("emb_norm_audit", (_, _, m) => SimilarityOps.embNormAudit(m)))
 
