@@ -2982,11 +2982,11 @@ object SparkEntry {
         |  sum(t * (t - 1) * (2 * t + 5)) AS tie_m FROM t GROUP BY 1, 2),
         |v2 AS (SELECT event_type, season, n_m,
         |  n_m * (n_m - 1) * (2 * n_m + 5) - tie_m AS num_m FROM v),
-        |tot AS (SELECT s.event_type, count(*) AS n_seasons,
+        |tot AS (SELECT v2.event_type, count(*) AS n_seasons,
         |  CAST(sum(n_m) AS BIGINT) AS n_days,
-        |  CAST(sum(s_m) AS BIGINT) AS s_stat,
+        |  CAST(sum(coalesce(s_m, 0)) AS BIGINT) AS s_stat,
         |  CAST(sum(num_m) AS BIGINT) AS var_num
-        |  FROM s JOIN v2 ON s.event_type = v2.event_type
+        |  FROM v2 LEFT JOIN s ON s.event_type = v2.event_type
         |    AND s.season = v2.season GROUP BY 1)
         |SELECT event_type, n_seasons, n_days, s_stat,
         |CASE WHEN var_num <= 0 THEN NULL

@@ -1801,11 +1801,19 @@ object AnalyticsOps {
       .select(col("et"), col("sn"), col("n_m"),
         (col("n_m") * (col("n_m") - 1) * (lit(2L) * col("n_m") + 5)
           - col("tie_m")).as("num_m"))
-    val tot = sM.join(varM,
-        col("event_type") === col("et") && col("season") === col("sn"))
-      .groupBy("event_type")
+    // varM carries EVERY season (built straight from daily); sM only
+    // has seasons with >= 2 days (a 1-day season forms no pairs). Left
+    // join from varM with coalesce(s_m, 0) so a single-day season
+    // contributes S_m = 0, Var_m = 0, n_m = 1 to the totals — the
+    // Hirsch–Slack form (ADVICE r10: the inner join undercounted
+    // n_seasons/n_days vs the daily mart).
+    val tot = varM.join(sM,
+        col("event_type") === col("et") && col("season") === col("sn"),
+        "left")
+      .groupBy(col("et").as("event_type"))
       .agg(count(lit(1)).as("n_seasons"), sum(col("n_m")).as("n_days"),
-        sum(col("s_m")).as("s_stat"), sum(col("num_m")).as("var_num"))
+        sum(coalesce(col("s_m"), lit(0L))).as("s_stat"),
+        sum(col("num_m")).as("var_num"))
     val varD = col("var_num").cast("double") / 18.0
     tot.select(col("event_type"), col("n_seasons"), col("n_days"),
       col("s_stat"),

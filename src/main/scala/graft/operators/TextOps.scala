@@ -573,8 +573,13 @@ object TextOps {
     val weighted = g.withColumn("wq", wq)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    val ideal = lit(k.toDouble) * col("wq").cast("double") /
-      col("wq_tot").cast("double")
+    // the division is gated on wq_tot > 0 (ANSI mode turns the
+    // degenerate 0/0 into a task-level DIVIDE_BY_ZERO before the
+    // fail-fast probe below can run; a null ideal flows through the
+    // floors/casts harmlessly until the require fires)
+    val ideal = when(col("wq_tot") > 0L,
+      lit(k.toDouble) * col("wq").cast("double") /
+        col("wq_tot").cast("double"))
     // size-thresholded persist: the guard's head(1) and the broadcast
     // join both read the seat plan (one corpus scan each otherwise)
     val seats = graft.CacheRegistry.persistIfLarge(weighted
@@ -588,7 +593,17 @@ object TextOps {
       .select(col("stratum"),
         (col("base") + when(col("rr") <= col("leftover"), 1L)
           .otherwise(0L)).as("seats"),
-        col("n_h")))
+        col("n_h"), col("wq"), col("wq_tot")))
+    // degenerate-corpus fail-fast: if EVERY stratum has n_h == 1 or
+    // zero variance, wq_tot = 0 and ideal = 0/0 = NaN — the floors and
+    // casts below would silently produce an empty/undefined sample.
+    // Probe the |strata|-row seat plan, mirroring the saturation guard.
+    val degenerate = seats.filter(col("wq_tot") === 0L).head(1)
+    require(degenerate.isEmpty,
+      "Neyman allocation is undefined: no stratum carries weight " +
+        "(every stratum has n_h == 1 or zero n_chars variance), so " +
+        "ideal shares are 0/0; use sample_per_group or sample_fraction " +
+        "for degenerate strata")
     // saturation fail-fast (the C5-style guard): a budget that outruns
     // a stratum must error naming the dial, not silently under-sample.
     // The probe reads the |strata|-row seat table, never the corpus.

@@ -903,9 +903,12 @@ object StreamOps {
     * on any batch split — the deterministic form of reservoir
     * sampling, with rerun/replay stability the classical
     * random-replacement reservoir cannot offer (same latest-prior
-    * snapshot shape as D11-D20; docs are assumed exactly-once per id,
-    * the D5 dedup's contract, since a duplicate arrival would win ties
-    * against itself harmlessly but inflate nothing).
+    * snapshot shape as D11-D20). The prior∪batch merge dedups on
+    * doc_id before the limit(k) (the union is ≤ 2k rows, so the
+    * dropDuplicates is free), so a RE-DELIVERED doc — an at-least-once
+    * upstream — occupies one slot, not two, and the live sample stays
+    * equal to the batch draw without assuming D5's exactly-once
+    * contract.
     */
   def streamingSample(docs: DataFrame, stateDir: String, k: Int = 100,
       seed: String = "graft", retainBatches: Int = 3)
@@ -931,6 +934,7 @@ object StreamOps {
           val merged = prior match {
             case None => scored
             case Some(p) => p.unionByName(scored)
+              .dropDuplicates("doc_id")
               .orderBy(col("prio"), col("doc_id")).limit(k)
           }
           merged.write.mode("overwrite").parquet(s"$stateDir/batch=$id")

@@ -141,7 +141,10 @@ object MediaMetaExpr {
     var frames = 0
     while (i < p.length) {
       val b = p(i) & 0xFF
-      if (b == 0x3B) return frames // trailer: clean end of stream
+      if (b == 0x3B) // trailer — valid only as the FINAL byte: bytes
+        // after it mean appended payload (the wrap tables' shape), and
+        // a "decoded" count from such a stream would be garbage.
+        return (if (i == p.length - 1) frames else -1)
       else if (b == 0x2C) { // image descriptor
         if (i + 10 >= p.length) return -1
         val ip = p(i + 9) & 0xFF // local-color-table flag + size

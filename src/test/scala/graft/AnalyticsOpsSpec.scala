@@ -586,6 +586,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(t.getAs[Long]("s_stat") === 6L)
     assert(math.abs(t.getAs[Double]("smk_z")
       - 5.0 / math.sqrt(132.0 / 18.0)) < 1e-6)
+    // ADVICE r10: a SINGLE-DAY season forms no pairs, but the
+    // Hirsch–Slack totals still count it (S_m = 0, Var_m = 0,
+    // n_m = 1) — the inner-join form dropped it from n_seasons/n_days
+    val withLonely = events.unionByName(Seq(
+      ev(21, "trend", 3, 1, 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val lone = AnalyticsOps.seasonalMannKendall(withLonely).collect()
+      .map(r => r.getString(0) -> r).toMap.apply("trend")
+    assert(lone.getAs[Long]("n_seasons") === 3L)
+    assert(lone.getAs[Long]("n_days") === 7L)
+    assert(lone.getAs[Long]("s_stat") === 6L) // unchanged: no new pairs
+    assert(math.abs(lone.getAs[Double]("smk_z")
+      - 5.0 / math.sqrt(132.0 / 18.0)) < 1e-6) // Var_m = 0 adds nothing
     // guard trips past the per-(key, season) bound and names the dial
     val e = intercept[IllegalArgumentException] {
       AnalyticsOps.seasonalMannKendall(events, maxDaysPerSeason = 2L)

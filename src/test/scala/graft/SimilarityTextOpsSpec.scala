@@ -342,6 +342,14 @@ class SimilarityTextOpsSpec extends SparkSpec {
     val noTrailer = MultimodalOps.extractMetaFrom(spark,
       Seq((52L, anim.dropRight(1))).toDF("doc_id", "payload")).head()
     assert(noTrailer.getAs[Int]("n_frames") === 1)
+    // ADVICE r10: bytes AFTER the trailer mean appended payload (the
+    // wrap tables' shape) — the walk must refuse to "decode" it, not
+    // treat a mid-stream 0x3B as a clean end
+    val garbage = MultimodalOps.extractMetaFrom(spark,
+      Seq((53L, anim ++ "appended payload".getBytes("US-ASCII")))
+        .toDF("doc_id", "payload")).head()
+    assert(garbage.getAs[String]("format") === "gif")
+    assert(garbage.getAs[Int]("n_frames") === 1)
   }
 
   test("JPEG SOFn scan reads dimensions from hand-built marker segments") {
@@ -1088,6 +1096,16 @@ class SimilarityTextOpsSpec extends SparkSpec {
       TextOps.sampleStratified(docs, k = 5).count()
     }
     assert(e.getMessage.contains("stratum"))
+    // ADVICE r10: an ALL-degenerate corpus (every stratum n_h == 1 or
+    // zero variance) has wq_tot = 0 → ideal = 0/0; must fail fast
+    // naming the cause, not silently return an empty/undefined sample
+    val degen = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "b", 42L))
+      .toDF("doc_id", "source", "n_chars")
+    val eDeg = intercept[IllegalArgumentException] {
+      TextOps.sampleStratified(degen, k = 2).count()
+    }
+    assert(eDeg.getMessage.contains("no stratum carries weight"))
     // corpus: exactly k rows, per-stratum counts equal the seat table,
     // rerun-identical (the Knuth ring is RNG-free)
     val full = TextOps.sampleStratified(documents, 100).cache()

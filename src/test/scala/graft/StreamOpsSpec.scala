@@ -647,12 +647,18 @@ class StreamOpsSpec extends SparkSpec {
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     slices.foreach { g => stream.addData(g); q.processAllAvailable() }
+    // ADVICE r10: an at-least-once upstream RE-DELIVERS docs — a
+    // duplicate must occupy one slot, not two (the merge dedups on
+    // doc_id before limit(k)), so the live draw still equals batch
+    stream.addData(slices.head)
+    q.processAllAvailable()
     q.stop()
     // the carried k-draw IS the batch draw over everything seen —
     // the k smallest seeded priorities are a mergeable summary
     val live = StreamOps.latestSample(spark, stateDir)
     val twin = graft.operators.TextOps.sampleTopK(docs, 50)
     assert(live.count() === 50L)
+    assert(live.select("doc_id").distinct().count() === 50L)
     assert(live.except(twin).isEmpty && twin.except(live).isEmpty)
     CacheRegistry.unpersistAll()
   }
