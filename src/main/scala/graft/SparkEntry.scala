@@ -156,6 +156,12 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => SimilarityOps.embQuantize(Tables.embeddings(s, d))),
     "emb_kmeans" -> ((s, d) => SimilarityOps.embKmeans(Tables.embeddings(s, d))),
     "knn_ivf_trained" -> ((s, d) => SimilarityOps.knnIvfTrained(Tables.embeddings(s, d))),
+    // C78 (r11): IVF-PQ — trained coarse cells + product-quantized
+    // residuals + bounded-broadcast ADC scoring + exact refine; the
+    // top-k rows are rows-only (PQ distortion is data-dependent), the
+    // certification twin below is the oracle gate
+    "knn_ivfpq" -> ((s, d) => SimilarityOps.knnIvfPq(Tables.embeddings(s, d))),
+    "knn_ivfpq_recall" -> ((s, d) => SimilarityOps.knnIvfPqRecall(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimilarityOps.dedupSemantic(Tables.embeddings(s, d))),
     // C77 (r10): semantic decontamination over the twin-injected
     // corpus (natural max cosine 0.49 — the injection is what makes
@@ -223,12 +229,14 @@ object SparkEntry {
           .union(MultimodalOps.toJpegMediaTable(s, docs))
           .union(MultimodalOps.toGifMediaTable(s, docs))
           .union(MultimodalOps.toGifAnimMediaTable(s, docs))
+          .union(MultimodalOps.toWavMediaTable(s, docs))
           .union(MultimodalOps.toMediaTable(docs)))
     }),
     // C11 oracle-gated twin (VERDICT r7 #5): the REAL-format decode
     // paths (PNG IHDR + JPEG SOFn + GIF logical screen descriptor,
     // r9; r10 adds the ANIMATED-GIF branch whose frame count is
-    // DECODED by walking image-descriptor blocks — VERDICT r9 #6)
+    // DECODED by walking image-descriptor blocks — VERDICT r9 #6;
+    // r11 adds the WAV/RIFF chunk walk, the first AUDIO branch)
     // produce deterministic doc_id-derived metadata, so the per-item
     // projection is fully DuckDB-expressible — rows+schema+hash
     // gated; only the fake-decode fallback and the binary payload
@@ -239,7 +247,8 @@ object SparkEntry {
         MultimodalOps.toPngMediaTable(s, docs)
           .union(MultimodalOps.toJpegMediaTable(s, docs))
           .union(MultimodalOps.toGifMediaTable(s, docs))
-          .union(MultimodalOps.toGifAnimMediaTable(s, docs)))
+          .union(MultimodalOps.toGifAnimMediaTable(s, docs))
+          .union(MultimodalOps.toWavMediaTable(s, docs)))
     }),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) =>
@@ -277,6 +286,12 @@ object SparkEntry {
     "train_split_grouped" -> ((s, d) =>
       TextOps.trainSplitGrouped(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
+    // C28b: the ITERATIVE trainer — 2 greedy merge rounds, each
+    // selecting the corpus-wide top pair and rewriting every sequence
+    // (left-to-right non-overlapping); the oracle UNROLLS the loop in
+    // chained CTEs, so selection, rewrite, and the merge table are all
+    // hash-gated per round
+    "bpe_train" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d), 2)),
     "dedup_apply" -> ((s, d) => DedupOps.dedupApply(Tables.documents(s, d), 0.7)),
     "dedup_priority" -> ((s, d) => DedupOps.dedupPriority(Tables.documents(s, d), 0.7)),
     "doc_entropy" -> ((s, d) => TextOps.docEntropy(Tables.documents(s, d))),
@@ -288,6 +303,13 @@ object SparkEntry {
     "sample_topk" -> ((s, d) => TextOps.sampleTopK(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => DedupOps.dedupSubstring(Tables.documents(s, d))),
+    // C48's 100 TB variant (VERDICT r10 #6): grams shuffle as
+    // (xxhash64, len) keys instead of the gram STRINGS — the output
+    // is identical on a collision-free domain, which IS the oracle
+    // (same SQL as the string form; a hash collision would desync
+    // the counts and fail the hash gate)
+    "dedup_substring_hashed" -> ((s, d) =>
+      DedupOps.dedupSubstring(Tables.documents(s, d), hashGrams = true)),
     "dedup_substring_rewrite" -> ((s, d) => DedupOps.dedupSubstringRewrite(Tables.documents(s, d))),
     "q_gap_fill" -> ((s, d) => TimeSeriesOps.gapFill(Tables.events(s, d))),
     "q_interpolate" -> ((s, d) => TimeSeriesOps.interpolate(Tables.events(s, d))),
@@ -600,6 +622,55 @@ object SparkEntry {
       |  UNION
       |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
       |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id)""".stripMargin
+
+  /** C28b oracle generator: the BPE training loop UNROLLED to
+    * `rounds` chained CTE blocks — each block mirrors the Spark round
+    * exactly (lead-window pair count, (n DESC, a, b) top-1, island-
+    * parity greedy eligibility, lag-consumed removal, re-posed
+    * rewrite) so selection AND rewrite are hash-gated per round.
+    */
+  private def bpeTrainSql(rounds: Int): String = {
+    val base =
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM tk, unnest(generate_series(1, len(t))) AS u(i))""".stripMargin
+    val blocks = (1 to rounds).map { i =>
+      s"""r${i}_big AS (SELECT doc_id, pos, tok,
+         |  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM r${i - 1}),
+         |r${i}_top AS (SELECT tok AS a, nxt AS b, count(*) AS n
+         |  FROM r${i}_big WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |r${i}_j AS (SELECT g.doc_id, g.pos, g.tok, g.nxt,
+         |  (g.tok = t.a AND g.nxt = t.b) AS m FROM r${i}_big g, r${i}_top t),
+         |r${i}_el AS (SELECT doc_id, pos,
+         |  (row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2) = 1
+         |    AS elig
+         |  FROM (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |    FROM r${i}_j WHERE m)),
+         |r${i}_c AS (SELECT j.doc_id, j.pos, j.tok, j.nxt,
+         |  coalesce(e.elig, FALSE) AS elig
+         |  FROM r${i}_j j LEFT JOIN r${i}_el e USING (doc_id, pos)),
+         |r$i AS (SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+         |    AS pos,
+         |  CASE WHEN elig THEN tok || '+' || nxt ELSE tok END AS tok
+         |  FROM (SELECT *, coalesce(lag(elig) OVER (PARTITION BY doc_id
+         |    ORDER BY pos), FALSE) AS consumed FROM r${i}_c)
+         |  WHERE NOT consumed),
+         |r${i}_stats AS (SELECT CAST($i AS BIGINT) AS round,
+         |  t.a || ' ' || t.b AS pair, t.n,
+         |  (SELECT count(*) FROM r${i}_el WHERE elig) AS n_merges,
+         |  (SELECT count(DISTINCT tok) FROM r$i) AS vocab_size
+         |  FROM r${i}_top t)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to rounds).map(i => s"SELECT * FROM r${i}_stats")
+      .mkString("\n", "\nUNION ALL\n", "")
+    base + blocks + sel
+  }
 
   // C54/C55 shared oracle pieces: Lloyd's loop unrolled to the same
   // 2 update rounds as the Spark default — round-6 similarities
@@ -1143,6 +1214,21 @@ object SparkEntry {
     // C65: the brute-force truth set's SIZE is the oracle's half; the
     // recall_ok predicate (LSH found >= floor of it) must hold
     "knn_lsh_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings),
+        |s AS (SELECT q_id, c_id,
+        |  round(list_cosine_similarity(q_emb, c_emb), 3) AS sim
+        |  FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |  ORDER BY sim DESC, c_id) AS rank FROM s)
+        |SELECT count(*) AS n_truth, TRUE AS recall_ok
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // C78: same C65 recall-gate shape — the brute-force truth size is
+    // the oracle's half; recall_ok asserts the IVF-PQ probe → ADC
+    // shortlist → exact-refine pipeline recovered >= the floor of it
+    "knn_ivfpq_recall" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |  FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -1928,6 +2014,29 @@ object SparkEntry {
         |  ELSE 0.0 END AS dup_ratio
         |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin,
+    // C48 hashed-key variant: the ORACLE is the string-gram SQL — on
+    // a collision-free domain the (xxhash64, len) keying must produce
+    // byte-identical doc-level counts, so equality to the string form
+    // is exactly what the gate proves
+    "dedup_substring_hashed" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |shared AS (SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |dup AS (SELECT doc_id, count(*) AS dup_grams FROM grams
+        |  WHERE g IN (SELECT g FROM shared) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(tot.n_grams, 0) AS n_grams,
+        |coalesce(dup.dup_grams, 0) AS dup_grams,
+        |CASE WHEN coalesce(tot.n_grams, 0) > 0
+        |  THEN CAST(coalesce(dup.dup_grams, 0) AS DOUBLE) / tot.n_grams
+        |  ELSE 0.0 END AS dup_ratio
+        |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin,
     // C49: min-doc_id span ownership; covered = union of non-owner
     // span positions; reassembly = position-ordered string_agg
     "dedup_substring_rewrite" ->
@@ -2127,6 +2236,13 @@ object SparkEntry {
         |       < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
         |     ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // C28b: the trainer's oracle is the loop UNROLLED — per round: a
+    // lead-window pair count + deterministic top-1, the island-parity
+    // greedy apply (merge offsets 1, 3, … of each consecutive-match
+    // run; overlap only exists when a == b), lag-consumed removal,
+    // re-posed rewrite. The merge table row re-derives n_merges and
+    // the post-rewrite vocab by scalar subqueries on the same CTEs.
+    "bpe_train" -> bpeTrainSql(2),
     "bpe_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
@@ -2297,7 +2413,8 @@ object SparkEntry {
     // the wrap expression's doc_id formulas, payload body is the
     // UTF-8 text bytes (strlen = byte length in DuckDB)
     "multimodal_meta" ->
-      """SELECT doc_id,
+      """WITH img AS (
+        |SELECT doc_id,
         |CAST(33 + strlen(text) AS INTEGER) AS n_bytes,
         |CAST(64 + doc_id % 512 AS INTEGER) AS width,
         |CAST(64 + (doc_id * 31) % 512 AS INTEGER) AS height,
@@ -2323,7 +2440,31 @@ object SparkEntry {
         |CAST(64 + (doc_id * 5) % 512 AS INTEGER) AS width,
         |CAST(64 + (doc_id * 11) % 512 AS INTEGER) AS height,
         |CAST(1 + doc_id % 7 AS INTEGER) AS n_frames, 'gif' AS format
-        |FROM documents""".stripMargin,
+        |FROM documents),
+        |wavp AS (SELECT doc_id,
+        |  CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(8 + 8 * ((doc_id // 2) % 2) AS INTEGER) AS bit_depth,
+        |  strlen(text) AS data_len FROM documents),
+        |wav AS (SELECT doc_id,
+        |  CAST(44 + data_len AS INTEGER) AS n_bytes,
+        |  sample_rate, channels, bit_depth,
+        |  CAST(data_len // (channels * (bit_depth // 8)) AS BIGINT)
+        |    AS n_samples FROM wavp)
+        |SELECT doc_id, n_bytes, width, height, n_frames, format,
+        |CAST(NULL AS INTEGER) AS sample_rate,
+        |CAST(NULL AS INTEGER) AS channels,
+        |CAST(NULL AS INTEGER) AS bit_depth,
+        |CAST(NULL AS BIGINT) AS n_samples,
+        |CAST(NULL AS BIGINT) AS duration_ms
+        |FROM img
+        |UNION ALL
+        |SELECT doc_id, n_bytes,
+        |CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |CAST(NULL AS INTEGER) AS n_frames, 'wav' AS format,
+        |sample_rate, channels, bit_depth, n_samples,
+        |CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms
+        |FROM wav""".stripMargin,
     // C34: same injected URL, same regex subset; domain = host group
     "url_domains" ->
       """WITH aug AS (SELECT doc_id,

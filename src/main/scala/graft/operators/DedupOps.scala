@@ -1014,6 +1014,24 @@ object DedupOps {
     val cacheMark = graft.CacheRegistry.mark()
     val pairs = ngramJaccardPrefixAgainst(union, batch.select("doc_id"),
       minJaccard).select("id1", "id2")
+    foldClosure(union.select(col("doc_id")), priorLabels, pairs,
+      maxIters, checkpointDir, reliableEvery,
+      afterEdgesPinned = () => graft.CacheRegistry.releaseSince(cacheMark))
+  }
+
+  /** The collapsed-closure FOLD kernel shared by [[dedupIncremental]]
+    * (lexical pairs) and the semantic family
+    * ([[SimilarityOps.dedupSemanticIncremental]]): given the union's
+    * ids, the prior labels, and batch-touching pairs, collapse edge
+    * endpoints to prior-component nodes, propagate min labels over the
+    * collapsed graph, and fan the new labels back out to members.
+    * `afterEdgesPinned` runs once the edge list is eagerly pinned —
+    * the caller's hook for releasing pair-generation caches.
+    */
+  private[operators] def foldClosure(unionIds: DataFrame,
+      priorLabels: DataFrame, pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None, reliableEvery: Int = 10,
+      afterEdgesPinned: () => Unit = () => ()): DataFrame = {
     val rep = priorLabels.select(col("doc_id"), col("component").as("rep"))
     // collapse endpoints to prior-component nodes; drop intra-component
     // pairs (already merged), then make the edge list bidirectional
@@ -1027,12 +1045,12 @@ object DedupOps {
       .filter(col("id1") =!= col("id2"))
     val edges = pinReliable(e0.union(
       e0.select(col("id2").as("id1"), col("id1").as("id2"))), checkpointDir)
-    graft.CacheRegistry.releaseSince(cacheMark)
+    afterEdgesPinned()
     val moved = propagateMin(edges, maxIters, checkpointDir, reliableEvery)
     releaseBlocks(edges)
     // fan out: doc → its collapsed node → the node's new label (nodes
     // untouched by any new edge keep their prior component)
-    val nodes = union.select(col("doc_id"))
+    val nodes = unionIds
       .join(rep, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("node"))
     val all = nodes

@@ -73,6 +73,25 @@ object MultimodalOps {
   def gifHeaderBytes(width: Int, height: Int): Array[Byte] =
     org.apache.spark.sql.graftx.MediaWrapExpr.gifHeaderBytes(width, height)
 
+  /** WAV/PCM header builder re-exported for spec fixtures. */
+  def wavHeaderBytes(sampleRate: Int, channels: Int, bits: Int,
+      dataLen: Int): Array[Byte] =
+    org.apache.spark.sql.graftx.MediaWrapExpr
+      .wavHeaderBytes(sampleRate, channels, bits, dataLen)
+
+  /** Synthetic WAV media table (r11 — the first AUDIO format): each
+    * doc's payload is a canonical 44-byte PCM header (doc_id-derived
+    * sample rate / channels / bit depth, real little-endian sizes)
+    * followed by the text bytes standing in for sample data — the
+    * RIFF chunk walk in the decode expression parses genuine chunk
+    * structure, and the data-chunk size it reads is the payload's
+    * actual length. Pure codegen'd projection.
+    */
+  def toWavMediaTable(spark: SparkSession, documents: DataFrame): DataFrame =
+    toMediaTable(documents).select(col("doc_id"),
+      VectorFns.media_wrap(col("doc_id"), col("payload"), "wav")
+        .as("payload"))
+
   /** Complete multi-frame GIF builder re-exported for spec fixtures. */
   def gifAnimationBytes(width: Int, height: Int, frames: Int): Array[Byte] =
     org.apache.spark.sql.graftx.MediaWrapExpr
@@ -113,7 +132,12 @@ object MultimodalOps {
         col("m.width").as("width"),
         col("m.height").as("height"),
         col("m.n_frames").as("n_frames"),
-        col("m.format").as("format"))
+        col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.n_samples").as("n_samples"),
+        col("m.duration_ms").as("duration_ms"))
 
   /** C11b: frame sampling — one row per kept frame (every `everyK`-th
     * of each media item's frames), with a deterministic per-frame

@@ -906,6 +906,237 @@ object SimilarityOps {
       .select("q_id", "rank", "c_id", "sim")
   }
 
+  /** Squared L2 over generic double arrays — the PQ family's metric
+    * (on UNIT vectors L2² = 2 − 2·cos, so L2 ranking ≡ cosine
+    * ranking; PQ codebooks quantize residual magnitudes, which cosine
+    * can't express).
+    */
+  private def l2sqG(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Unit-normalized corpus as array<double> (the IVF-PQ working
+    * frame): one map, no shuffle. Zero-norm vectors are the C73
+    * norm-audit's job upstream; here they pass through unchanged
+    * (0/1 = 0) rather than dividing by zero.
+    */
+  private def normalized(embeddings: DataFrame): DataFrame = {
+    val nrm = sqrt(dotGeneric(col("embedding"), col("embedding")))
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        v => v.cast("double") / when(nrm > 0.0, nrm).otherwise(lit(1.0)))
+        .as("embedding"))
+  }
+
+  /** PQ codebook training (r11, VERDICT r10 #2): ONE Lloyd loop over
+    * all `m` subspaces jointly, keyed by (sub, code) — the per-
+    * subspace k-means the product quantizer needs, without m separate
+    * training loops (same corpus scans either way; one loop keeps the
+    * round count, checkpoints, and shuffles at kmeansTrain's budget).
+    * `subv` is the long-form residual table (vec_id, sub, sv); seeds
+    * are the deterministic vec_id < ksub subvectors per subspace.
+    *
+    * Cross-engine/rerun determinism, the C54 protocol: assignment
+    * distances round-6 BEFORE the argmin (min of struct(d, code) —
+    * total order, smallest-code tiebreak), centroid updates are the
+    * exact ×2²⁰ floor-quantized DECIMAL(38,0) means. Per-round plain
+    * checkpoints keep plan depth constant in rounds (the kmeansTrain
+    * lesson).
+    *
+    * Scale shape per round: one broadcast(m·ksub codebook rows) map
+    * fan-out collapsed by a partial-agg struct-min (no window), one
+    * (sub, code, pos) partial agg of n·dim narrow rows. Nothing
+    * quadratic, nothing driver-side.
+    */
+  private[graft] def pqTrain(subv: DataFrame, ksub: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(ksub >= 2 && iters >= 0, "need ksub >= 2 codes, iters >= 0")
+    val bridge = org.apache.spark.sql.graftx.bridge
+    def release(df: DataFrame): Unit =
+      bridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    def update(asg: DataFrame): DataFrame = {
+      val q = floor(col("val") * lit(1048576.0)).cast(DecimalType(38, 0))
+      subv.join(asg, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy("sub", "code", "pos")
+        .agg((sum(q).cast("double") / (count(lit(1)) * lit(1048576.0)))
+          .as("cval"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x.getField("cval")).as("cb"))
+    }
+    var cb = subv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cb"))
+    for (_ <- 1 to iters) {
+      val next = bridge.plainLocalCheckpoint(update(pqAssign(subv, cb)))
+      release(cb)
+      cb = next
+    }
+    graft.CacheRegistry.registerCheckpoint(cb)
+    cb
+  }
+
+  /** One PQ assignment: per (vec_id, sub), the codebook entry with the
+    * smallest round-6 squared L2 (struct-min — partial-aggregable, no
+    * window; ties break to the smallest code).
+    */
+  private[graft] def pqAssign(subv: DataFrame, cb: DataFrame): DataFrame =
+    subv.join(broadcast(cb), Seq("sub"))
+      .withColumn("d", round(l2sqG(col("sv"), col("cb")), 6))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("code"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.code").as("code"))
+
+  /** C78: IVF-PQ — the production billion-vector ANN recipe (VERDICT
+    * r10 #2; public design: Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011; the faiss IVFPQ+refine
+    * composition): train a coarse quantizer (C54's Lloyd loop), assign
+    * each vector to its cell, PRODUCT-QUANTIZE the residual (m
+    * subspaces × ksub codes → m bytes per vector instead of dim
+    * floats), and search by ranking candidates with an ASYMMETRIC
+    * DISTANCE table — per (query, probed cell), the m·ksub exact
+    * distances from the query's residual subvectors to every codebook
+    * entry, so scoring a candidate is m table lookups, never a vector
+    * op. The PQ shortlist then gets an EXACT rerank (the refine stage)
+    * before the top-k is published with the family's round-3 cosine.
+    *
+    * Everything runs on UNIT-normalized vectors so PQ's L2 ranking is
+    * cosine ranking (the faiss normalize-then-L2 recipe); the
+    * published sim re-scores the survivors on the RAW embeddings with
+    * the exact round-3 protocol, so output rows are directly
+    * comparable to knnBrute/knnLsh/knnIvf.
+    *
+    * Scale shape: training = two bounded Lloyd loops (corpus-linear
+    * rounds); the index = one (cluster, codes[m]) row per vector —
+    * the 4× → 32× compression that lets a 100 TB corpus's index live
+    * in memory; the ADC table = queries × nProbe × m·ksub rows, built
+    * as one BOUNDED broadcast (nQueries·nProbe·m·ksub rows — never a
+    * per-row UDF); candidate scoring = cell equi-join + ×m posexplode
+    * + broadcast ADC join + partial-agg sum; the exact rerank touches
+    * only |queries|·shortlist rows. Cells a query skips are never
+    * read — with the corpus written clustered by list_id that is
+    * partition pruning, the IVF point at 100 TB.
+    */
+  def knnIvfPq(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      kCells: Int = 8, iters: Int = 2, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+      shortlist: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= kCells)
+    require(shortlist >= k, "the PQ shortlist must cover the final k")
+    val bridge = org.apache.spark.sql.graftx.bridge
+    val e = normalized(embeddings)
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m even subspaces")
+    val dsub = dim / m
+
+    // coarse quantizer + assignment (C54/C55 machinery, verbatim)
+    val cents = kmeansCentroids(e, kCells, iters)
+    val asg = bridge.plainLocalCheckpoint(
+      kmeansAssign(e, cents).select(col("vec_id"), col("cluster")))
+    graft.CacheRegistry.registerCheckpoint(asg)
+
+    // residual subvectors in long form — pinned once, scanned by every
+    // PQ training round and the final code assignment
+    val subv = bridge.plainLocalCheckpoint(
+      e.join(asg, "vec_id")
+        .join(broadcast(cents), "cluster")
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("cemb"), (x, c) => x - c).as("r"))
+        .select(col("vec_id"), explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("r"), j * dsub + 1, dsub).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv")))
+    graft.CacheRegistry.registerCheckpoint(subv)
+
+    val cb = pqTrain(subv, ksub, pqIters)
+    // the compressed index: m codes per vector beside its cell
+    val codes = pqAssign(subv, cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+    // query side: nProbe closest coarse cells (the C55 probe plan)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d").desc, col("cluster"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", round(cosG(col("q_emb"), col("cemb")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cluster").as("list_id"),
+        col("cemb"))
+
+    // ADC table: one bounded broadcast of nQueries·nProbe·m·ksub rows —
+    // the query residual's exact distance to every codebook entry
+    val adc = probes
+      .select(col("q_id"), col("list_id"),
+        zip_with(col("q_emb"), col("cemb"), (x, c) => x - c).as("qr"))
+      .crossJoin(broadcast(cb))
+      .select(col("q_id"), col("list_id"), col("sub"), col("code"),
+        l2sqG(slice(col("qr"), col("sub") * lit(dsub) + 1, lit(dsub)),
+          col("cb")).as("d"))
+
+    // candidates: vectors in probed cells, scored by m ADC lookups —
+    // posexplode fan-out ×m, broadcast equi-join, partial-agg sum
+    val scored = asg
+      .select(col("vec_id").as("c_id"), col("cluster").as("list_id"))
+      .join(codes.withColumnRenamed("vec_id", "c_id"), "c_id")
+      .join(broadcast(probes.select("q_id", "list_id")), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("list_id"), col("c_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(adc), Seq("q_id", "list_id", "sub", "code"))
+      .groupBy("q_id", "c_id").agg(sum(col("d")).as("adist"))
+
+    // PQ shortlist → EXACT rerank on the raw embeddings (refine): the
+    // published (rank, sim) follows the family's round-3 protocol
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("c_id"))
+    val short = scored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select("q_id", "c_id")
+    val qside = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+    val exact = embeddings
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(short), "c_id")
+      .join(broadcast(qside), "q_id")
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 3)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "sim")
+  }
+
+  /** C78's oracle gate — the C65 pattern: brute-force truth size from
+    * the oracle, an in-row `recall_ok` asserting IVF-PQ (probe →
+    * ADC shortlist → exact refine) recovered at least `floor` of it,
+    * re-measured through the hash at both SFs every round.
+    */
+  def knnIvfPqRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      floor: Double = 0.6): DataFrame = {
+    val truth = knnBrute(embeddings, nQueries, k)
+    val approx = knnIvfPq(embeddings, nQueries, k)
+    val found = truth.join(
+      approx.select(col("q_id").as("aq"), col("c_id").as("ac")),
+      col("q_id") === col("aq") && col("c_id") === col("ac"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"),
+        (col("n_found").cast("double") >= lit(floor) * col("n_truth"))
+          .as("recall_ok"))
+  }
+
   /** C71's injected-twin construction for EMBEDDINGS: every eval-side
     * vector with id ≡ 0 (mod 40) gains a corpus-side PARAPHRASE twin
     * (identical embedding, id + 10⁹+1 — the offset keeps the twin on
@@ -993,6 +1224,68 @@ object SimilarityOps {
     all.join(sizes, "component")
       .select(col("vec_id"), col("component"), col("n_members"),
         (col("vec_id") === col("component")).as("is_canonical"))
+  }
+
+  /** Batch-probe twin of [[embeddingNearDups]] — pairs where at least
+    * one endpoint is in `batchIds` (the semantic analog of
+    * [[DedupOps.ngramJaccardPrefixAgainst]]): the batch side is tiny
+    * and BROADCASTS, the union scans once, so pair generation is
+    * |union| × |batch| — linear in the corpus per fold, never
+    * corpus × corpus. Same round-3 cosine condition as the one-shot
+    * C12 scorer, so the fold finds exactly the pairs a full recluster
+    * would (each (i, j) pair surfaces in the fold where the later of
+    * i, j arrives). The quadratic guard quarantines the probe the
+    * same way C12's is.
+    */
+  def embeddingNearDupsAgainst(union: DataFrame, batchIds: DataFrame,
+      minCosine: Double = 0.4, maxExactRows: Long = 100000L): DataFrame = {
+    requireAuditSized(union, maxExactRows,
+      "embeddingNearDupsAgainst (semantic fold probe)",
+      "knnGraph candidates filtered to batch-touching pairs")
+    val side = union.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val b = broadcast(side.join(batchIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("bid"), col("embedding").as("be"),
+        col("nrm").as("bn")))
+    side.join(b, col("vec_id") =!= col("bid"))
+      .select(least(col("vec_id"), col("bid")).as("id1"),
+        greatest(col("vec_id"), col("bid")).as("id2"),
+        round(dot(col("embedding"), col("be")) / (col("nrm") * col("bn")), 3)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      // batch×batch pairs surface twice (once from each side) with the
+      // identical rounded sim — distinct dedups exactly
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** C79 / D23 kernel (r11, VERDICT r10 #7): INCREMENTAL semantic
+    * dedup — fold a batch of new vectors into already-clustered
+    * semantic components without re-clustering the corpus, via the
+    * SAME collapsed-closure kernel the lexical fold runs
+    * ([[DedupOps.foldClosure]]): batch-probe pair-gen → endpoints
+    * collapse to prior components → min-label closure on the
+    * collapsed graph → labels fan back out. Exactly equal to a
+    * one-shot [[dedupSemantic]] of the union (the D23 spec pins
+    * bit-for-bit equality across a 3-batch drain) for the same reason
+    * the lexical fold equals its recluster: prior components are
+    * complete, and each prior canonical IS its component's min id.
+    * `candidates` routes production pair-gen through the C36 kNN
+    * graph; the default exact probe is the gate-scale audit path.
+    */
+  def dedupSemanticIncremental(corpus: DataFrame, priorLabels: DataFrame,
+      batch: DataFrame, minCosine: Double = 0.4,
+      maxExactRows: Long = 100000L,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val cols = Seq("vec_id", "embedding").map(col)
+    val union = corpus.select(cols: _*).unionByName(batch.select(cols: _*))
+    val pairs = candidates.getOrElse(
+      embeddingNearDupsAgainst(union, batch.select("vec_id"), minCosine,
+        maxExactRows))
+    DedupOps.foldClosure(
+      union.select(col("vec_id").as("doc_id")),
+      priorLabels.select(col("vec_id").as("doc_id"), col("component")),
+      pairs)
+      .withColumnRenamed("doc_id", "vec_id")
   }
 
   /** C58: cluster-quality audit — [[embKmeans]]' cells scored against

@@ -48,12 +48,21 @@ case class MediaMetaExpr(child: Expression)
 }
 
 object MediaMetaExpr {
+  // audio columns (r11, WAV/RIFF branch) are NULL for image formats;
+  // width/height/n_frames are NULL for audio — one struct serves both
+  // modalities so a mixed media table stays a single binary column +
+  // one decode expression
   val schema: StructType = StructType(Seq(
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
 
   /** The 8-byte PNG signature (public format spec, RFC 2083 §3.1). */
   val PngSignature: Array[Byte] =
@@ -64,6 +73,7 @@ object MediaMetaExpr {
   private val PNG = UTF8String.fromString("png")
   private val JPEG = UTF8String.fromString("jpeg")
   private val GIF = UTF8String.fromString("gif")
+  private val WAV = UTF8String.fromString("wav")
   private val IMG_A = UTF8String.fromString("imgA")
   private val IMG_B = UTF8String.fromString("imgB")
 
@@ -163,10 +173,55 @@ object MediaMetaExpr {
     -1 // ran off the end without a trailer
   }
 
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Real WAV/RIFF parse (r11, VERDICT r10 #5 — public RIFF/WAVE
+    * layout, Microsoft multimedia file format spec): after the 12-byte
+    * "RIFF"+size+"WAVE" preamble, walk chunks of (4-byte id, LE u32
+    * size, data padded to even). The "fmt " chunk (≥ 16 bytes, PCM
+    * audioFormat = 1) carries channels / sample rate / block align /
+    * bits per sample; the "data" chunk's size ÷ blockAlign is the
+    * sample count. Returns (sampleRate, channels, bits, nSamples) only
+    * when BOTH chunks are fully contained in the payload and the fmt
+    * is PCM — a torn chunk (declared size past the buffer), a
+    * non-PCM format, or a zero blockAlign falls back to null and the
+    * caller publishes the declared fake, the GIF-walk honesty rule.
+    */
+  private[graftx] def wavMeta(p: Array[Byte]): (Int, Int, Int, Long) = {
+    var i = 12
+    var sr = -1; var ch = -1; var bits = -1; var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= p.length) {
+      val size = leInt(p, i + 4)
+      if (size < 0 || i + 8 + size > p.length) return null // torn chunk
+      if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't'
+          && p(i + 3) == ' ') {
+        if (size < 16) return null
+        if (leShort(p, i + 8) != 1) return null // non-PCM: not parsed
+        ch = leShort(p, i + 10)
+        sr = leInt(p, i + 12)
+        blockAlign = leShort(p, i + 20)
+        bits = leShort(p, i + 22)
+      } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't'
+          && p(i + 3) == 'a') {
+        dataSize = size.toLong
+      }
+      i += 8 + size + (size & 1) // chunks are even-padded
+    }
+    if (sr <= 0 || ch <= 0 || bits <= 0 || blockAlign <= 0 || dataSize < 0)
+      null
+    else (sr, ch, bits, dataSize / blockAlign)
+  }
+
   /** Static entry point shared by interpreted eval and generated code
     * (Scala emits a static forwarder on the companion class, so Janino
     * calls it as a plain static method). Allocates exactly one
-    * 5-slot row per input — the expression's output.
+    * 10-slot row per input — the expression's output.
     */
   def decode(p: Array[Byte]): InternalRow = {
     val isPng = p.length >= 26 &&
@@ -179,12 +234,17 @@ object MediaMetaExpr {
     val isGif = !isPng && p.length >= 13 &&
       p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
       (p(4) == '7' || p(4) == '9') && p(5) == 'a'
-    val jdims = if (!isPng && !isGif && p.length >= 4 &&
+    // WAV/RIFF (r11): "RIFF" + LE size + "WAVE", then the chunk walk
+    val isRiffWave = !isPng && !isGif && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+    val wmeta = if (isRiffWave) wavMeta(p) else null
+    val jdims = if (!isPng && !isGif && wmeta == null && p.length >= 4 &&
       (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) jpegDims(p) else null
     if (isPng)
       // n_frames 1: still PNG — animation (acTL) not parsed
       new GenericInternalRow(Array[Any](p.length, beInt(p, 16), beInt(p, 20),
-        1, PNG))
+        1, PNG, null, null, null, null, null))
     else if (isGif) {
       // n_frames DECODED by walking image-descriptor blocks (r10);
       // a stream that doesn't parse to the trailer (e.g. the wrap
@@ -193,18 +253,25 @@ object MediaMetaExpr {
       new GenericInternalRow(Array[Any](p.length,
         (p(6) & 0xFF) | ((p(7) & 0xFF) << 8),
         (p(8) & 0xFF) | ((p(9) & 0xFF) << 8),
-        if (f > 0) f else 1, GIF))
+        if (f > 0) f else 1, GIF, null, null, null, null, null))
     }
+    else if (wmeta != null)
+      // image slots null; duration from the decoded rate — exact
+      // integer division, engine-identical
+      new GenericInternalRow(Array[Any](p.length, null, null, null, WAV,
+        wmeta._1, wmeta._2, wmeta._3, wmeta._4,
+        wmeta._4 * 1000L / wmeta._1))
     else if (jdims != null)
       new GenericInternalRow(Array[Any](p.length, jdims._1, jdims._2,
-        1, JPEG))
+        1, JPEG, null, null, null, null, null))
     else {
       val h = java.util.Arrays.hashCode(p)
       new GenericInternalRow(Array[Any](p.length,
         64 + math.floorMod(h, 1024),
         64 + math.floorMod(h >> 10, 1024),
         1 + math.floorMod(h >> 20, 64),
-        if (math.floorMod(h, 2) == 0) IMG_A else IMG_B))
+        if (math.floorMod(h, 2) == 0) IMG_A else IMG_B,
+        null, null, null, null, null))
     }
   }
 }
@@ -217,7 +284,7 @@ object MediaMetaExpr {
   */
 case class MediaWrapExpr(left: Expression, right: Expression, fmt: String)
     extends BinaryExpression with ExpectsInputTypes {
-  require(Seq("png", "jpeg", "gif", "gifanim").contains(fmt),
+  require(Seq("png", "jpeg", "gif", "gifanim", "wav").contains(fmt),
     s"unknown media format $fmt")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
@@ -326,12 +393,48 @@ object MediaWrapExpr {
     buf.toByteArray
   }
 
+  /** Canonical 44-byte PCM WAV header (public RIFF/WAVE layout): RIFF
+    * preamble with the real little-endian total size, a 16-byte PCM
+    * "fmt " chunk (audioFormat 1, channels, sample rate, byte rate,
+    * block align, bits per sample), and the "data" chunk header whose
+    * size is the payload's actual byte length — exactly what a PCM
+    * encoder writes before the samples.
+    */
+  def wavHeaderBytes(sampleRate: Int, channels: Int, bits: Int,
+      dataLen: Int): Array[Byte] = {
+    val b = new Array[Byte](44)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    }
+    "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+    le32(4, 36 + dataLen) // RIFF size = total - 8
+    "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(b, 12)
+    le32(16, 16) // fmt chunk size (PCM)
+    le16(20, 1) // audioFormat = PCM
+    le16(22, channels)
+    le32(24, sampleRate)
+    val blockAlign = channels * bits / 8
+    le32(28, sampleRate * blockAlign) // byte rate
+    le16(32, blockAlign)
+    le16(34, bits)
+    "data".getBytes("US-ASCII").copyToArray(b, 36)
+    le32(40, dataLen)
+    b
+  }
+
   /** Static codegen/eval entry point: header(doc_id-derived dims) ++
     * payload, single output array allocation. Format "gifanim" builds
     * a COMPLETE deterministic multi-frame GIF instead (1 + docId % 7
     * frames) and ignores the payload — appending bytes after the
     * trailer would invalidate the very block stream the frame walk
-    * certifies.
+    * certifies. Format "wav" prepends a canonical PCM header whose
+    * data-chunk size is the payload length, so the payload bytes ARE
+    * the sample data the chunk walk measures.
     */
   def wrap(fmt: String, docId: Long, payload: Array[Byte]): Array[Byte] = {
     if (fmt == "gifanim")
@@ -345,6 +448,13 @@ object MediaWrapExpr {
       case "gif" =>
         gifHeaderBytes(64 + math.floorMod(docId * 3, 512).toInt,
           64 + math.floorMod(docId * 17, 512).toInt)
+      case "wav" =>
+        // sample rate 8–40 kHz, 1–2 channels, 8/16-bit — each formula
+        // independent enough that the oracle re-derives every field
+        wavHeaderBytes(8000 * (1 + math.floorMod(docId, 5).toInt),
+          1 + math.floorMod(docId, 2).toInt,
+          8 + 8 * math.floorMod(docId / 2, 2).toInt,
+          payload.length)
       case _ =>
         jpegHeaderBytes(64 + math.floorMod(docId * 7, 512).toInt,
           64 + math.floorMod(docId * 13, 512).toInt)

@@ -225,10 +225,66 @@ class SimilarityTextOpsSpec extends SparkSpec {
 
   test("multimodal stub: metadata schema and stats flow") {
     val m = MultimodalOps.extractMeta(spark, documents)
-    assert(m.columns.toSet === Set("doc_id", "n_bytes", "width", "height", "n_frames", "format"))
+    assert(m.columns.toSet === Set("doc_id", "n_bytes", "width", "height",
+      "n_frames", "format", "sample_rate", "channels", "bit_depth",
+      "n_samples", "duration_ms"))
     assert(m.count() === documents.count())
     val s = MultimodalOps.mediaStats(spark, documents)
     assert(s.count() >= 1)
+  }
+
+  test("WAV/RIFF chunk walk: byte-literal parse, builder round-trip, torn-chunk fallback") {
+    import spark.implicits._
+    // hand-assembled canonical PCM WAV: 44100 Hz stereo 16-bit with a
+    // 12-byte data chunk (3 samples × blockAlign 4), via the builder's
+    // closed form — then re-assert the header bytes field by field
+    val hdr = MultimodalOps.wavHeaderBytes(44100, 2, 16, 12)
+    assert(hdr.length === 44)
+    assert(new String(hdr.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(hdr.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(new String(hdr.slice(12, 16), "US-ASCII") === "fmt ")
+    assert((hdr(22) & 0xFF) === 2) // channels LE16
+    assert(((hdr(24) & 0xFF) | ((hdr(25) & 0xFF) << 8)
+      | ((hdr(26) & 0xFF) << 16)) === 44100) // sample rate LE32
+    assert((hdr(32) & 0xFF) === 4) // block align
+    assert((hdr(34) & 0xFF) === 16) // bits per sample
+    val literal = hdr ++ Array.fill[Byte](12)(0x5A)
+    val m = MultimodalOps.extractMetaFrom(spark,
+      Seq((60L, literal)).toDF("doc_id", "payload")).head()
+    assert(m.getAs[String]("format") === "wav")
+    assert(m.getAs[Int]("sample_rate") === 44100)
+    assert(m.getAs[Int]("channels") === 2)
+    assert(m.getAs[Int]("bit_depth") === 16)
+    assert(m.getAs[Long]("n_samples") === 3L)
+    assert(m.getAs[Long]("duration_ms") === 3L * 1000 / 44100)
+    assert(m.isNullAt(m.fieldIndex("width"))) // image slots are null
+    assert(m.isNullAt(m.fieldIndex("n_frames")))
+    // the synthetic-WAV builder round-trips its doc_id formulas
+    val docs = Seq((13L, "pcm sample stand-in body")).toDF("doc_id", "text")
+    val built = MultimodalOps.extractMetaFrom(spark,
+      MultimodalOps.toWavMediaTable(spark, docs)).head()
+    assert(built.getAs[String]("format") === "wav")
+    assert(built.getAs[Int]("sample_rate") === 8000 * (1 + 13 % 5))
+    assert(built.getAs[Int]("channels") === 1 + 13 % 2)
+    assert(built.getAs[Int]("bit_depth") === 8 + 8 * ((13 / 2) % 2))
+    val blockAlign = (1 + 13 % 2) * ((8 + 8 * ((13 / 2) % 2)) / 8)
+    assert(built.getAs[Long]("n_samples") ===
+      "pcm sample stand-in body".getBytes("UTF-8").length / blockAlign)
+    // TORN CHUNK (ADVICE-class fallback case): the data chunk declares
+    // 100 bytes but only 12 follow — the walk must refuse and fall to
+    // the declared fake, not publish metadata from a truncated stream
+    val torn = MultimodalOps.wavHeaderBytes(44100, 2, 16, 100) ++
+      Array.fill[Byte](12)(0x5A)
+    val t = MultimodalOps.extractMetaFrom(spark,
+      Seq((61L, torn)).toDF("doc_id", "payload")).head()
+    assert(t.getAs[String]("format") !== "wav")
+    // a non-PCM audioFormat is likewise not parsed
+    val nonPcm = MultimodalOps.wavHeaderBytes(44100, 2, 16, 12) ++
+      Array.fill[Byte](12)(0x5A)
+    nonPcm(20) = 3 // IEEE float
+    val np = MultimodalOps.extractMetaFrom(spark,
+      Seq((62L, nonPcm)).toDF("doc_id", "payload")).head()
+    assert(np.getAs[String]("format") !== "wav")
   }
 
   test("PNG IHDR decode parses a hand-built byte literal and round-trips the builder") {
@@ -1291,5 +1347,87 @@ class SimilarityTextOpsSpec extends SparkSpec {
       assert(corpus.filter(!col("cal_ok")).count() === 0,
         "a simhash bin mean left the band — signature pipeline broken")
     } finally corpus.unpersist()
+  }
+
+  test("bpeTrain: parametric loop equals the hand-unrolled 2 rounds, incl. overlap greedy") {
+    import spark.implicits._
+    // round 1: (a b) wins with n=3; greedy rewrite merges all three
+    // occurrences; round 2: all pairs tie at n=1, tiebreak by pair
+    // string picks (a+b, a+b) — the hand-unrolled expectation
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(docs, 2).orderBy("round").collect()
+    assert(out.length === 2)
+    val r1 = out(0)
+    assert(r1.getAs[String]("pair") === "a b")
+    assert(r1.getAs[Long]("n") === 3L)
+    assert(r1.getAs[Long]("n_merges") === 3L)
+    assert(r1.getAs[Long]("vocab_size") === 3L) // {a+b, c, x}
+    val r2 = out(1)
+    assert(r2.getAs[String]("pair") === "a+b a+b")
+    assert(r2.getAs[Long]("n") === 1L)
+    assert(r2.getAs[Long]("n_merges") === 1L)
+    assert(r2.getAs[Long]("vocab_size") === 4L) // {a+b+a+b, c, a+b, x}
+    CacheRegistry.unpersistAll()
+    // OVERLAP case (a == b): in "z z z z z" the pair (z, z) occurs 4
+    // times but greedy left-to-right merges only offsets 1 and 3 —
+    // [z+z, z+z, z]
+    val zz = Seq((1L, "z z z z z")).toDF("doc_id", "text")
+    val oz = TextOps.bpeTrain(zz, 1).head()
+    assert(oz.getAs[String]("pair") === "z z")
+    assert(oz.getAs[Long]("n") === 4L)
+    assert(oz.getAs[Long]("n_merges") === 2L)
+    assert(oz.getAs[Long]("vocab_size") === 2L) // {z+z, z}
+    CacheRegistry.unpersistAll()
+    // corpus: round-1 selection must equal bpePairs' top-1 (the same
+    // statistic), rerun-identical, and the rounds dial is guarded
+    val top1 = TextOps.bpePairs(documents, 1).head()
+    val full = TextOps.bpeTrain(documents, 2).cache()
+    try {
+      val f1 = full.filter(col("round") === 1L).head()
+      assert(f1.getAs[String]("pair") === top1.getAs[String]("pair"))
+      assert(f1.getAs[Long]("n") === top1.getAs[Long]("n"))
+      val again = TextOps.bpeTrain(documents, 2)
+      assert(full.except(again).isEmpty && again.except(full).isEmpty)
+    } finally { full.unpersist(); CacheRegistry.unpersistAll() }
+    intercept[IllegalArgumentException] { TextOps.bpeTrain(documents, 0) }
+  }
+
+  test("knnIvfPq: oracle-floor recall with headroom; guards fail fast") {
+    import spark.implicits._
+    // recall vs the exact brute-force truth — the C65-style gate the
+    // oracle re-measures every round; print the measured value so the
+    // floor's headroom is visible in the test log
+    val truth = SimilarityOps.knnBrute(embeddings).cache()
+    val approx = SimilarityOps.knnIvfPq(embeddings).cache()
+    try {
+      val nTruth = truth.count()
+      val found = truth.join(
+        approx.select(col("q_id").as("aq"), col("c_id").as("ac")),
+        col("q_id") === col("aq") && col("c_id") === col("ac"),
+        "left_semi").count()
+      info(f"knn_ivfpq recall = ${found.toDouble / nTruth}%.3f ($found/$nTruth)")
+      assert(found.toDouble >= 0.6 * nTruth,
+        s"IVF-PQ recall ${found.toDouble / nTruth} under the 0.6 floor")
+      // published shape follows the family protocol
+      assert(approx.columns.toSeq === Seq("q_id", "rank", "c_id", "sim"))
+      assert(approx.groupBy("q_id").count()
+        .filter(col("count") > 5).count() === 0)
+      // the gate query itself
+      val gate = SimilarityOps.knnIvfPqRecall(embeddings).head()
+      assert(gate.getAs[Boolean]("recall_ok"))
+      assert(gate.getAs[Long]("n_truth") === nTruth)
+    } finally { truth.unpersist(); approx.unpersist(); CacheRegistry.unpersistAll() }
+    // a dim that doesn't split into m even subspaces must fail by name
+    val bad = Seq((0L, Array.fill(7)(0.5f), 0), (1L, Array.fill(7)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnIvfPq(bad, nQueries = 1, k = 1, kCells = 2,
+        nProbe = 1, m = 8, ksub = 2)
+    }
+    assert(e.getMessage.contains("subspaces"))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.knnIvfPq(embeddings, k = 10, shortlist = 5)
+    }
   }
 }

@@ -185,6 +185,41 @@ class StreamOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("D23: streaming semantic-dedup fold over 3 micro-batches equals one-shot dedup_semantic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embDf = graft.sources.Tables.embeddings(spark, sf)
+    val vecs = embDf.as[graft.sources.Schemas.Embedding]
+      .collect().sortBy(_.vec_id).toSeq
+    assert(vecs.size >= 3)
+    val base = java.nio.file.Files.createTempDirectory("d23").toString
+    val corpusDir = s"$base/corpus"
+    val labelsDir = s"$base/labels"
+    val stream = MemoryStream[graft.sources.Schemas.Embedding]
+    val q = StreamOps.streamingDedupSemantic(
+        stream.toDF(), corpusDir, labelsDir)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    vecs.grouped((vecs.size + 2) / 3).foreach { g =>
+      stream.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    val batchDirs = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length === 3)
+    assert(spark.read.parquet(corpusDir).count() === vecs.size.toLong)
+    // the carried labels equal the one-shot semantic cluster of the
+    // whole corpus, bit-for-bit — the same closure-equality argument
+    // as the lexical fold, now through the embedding pair probe
+    val streamed = spark.read.parquet(labelsDir)
+      .select("vec_id", "component", "n_members", "is_canonical")
+    val twin = graft.operators.SimilarityOps.dedupSemantic(embDf)
+      .select("vec_id", "component", "n_members", "is_canonical")
+    assert(streamed.count() === vecs.size.toLong)
+    assert(streamed.except(twin).isEmpty && twin.except(streamed).isEmpty)
+    CacheRegistry.unpersistAll()
+  }
+
   test("D12: streaming CUSUM over 3 ordered micro-batches equals the batch detector") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
