@@ -46,6 +46,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // r11: SKIP list for large-SF runs — the quarantined exact O(n²)
+    // AUDIT queries (knn_brute, dedup_embedding, the *_recall gates
+    // that embed a brute-force truth, the signature-calibration pair
+    // joins). Their quadratic growth is by design, guard-documented,
+    // and ScaleSmoke-measured; at 10× corpus they would dominate the
+    // artifact without saying anything about the production paths.
+    // A skipped name is recorded in the JSON so the artifact is
+    // self-describing, never silently truncated.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .withExtensions(new org.apache.spark.sql.graftx.GraftSparkExtensions)
       .master(s"local[$cpus]")
@@ -100,6 +111,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !skip.contains(name) }
       .foreach { case (name, fn) =>
         // warmup pass: compiles generated code and JITs kernels (one-time
         // per-JVM costs, not engine throughput); caches dropped after so
@@ -148,7 +160,7 @@ object Bench {
         }.toMap
       else Map.empty[String, Either[String, (Double, Double, Double, Double)]]
     emit(timings, errors, sfDir, forked = false, subset = only.isDefined,
-      forkHeavy = forkHeavy)
+      forkHeavy = forkHeavy, skipped = skip)
   }
 
   /** The queries whose in-process walls have disagreed with idle-host
@@ -170,14 +182,22 @@ object Bench {
     // doubled in the r8 closing gate with the operator untouched —
     // the fork wall is the idle-host attribution that clears (or
     // confirms) a headline TPC-H regression
-    "q1_pricing")
+    "q1_pricing",
+    // r11 (VERDICT r10 #4): the knn/embedding family — knn_graph's
+    // same-binary in-process wall spread 6.25 ↔ 11.85 s across r10's
+    // two runs (a ~2x host-contention band on the in-process LSH
+    // bucket join), making the family's headline movement
+    // unattributable without a per-process wall
+    "knn_graph", "knn_graph_recall", "emb_pca", "emb_pca_scaled",
+    "knn_lsh", "knn_ivfpq", "knn_ivfpq_recall", "dedup_semantic_incremental")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],
       errors: collection.Map[String, String], sfDir: String,
       forked: Boolean, subset: Boolean,
       forkHeavy: Map[String, Either[String, (Double, Double, Double, Double)]] =
-        Map.empty): Unit = {
+        Map.empty,
+      skipped: Set[String] = Set.empty): Unit = {
     def map1(f: ((Double, Double, Double, Double)) => Double): String =
       timings.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -194,11 +214,13 @@ object Bench {
     // n_queries makes the headline self-describing: SURVEY/commit
     // prose regenerates from the artifact instead of hand-counting
     // (VERDICT r7 #8 — the 162.0s/137 vs 152.7s/139 bookkeeping drift)
+    val sk = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${timings.size},"n_errors":${errors.size}""" +
       s""","queries":${map1(_._1)},"stage_ms":${map1(_._2)}""" +
       s""","gc_ms":${map1(_._3)},"heap_delta_mb":${map1(v => math.rint(v._4))}""" +
       s""","fork_wall":$fw,"fork_errors":$fe""" +
+      s""","skipped":$sk""" +
       s""","errors":$es,"passes":$TimedPasses,"forked":$forked,"sf":"$sfDir"}"""
     println(line)
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) default to a DIFFERENT file:
@@ -276,6 +298,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
     pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
     pb.environment().remove("SPARK_GRAFT_BENCH_NOHEAVY")
+    pb.environment().remove("SPARK_GRAFT_BENCH_SKIP")
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.to(

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private def scaleDocs(docs: DataFrame, copies: DataFrame): DataFrame =
+  private[graft] def scaleDocs(docs: DataFrame, copies: DataFrame): DataFrame =
     docs.crossJoin(copies)
       .select(
         (col("doc_id") + col("copy") * lit(10000000L)).as("doc_id"),
@@ -39,7 +39,7 @@ object ScaleSmoke {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
 
-  private def scaleEvents(events: DataFrame, copies: DataFrame): DataFrame =
+  private[graft] def scaleEvents(events: DataFrame, copies: DataFrame): DataFrame =
     events.crossJoin(copies)
       .select(
         (col("event_id") + col("copy") * lit(100000000L)).as("event_id"),
@@ -47,7 +47,7 @@ object ScaleSmoke {
         (col("user_id") + col("copy") * lit(1000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
 
-  private def scaleEmb(emb: DataFrame, copies: DataFrame): DataFrame =
+  private[graft] def scaleEmb(emb: DataFrame, copies: DataFrame): DataFrame =
     emb.crossJoin(copies)
       .select((col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
         col("embedding"), col("label"))
@@ -247,7 +247,21 @@ object ScaleSmoke {
       // r10 (A43): islands window over the |keys x warm-days| mart
       ("q_wsdi", (_, e, _) => AgriOps.wsdi(e)),
       // r9: pure map (in-row fold) + one |labels|-row partial agg
-      ("emb_norm_audit", (_, _, m) => SimilarityOps.embNormAudit(m)))
+      ("emb_norm_audit", (_, _, m) => SimilarityOps.embNormAudit(m)),
+      // r11 (C78): two bounded Lloyd loops (corpus-linear rounds), a
+      // (cluster, codes) index map, query-sized broadcast ADC tables,
+      // and a cell equi-join ×m posexplode — nothing quadratic; the
+      // probe fraction (nProbe/kCells) bounds candidates per query
+      ("knn_ivfpq", (_, _, m) => SimilarityOps.knnIvfPq(m)),
+      // r11 (C80): per round one pair-count partial agg + one
+      // doc-partitioned window pass — the corpus shuffles once per
+      // round on doc_id; rounds is a fixed dial like Lloyd iters
+      ("bpe_train", (d, _, _) => TextOps.bpeTrain(d, 2)),
+      // r11 (C81 vs C48): the STRING-gram form beside the hashed
+      // entry above — the pair measures what (xxhash64, len) keys buy
+      // at scale: the gram shuffle carries 16 bytes instead of the
+      // k-token text payload
+      ("dedup_substring_str", (d, _, _) => DedupOps.dedupSubstring(d)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -262,7 +276,7 @@ object ScaleSmoke {
     // flag skipped only the ops map, so the slowest section still ran
     // and the promised quick iteration loop didn't exist.)
     val selectors = args.drop(2).toSet
-    val known = Set("ops", "giant", "fold", "grid", "tsdays")
+    val known = Set("ops", "giant", "fold", "grid", "tsdays", "plan")
     require(selectors.subsetOf(known),
       s"unknown section selector(s) ${selectors -- known}; valid: $known")
     def want(s: String): Boolean = selectors.isEmpty || selectors(s)
@@ -492,7 +506,49 @@ object ScaleSmoke {
         s""","pruned":$tPruned,"one_var_ratio":$rVar,"pruned_ratio":$rPrune}""")
     }
 
-    println((rows ++ giant ++ tsdays ++ fold ++ grid)
+    // Connector split-PLANNING smoke (VERDICT r10 #8): RegionCatalog
+    // is config-driven, so the catalog can grow without code changes —
+    // planning must stay O(kept splits) as regions × days grows 100×,
+    // and a pruned scan's planning cost must track the KEPT splits,
+    // not the catalog size. Measured driver-side (planning is driver
+    // work): build the scan, enumerate its input partitions, no I/O.
+    val plan = if (!want("plan")) Seq.empty else {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def planOnce(nRegions: Int, days: Int,
+          prune: Option[String]): (Double, Long) = {
+        val f = java.nio.file.Files.createTempFile("regions_smoke", ".yaml")
+        val yaml = (0 until nRegions).map(i =>
+          f"region_$i%04d:%n  area: [56.90, 34.80, 54.20, 40.80]")
+          .mkString("\n")
+        java.nio.file.Files.writeString(f, yaml)
+        val t0 = System.nanoTime()
+        var df = spark.read.format("graft-grid")
+          .option("regionsFile", f.toString)
+          .option("days", days.toString).load()
+        prune.foreach(r => df = df.filter(col("region") === r))
+        val n = df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b.scan
+            .asInstanceOf[graft.sources.grid.GridScan]
+            .planInputPartitions().length.toLong
+        }.getOrElse(-1L)
+        java.nio.file.Files.deleteIfExists(f)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      planOnce(10, 365, None) // warm (catalyst/codegen one-time costs)
+      val (t1, n1) = planOnce(10, 365, None)
+      val (tk, nk) = planOnce(100, 3650, None)
+      val (tp, np) = planOnce(100, 3650, Some("region_0042"))
+      val ratio = tk / t1
+      println(f"[scale] grid_plan_splits      1x=$t1%6.2fs ($n1 splits)  " +
+        f"100x=$tk%6.2fs ($nk splits)  ratio=$ratio%5.2f  " +
+        f"pruned=$tp%6.2fs ($np splits)")
+      require(n1 == 3650L && nk == 365000L && np == 3650L,
+        s"split counts off: $n1/$nk/$np")
+      Seq(s""""grid_plan_splits":{"t1":$t1,"n1":$n1,"tk":$tk,"nk":$nk""" +
+        s""","ratio":$ratio,"pruned_t":$tp,"pruned_n":$np}""")
+    }
+
+    println((rows ++ giant ++ tsdays ++ fold ++ grid ++ plan)
       .mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
     spark.stop()
   }

@@ -163,6 +163,18 @@ object SparkEntry {
     "knn_ivfpq" -> ((s, d) => SimilarityOps.knnIvfPq(Tables.embeddings(s, d))),
     "knn_ivfpq_recall" -> ((s, d) => SimilarityOps.knnIvfPqRecall(Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimilarityOps.dedupSemantic(Tables.embeddings(s, d))),
+    // C79 (r11): the SEMANTIC incremental fold — cluster 90% of the
+    // vectors, fold the remaining 10% in via the shared collapsed-
+    // closure kernel; gated against the FULL-corpus closure oracle
+    // (dedup_semantic's SQL), so fold ≡ recluster is re-proven every
+    // round — the C43 pattern in embedding space
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      SimilarityOps.dedupSemanticIncremental(corpus,
+        SimilarityOps.dedupSemantic(corpus), batch)
+    }),
     // C77 (r10): semantic decontamination over the twin-injected
     // corpus (natural max cosine 0.49 — the injection is what makes
     // the 0.95 gate non-vacuous, the C71 pattern)
@@ -286,7 +298,7 @@ object SparkEntry {
     "train_split_grouped" -> ((s, d) =>
       TextOps.trainSplitGrouped(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(Tables.documents(s, d))),
-    // C28b: the ITERATIVE trainer — 2 greedy merge rounds, each
+    // C80: the ITERATIVE trainer — 2 greedy merge rounds, each
     // selecting the corpus-wide top pair and rewriting every sequence
     // (left-to-right non-overlapping); the oracle UNROLLS the loop in
     // chained CTEs, so selection, rewrite, and the merge table are all
@@ -623,7 +635,7 @@ object SparkEntry {
       |  SELECT e.id1, r.lbl FROM e JOIN r ON r.id = e.id2),
       |c AS (SELECT id AS doc_id, min(lbl) AS component FROM r GROUP BY id)""".stripMargin
 
-  /** C28b oracle generator: the BPE training loop UNROLLED to
+  /** C80 oracle generator: the BPE training loop UNROLLED to
     * `rounds` chained CTE blocks — each block mirrors the Spark round
     * exactly (lead-window pair count, (n DESC, a, b) top-1, island-
     * parity greedy eligibility, lag-consumed removal, re-posed
@@ -1290,6 +1302,26 @@ object SparkEntry {
     // C57: C12's exact round-3 pair condition under a recursive
     // transitive closure (the C21 oracle pattern in embedding space)
     "dedup_semantic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
+        |  AS emb FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.emb, b.emb), 3) >= 0.4),
+        |ed AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+        |r AS (SELECT vec_id AS id, vec_id AS lbl FROM e
+        |  UNION
+        |  SELECT ed.id1, r.lbl FROM ed JOIN r ON r.id = ed.id2),
+        |c AS (SELECT id AS vec_id, min(lbl) AS component FROM r
+        |  GROUP BY id),
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.vec_id, c.component, s.n_members,
+        |c.vec_id = c.component AS is_canonical
+        |FROM c JOIN s USING (component)""".stripMargin,
+    // C79: the semantic fold shares C57's FULL-corpus closure oracle —
+    // fold(90% clustered, 10% batch) must equal the one-shot
+    // recluster, which is exactly what this re-proves every round
+    "dedup_semantic_incremental" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
         |  AS emb FROM embeddings),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -2236,7 +2268,7 @@ object SparkEntry {
         |       < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
         |     ELSE 'test' END AS split
         |FROM documents""".stripMargin,
-    // C28b: the trainer's oracle is the loop UNROLLED — per round: a
+    // C80: the trainer's oracle is the loop UNROLLED — per round: a
     // lead-window pair count + deterministic top-1, the island-parity
     // greedy apply (merge offsets 1, 3, … of each consecutive-match
     // run; overlap only exists when a == b), lag-consumed removal,

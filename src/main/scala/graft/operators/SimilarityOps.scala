@@ -918,15 +918,20 @@ object SimilarityOps {
   /** Unit-normalized corpus as array<double> (the IVF-PQ working
     * frame): one map, no shuffle. Zero-norm vectors are the C73
     * norm-audit's job upstream; here they pass through unchanged
-    * (0/1 = 0) rather than dividing by zero.
+    * (0/1 = 0) rather than dividing by zero. The norm is STAGED as a
+    * column before the per-element division — inlining it into the
+    * transform lambda re-evaluates the 64-element dot per ELEMENT
+    * (the C6 lambda-reinlining trap, 64× the work).
     */
-  private def normalized(embeddings: DataFrame): DataFrame = {
-    val nrm = sqrt(dotGeneric(col("embedding"), col("embedding")))
-    embeddings.select(col("vec_id"),
-      transform(col("embedding"),
-        v => v.cast("double") / when(nrm > 0.0, nrm).otherwise(lit(1.0)))
-        .as("embedding"))
-  }
+  private def normalized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotGeneric(col("embedding"), col("embedding"))).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => v.cast("double")
+            / when(col("nrm") > 0.0, col("nrm")).otherwise(lit(1.0)))
+          .as("embedding"))
 
   /** PQ codebook training (r11, VERDICT r10 #2): ONE Lloyd loop over
     * all `m` subspaces jointly, keyed by (sub, code) — the per-
@@ -1028,7 +1033,11 @@ object SimilarityOps {
     require(nProbe >= 1 && nProbe <= kCells)
     require(shortlist >= k, "the PQ shortlist must cover the final k")
     val bridge = org.apache.spark.sql.graftx.bridge
-    val e = normalized(embeddings)
+    // pinned once: training scans the normalized frame ~6 times (two
+    // Lloyd loops + assignment + subvector build); re-normalizing per
+    // scan would repeat the per-row dot each time
+    val e = bridge.plainLocalCheckpoint(normalized(embeddings))
+    graft.CacheRegistry.registerCheckpoint(e)
     val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m even subspaces")
     val dsub = dim / m

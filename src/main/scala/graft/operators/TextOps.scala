@@ -884,7 +884,7 @@ object TextOps {
       .select("rank", "pair", "n")
   }
 
-  /** C28b (r11, VERDICT r10 #3): ITERATIVE BPE merge training — the
+  /** C80 (r11, VERDICT r10 #3): ITERATIVE BPE merge training — the
     * real trainer [[bpePairs]] only previews: `rounds` greedy merge
     * rounds, each selecting the corpus-wide most-frequent adjacent
     * token pair (ties to the pair string — exactly reproducible) and
