@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Compare two Bench artifacts (e.g. the sf0.1 BENCH_full.json vs a
+MakeScaled 10x BENCH_sf1.json): per-query wall and stage-time ratios,
+sorted by wall ratio, plus the slowest queries at the larger SF.
+Usage:
+    python3 scripts/bench_ratio.py <base.json> <scaled.json> [topN]
+"""
+import json
+import sys
+
+
+def main():
+    base_f, scaled_f = sys.argv[1], sys.argv[2]
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    with open(base_f) as f:
+        base = json.load(f)
+    with open(scaled_f) as f:
+        scaled = json.load(f)
+    shared = sorted(set(base["queries"]) & set(scaled["queries"]))
+    rows = []
+    for q in shared:
+        w0, w1 = base["queries"][q], scaled["queries"][q]
+        s0 = base.get("stage_ms", {}).get(q, 0.0)
+        s1 = scaled.get("stage_ms", {}).get(q, 0.0)
+        rows.append((q, w0, w1, w1 / w0 if w0 else float("inf"),
+                     s1 / s0 if s0 else float("nan")))
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'query':28s} {'base_s':>8s} {'scaled_s':>9s} "
+          f"{'wallx':>6s} {'stagex':>7s}")
+    for q, w0, w1, rw, rs in rows[:top_n]:
+        print(f"{q:28s} {w0:8.2f} {w1:9.2f} {rw:6.2f} {rs:7.2f}")
+    t0 = sum(base["queries"][q] for q in shared)
+    t1 = sum(scaled["queries"][q] for q in shared)
+    print(f"\nshared {len(shared)} queries: total {t0:.1f}s -> {t1:.1f}s "
+          f"(ratio {t1 / t0:.2f})")
+    skipped = scaled.get("skipped", [])
+    if skipped:
+        print(f"skipped at scaled SF: {', '.join(sorted(skipped))}")
+    errs = scaled.get("errors", {})
+    if errs:
+        print(f"errors at scaled SF: {errs}")
+    print("\nslowest at scaled SF:")
+    for q, w1 in sorted(scaled["queries"].items(), key=lambda x: -x[1])[:10]:
+        print(f"  {q:28s} {w1:8.2f}s (stage "
+              f"{scaled.get('stage_ms', {}).get(q, 0) / 1000:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

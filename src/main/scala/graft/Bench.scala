@@ -25,7 +25,13 @@ import scala.jdk.CollectionConverters._
   * SPARK_GRAFT_BENCH_ONLY=a,b,c to subset.
   */
 object Bench {
-  private val TimedPasses = 3
+  // r11: large-SF runs override pass count (warmup + 1 timed pass) —
+  // at 10x the corpus the heavy families cost minutes per pass, and
+  // the artifact's job there is RATIO-CLASS evidence, not
+  // noise-floor medians (which the sf0.1 artifact already carries).
+  // The emitted JSON records `passes`, so the artifact self-describes.
+  private val TimedPasses =
+    sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
 
   private def gcMsNow(): Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala

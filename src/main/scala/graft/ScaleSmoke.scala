@@ -261,7 +261,21 @@ object ScaleSmoke {
       // entry above — the pair measures what (xxhash64, len) keys buy
       // at scale: the gram shuffle carries 16 bytes instead of the
       // k-token text payload
-      ("dedup_substring_str", (d, _, _) => DedupOps.dedupSubstring(d)))
+      ("dedup_substring_str", (d, _, _) => DedupOps.dedupSubstring(d)),
+      // r11 (C83): IVF candidate generation (cell equi-join, linear)
+      // + a greedy loop over a ≤ nQueries×nCand pinned frame — the
+      // re-rank itself is independent of corpus size by construction
+      ("mmr_rerank", (_, _, m) => SimilarityOps.mmrRerank(m)),
+      // r11 (C84): k corpus scans against a broadcast ≤k center set
+      // (Gonzalez running-min: each round folds in ONE new center,
+      // n·1 dots per round, never n·k) — linear in n at fixed k
+      ("sample_kcenter", (_, _, m) => SimilarityOps.kCenterSample(m)),
+      // r11 (C82): the trainer's per-round shape; the encode output
+      // adds one mod-filter on the final pinned table
+      ("bpe_encode", (d, _, _) => TextOps.bpeEncode(d, 2)),
+      // r11 (C85): both arms are the production retrieval paths; the
+      // fusion join sees two k-row-per-query lists regardless of n
+      ("hybrid_rrf", (d, _, m) => SimilarityOps.hybridRrf(d, m)))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

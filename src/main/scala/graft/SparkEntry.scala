@@ -162,6 +162,20 @@ object SparkEntry {
     // certification twin below is the oracle gate
     "knn_ivfpq" -> ((s, d) => SimilarityOps.knnIvfPq(Tables.embeddings(s, d))),
     "knn_ivfpq_recall" -> ((s, d) => SimilarityOps.knnIvfPqRecall(Tables.embeddings(s, d))),
+    // C83 (r11): MMR diversity re-rank over the IVF candidate list —
+    // the greedy trajectory is engine-exact (round-3 relevance,
+    // round-6 penalties, c_id tiebreak), so the oracle unrolls all
+    // k rounds and hash-gates the full selection order
+    "mmr_rerank" -> ((s, d) => SimilarityOps.mmrRerank(Tables.embeddings(s, d))),
+    // C84 (r11): greedy k-center (farthest-point) coreset sampling —
+    // Gonzalez running-min form, one corpus scan per round; oracle
+    // unrolls the selection trajectory
+    "sample_kcenter" -> ((s, d) => SimilarityOps.kCenterSample(Tables.embeddings(s, d))),
+    // C85 (r11): hybrid retrieval — reciprocal-rank fusion of the
+    // BM25 arm (C53) and the IVF-ANN arm (C15); rank-only arithmetic,
+    // engine-exact
+    "hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(
+      Tables.documents(s, d), Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimilarityOps.dedupSemantic(Tables.embeddings(s, d))),
     // C79 (r11): the SEMANTIC incremental fold — cluster 90% of the
     // vectors, fold the remaining 10% in via the shared collapsed-
@@ -304,6 +318,11 @@ object SparkEntry {
     // chained CTEs, so selection, rewrite, and the merge table are all
     // hash-gated per round
     "bpe_train" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d), 2)),
+    // C82 (r11): the APPLY half of the tokenizer — the same 2 trained
+    // merge rounds, publishing the final rewritten token table for a
+    // deterministic mod-25 doc sample (the rewrite runs on the FULL
+    // corpus; only the published slice is sampled)
+    "bpe_encode" -> ((s, d) => TextOps.bpeEncode(Tables.documents(s, d), 2)),
     "dedup_apply" -> ((s, d) => DedupOps.dedupApply(Tables.documents(s, d), 0.7)),
     "dedup_priority" -> ((s, d) => DedupOps.dedupPriority(Tables.documents(s, d), 0.7)),
     "doc_entropy" -> ((s, d) => TextOps.docEntropy(Tables.documents(s, d))),
@@ -641,7 +660,18 @@ object SparkEntry {
     * parity greedy eligibility, lag-consumed removal, re-posed
     * rewrite) so selection AND rewrite are hash-gated per round.
     */
-  private def bpeTrainSql(rounds: Int): String = {
+  private def bpeTrainSql(rounds: Int): String =
+    bpeCtesSql(rounds) + (1 to rounds)
+      .map(i => s"SELECT * FROM r${i}_stats")
+      .mkString("\n", "\nUNION ALL\n", "")
+
+  // C82: same unrolled merge rounds, final select = the rewritten
+  // token table (the published mod-sample mirrors TextOps.bpeEncode)
+  private def bpeEncodeSql(rounds: Int, docMod: Int): String =
+    bpeCtesSql(rounds) +
+      s"\nSELECT doc_id, pos, tok FROM r$rounds WHERE doc_id % $docMod = 0"
+
+  private def bpeCtesSql(rounds: Int): String = {
     val base =
       """WITH tk AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
@@ -679,9 +709,103 @@ object SparkEntry {
          |  (SELECT count(DISTINCT tok) FROM r$i) AS vocab_size
          |  FROM r${i}_top t)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val sel = (1 to rounds).map(i => s"SELECT * FROM r${i}_stats")
-      .mkString("\n", "\nUNION ALL\n", "")
-    base + blocks + sel
+    base + blocks
+  }
+
+  // C83: knn_ivf's candidate CTEs (identical constants) + the greedy
+  // MMR trajectory unrolled — cumulative selected set selu{r},
+  // round-6 penalty cosines, score literals INTERPOLATED from the
+  // same Scala doubles the engine multiplies by (0.7 / 1−0.7 differ
+  // in the last ulp; both sides must use the same bits)
+  private def mmrSql(k: Int, nCand: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oml = (1.0 - lambda).toString
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |s AS (SELECT vec_id AS list_id, emb AS semb FROM e WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, s.list_id,
+         |  list_cosine_similarity(e.emb, s.semb) AS d FROM e, s),
+         |asg AS (SELECT vec_id AS c_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY d DESC, list_id) AS rn FROM d) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY d DESC, list_id) AS rn FROM d WHERE vec_id < 10)
+         |  WHERE rn <= 4),
+         |cand0 AS (SELECT p.q_id, a.c_id FROM probes p
+         |  JOIN asg a USING (list_id) WHERE p.q_id <> a.c_id),
+         |sc AS (SELECT c.q_id, c.c_id,
+         |  round(list_cosine_similarity(eq.emb, ec.emb), 3) AS rel
+         |  FROM cand0 c JOIN e eq ON eq.vec_id = c.q_id
+         |  JOIN e ec ON ec.vec_id = c.c_id),
+         |cand AS (SELECT q_id, c_id, rel FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY rel DESC, c_id) AS rn FROM sc) WHERE rn <= $nCand),
+         |sel1 AS (SELECT q_id, c_id, rel, rel AS score,
+         |  CAST(1 AS BIGINT) AS mmr_rank FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY rel DESC, c_id) AS rn FROM cand) WHERE rn = 1),
+         |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val blocks = (2 to k).map { r =>
+      s"""pen$r AS (SELECT c.q_id, c.c_id, c.rel,
+         |  max(round(list_cosine_similarity(ec.emb, es.emb), 6)) AS mp
+         |  FROM cand c
+         |  JOIN selu${r - 1} s ON s.q_id = c.q_id
+         |  JOIN e ec ON ec.vec_id = c.c_id
+         |  JOIN e es ON es.vec_id = s.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x
+         |    WHERE x.q_id = c.q_id AND x.c_id = c.c_id)
+         |  GROUP BY 1, 2, 3),
+         |sel$r AS (SELECT q_id, c_id, rel, score,
+         |  CAST($r AS BIGINT) AS mmr_rank FROM
+         |  (SELECT q_id, c_id, rel,
+         |     round($lam * rel - $oml * mp, 6) AS score,
+         |     row_number() OVER (PARTITION BY q_id
+         |       ORDER BY round($lam * rel - $oml * mp, 6) DESC, c_id) AS rn
+         |   FROM pen$r) WHERE rn = 1),
+         |selu$r AS (SELECT * FROM selu${r - 1}
+         |  UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + blocks +
+      s"\nSELECT q_id, mmr_rank, c_id, rel, round(score, 6) AS score" +
+      s" FROM selu$k"
+  }
+
+  // C84: the Gonzalez trajectory unrolled — running min-dist CTEs
+  // st{r} fold in only the newly selected center, mirroring the
+  // engine's per-round state exactly
+  private def kCenterSql(k: Int): String = {
+    val base =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |c1 AS (SELECT CAST(1 AS BIGINT) AS round, min(vec_id) AS vec_id,
+        |  0.0 AS min_dist FROM e),
+        |st1 AS (SELECT v.vec_id,
+        |  1 - round(list_cosine_similarity(v.emb, ce.emb), 6) AS md
+        |  FROM e v, (SELECT e.emb FROM c1 JOIN e USING (vec_id)) ce),
+        |cu1 AS (SELECT * FROM c1)""".stripMargin
+    val blocks = (2 to k).map { r =>
+      val st =
+        if (r < k)
+          s""",
+             |st$r AS (SELECT s.vec_id,
+             |  least(s.md, 1 - round(list_cosine_similarity(v.emb, ce.emb), 6))
+             |    AS md
+             |  FROM st${r - 1} s JOIN e v ON v.vec_id = s.vec_id,
+             |  (SELECT e.emb FROM cr$r c JOIN e ON e.vec_id = c.vec_id) ce)"""
+            .stripMargin
+        else ""
+      s"""cr$r AS (SELECT CAST($r AS BIGINT) AS round, vec_id, md AS min_dist
+         |  FROM (SELECT s.vec_id, s.md,
+         |    row_number() OVER (ORDER BY s.md DESC, s.vec_id) AS rn
+         |    FROM st${r - 1} s WHERE s.vec_id NOT IN
+         |      (SELECT vec_id FROM cu${r - 1})) WHERE rn = 1),
+         |cu$r AS (SELECT * FROM cu${r - 1} UNION ALL SELECT * FROM cr$r)"""
+        .stripMargin + st
+    }.mkString(",\n", ",\n", "")
+    base + blocks +
+      s"\nSELECT round, vec_id, round(min_dist, 6) AS min_dist FROM cu$k"
   }
 
   // C54/C55 shared oracle pieces: Lloyd's loop unrolled to the same
@@ -1281,6 +1405,76 @@ object SparkEntry {
         |SELECT q_id, rank, c_id, sim FROM r WHERE rank <= 5""".stripMargin,
     "emb_kmeans" -> embKmeansSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
+    // C83/C84: unrolled greedy trajectories (see the generators)
+    "mmr_rerank" -> mmrSql(5, 20, 0.7),
+    "sample_kcenter" -> kCenterSql(8),
+    // C85: both arms' oracle CTEs verbatim (bm25 at nQueries=5/k=10,
+    // knn_ivf at vec_id<5/rn<=10) + the rank-arithmetic fusion
+    "hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |cs AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(CAST(dl AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl),
+        |dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < 5),
+        |terms AS (SELECT q.q_id, tf.doc_id,
+        |  CAST(ln(1.0 + (CAST(cs.n_docs AS DOUBLE) - dfv.df + 0.5)
+        |      / (CAST(dfv.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |       * (1.0 - CAST(0.75 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / cs.avgdl))
+        |    AS DECIMAL(38,18)) AS term
+        |  FROM tf JOIN q USING (tok) JOIN dfv USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, cs
+        |  WHERE tf.doc_id <> q.q_id),
+        |lsc AS (SELECT q_id, doc_id, round(CAST(sum(term) AS DOUBLE), 4)
+        |  AS score FROM terms GROUP BY 1, 2),
+        |lexr AS (SELECT q_id, doc_id AS c_id,
+        |  CAST(rank AS BIGINT) AS lex_rank FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM lsc)
+        |  WHERE rank <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS list_id, emb AS semb FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, s.list_id,
+        |  list_cosine_similarity(e.emb, s.semb) AS d FROM e, s),
+        |asg AS (SELECT vec_id AS c_id, list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d DESC, list_id) AS rn FROM d) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, list_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d DESC, list_id) AS rn FROM d WHERE vec_id < 5)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.c_id FROM probes p
+        |  JOIN asg a USING (list_id) WHERE p.q_id <> a.c_id),
+        |esc AS (SELECT c.q_id, c.c_id,
+        |  round(list_cosine_similarity(eq.emb, ec.emb), 3) AS sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.q_id
+        |  JOIN e ec ON ec.vec_id = c.c_id),
+        |embr AS (SELECT q_id, c_id, CAST(rank AS BIGINT) AS emb_rank FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rank FROM esc) WHERE rank <= 10),
+        |f AS (SELECT coalesce(l.q_id, m.q_id) AS q_id,
+        |  coalesce(l.c_id, m.c_id) AS c_id,
+        |  coalesce(l.lex_rank, 0) AS lex_rank,
+        |  coalesce(m.emb_rank, 0) AS emb_rank,
+        |  round((CASE WHEN l.lex_rank IS NULL THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(1.0 AS DOUBLE) / (60 + l.lex_rank) END)
+        |   + (CASE WHEN m.emb_rank IS NULL THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(1.0 AS DOUBLE) / (60 + m.emb_rank) END), 6) AS rrf
+        |  FROM lexr l FULL OUTER JOIN embr m
+        |    ON l.q_id = m.q_id AND l.c_id = m.c_id)
+        |SELECT q_id, rank, c_id, lex_rank, emb_rank, rrf FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |     ORDER BY rrf DESC, c_id) AS BIGINT) AS rank FROM f)
+        |WHERE rank <= 10""".stripMargin,
     // C77: max round-3 cosine per corpus vector vs the eval side of
     // the mod-20 split over the twin-injected table; the flag
     // compares the ROUNDED value (same branch both engines)
@@ -2275,6 +2469,7 @@ object SparkEntry {
     // re-posed rewrite. The merge table row re-derives n_merges and
     // the post-rewrite vocab by scalar subqueries on the same CTEs.
     "bpe_train" -> bpeTrainSql(2),
+    "bpe_encode" -> bpeEncodeSql(2, 25),
     "bpe_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks

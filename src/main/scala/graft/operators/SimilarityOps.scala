@@ -1369,4 +1369,181 @@ object SimilarityOps {
       .select(col("label"), col("vec_id"), col("n_copies"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
+
+  /** C83: MMR (maximal marginal relevance) re-ranking — the standard
+    * diversity-aware second stage over an ANN candidate list: greedily
+    * select k of the nCand retrieved neighbors, each round maximizing
+    * `lambda·rel(q,c) − (1−lambda)·max_{s∈S} sim(c,s)` (Carbonell &
+    * Goldstein '98). Candidates come from the PRODUCTION retrieval
+    * path ([[knnIvf]], never brute force), so the whole operator
+    * inherits IVF's scale shape; the greedy loop itself runs on a
+    * ≤ nQueries×nCand frame — broadcast-tiny at any corpus size, the
+    * re-rank cost is independent of n by construction.
+    *
+    * Determinism: relevance is IVF's round-3 sim; pairwise penalty
+    * cosines round to 6; ties break to the smaller c_id via the
+    * max_by struct — the oracle computes the identical rounded values,
+    * so the greedy trajectory is engine-exact.
+    */
+  def mmrRerank(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCand: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= nCand, s"need 1 <= k=$k <= nCand=$nCand")
+    require(lambda >= 0.0 && lambda <= 1.0)
+    val bridge = org.apache.spark.sql.graftx.bridge
+    val emb = embeddings.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    // candidate frame: (q_id, c_id, rel, c_emb, c_norm) — pinned once;
+    // every greedy round reads this LEAF, not the IVF plan again
+    val cand = bridge.plainLocalCheckpoint(
+      knnIvf(embeddings, nQueries, nCand)
+        .select(col("q_id"), col("c_id"), col("sim").as("rel"))
+        .join(emb, "c_id"))
+    graft.CacheRegistry.registerCheckpoint(cand)
+    def pick(scored: DataFrame, scoreCol: Column): DataFrame =
+      scored.groupBy("q_id")
+        .agg(max_by(struct(col("c_id"), col("rel"), col("score")),
+          struct(scoreCol, negate(col("c_id")))).as("w"))
+        .select(col("q_id"), col("w.c_id").as("c_id"),
+          col("w.rel").as("rel"), col("w.score").as("score"))
+    // round 1: pure relevance
+    var selected = bridge.plainLocalCheckpoint(
+      pick(cand.withColumn("score", col("rel")), col("rel"))
+        .withColumn("mmr_rank", lit(1L)))
+    graft.CacheRegistry.registerCheckpoint(selected)
+    for (r <- 2 to k) {
+      val sel = selected.select(col("q_id"), col("c_id").as("s_id"))
+        .join(emb.select(col("c_id").as("s_id"),
+          col("c_emb").as("s_emb"), col("c_norm").as("s_norm")), "s_id")
+      val scored = cand
+        .join(selected.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"), "left_anti")
+        .join(broadcast(sel), Seq("q_id"))
+        .withColumn("pen", round(dot(col("c_emb"), col("s_emb"))
+          / (col("c_norm") * col("s_norm")), 6))
+        .groupBy("q_id", "c_id", "rel", "c_norm")
+        .agg(max(col("pen")).as("max_pen"))
+        .withColumn("score",
+          round(lit(lambda) * col("rel")
+            - lit(1.0 - lambda) * col("max_pen"), 6))
+      val next = bridge.plainLocalCheckpoint(
+        selected.unionByName(
+          pick(scored, col("score")).withColumn("mmr_rank", lit(r.toLong))))
+      graft.CacheRegistry.registerCheckpoint(next)
+      selected = next
+    }
+    selected.select(col("q_id"), col("mmr_rank"), col("c_id"),
+      col("rel"), round(col("score"), 6).as("score"))
+  }
+
+  /** C85: HYBRID retrieval via reciprocal-rank fusion (Cormack et
+    * al., SIGIR 2009 — the RAG-default way to combine a lexical and
+    * an embedding arm without score calibration): BM25 top-k (C53)
+    * and IVF-ANN top-k (C15) are fused per (query, candidate) as
+    * `Σ 1/(kRrf + rank)`, a candidate missing from one arm
+    * contributing 0 from it. Query identity is shared — the probe
+    * docs' doc_ids are the probe vectors' vec_ids (the corpus
+    * convention: embeddings are a doc_id-aligned prefix).
+    *
+    * RANK arithmetic only (integers → one double division each),
+    * so fusion is engine-exact with no rounding subtleties; absent
+    * ranks publish as 0, not null, to keep the gate's hash
+    * null-free. Scale shape: both arms are the production paths;
+    * fusion itself joins two k-row-per-query lists — cost
+    * independent of corpus size.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+      nQueries: Int = 5, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && kRrf >= 1)
+    val lex = graft.operators.TextOps.bm25(documents, nQueries, k)
+      .select(col("q_id"), col("doc_id").as("c_id"),
+        col("rank").as("lex_rank"))
+    val emb = knnIvf(embeddings, nQueries, k)
+      .select(col("q_id"), col("c_id"), col("rank").as("emb_rank"))
+    val fused = lex.join(emb, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf) + col("emb_rank")), lit(0.0)),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf").desc, col("c_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("emb_rank"), lit(0L)).as("emb_rank"), col("rrf"))
+  }
+
+  /** C84: greedy k-center (farthest-point) CORESET sampling — the
+    * classical 2-approximation to the k-center objective (Gonzalez
+    * '85): start from the lowest vec_id, then k−1 rounds each adding
+    * the vector FARTHEST (max cosine distance, round-6) from its
+    * nearest already-selected center. The diversity dual of C37's
+    * class balancing: where temperature/stratified sampling match a
+    * target DISTRIBUTION, k-center maximizes COVERAGE of embedding
+    * space — the coreset construction behind diverse SFT-seed
+    * selection and eval-set picking.
+    *
+    * Scale shape: each round is one corpus scan against a broadcast
+    * ≤k-row center set — maintaining each vector's RUNNING min-dist
+    * (the standard Gonzalez optimization: new round only compares the
+    * running min against the ONE newly added center, so work per
+    * round is n·1 dots, not n·k) — followed by a 1-row max_by argmax.
+    * k scans total, zero joins wider than the broadcast, nothing
+    * quadratic; the running-min frame is pinned per round
+    * (plainLocalCheckpoint) exactly like the Lloyd loop.
+    */
+  def kCenterSample(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k-center rounds is a small dial, got $k")
+    val bridge = org.apache.spark.sql.graftx.bridge
+    val base = embeddings.select(col("vec_id"),
+      col("embedding").as("emb"), norm(col("embedding")).as("nrm"))
+    val first = base
+      .agg(min(col("vec_id")).as("vec_id"))
+      .withColumn("round", lit(1L)).withColumn("min_dist", lit(0.0))
+    var centers = bridge.plainLocalCheckpoint(
+      first.select(col("round"), col("vec_id"), col("min_dist")))
+    graft.CacheRegistry.registerCheckpoint(centers)
+    // running min-distance of every vector to the selected set
+    var state = bridge.plainLocalCheckpoint(
+      base.crossJoin(broadcast(
+          centers.select(col("vec_id").as("s_id"))
+            .join(base.select(col("vec_id").as("s_id"),
+              col("emb").as("s_emb"), col("nrm").as("s_nrm")), "s_id")))
+        .select(col("vec_id"), col("emb"), col("nrm"),
+          (lit(1.0) - round(dot(col("emb"), col("s_emb"))
+            / (col("nrm") * col("s_nrm")), 6)).as("min_dist")))
+    graft.CacheRegistry.registerCheckpoint(state)
+    for (r <- 2 to k) {
+      val nxt = state
+        .join(centers.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .groupBy()
+        .agg(max_by(struct(col("vec_id"), col("min_dist")),
+          struct(col("min_dist"), negate(col("vec_id")))).as("w"))
+        .select(lit(r.toLong).as("round"), col("w.vec_id").as("vec_id"),
+          col("w.min_dist").as("min_dist"))
+      val nextCenters = bridge.plainLocalCheckpoint(
+        centers.unionByName(nxt))
+      graft.CacheRegistry.registerCheckpoint(nextCenters)
+      centers = nextCenters
+      if (r < k) {
+        // fold the ONE new center into the running min (Gonzalez) —
+        // read it from the PINNED centers frame, not nxt's plan (a
+        // second evaluation would re-run the argmax scan)
+        val newC = broadcast(nextCenters
+          .filter(col("round") === r.toLong).select(col("vec_id").as("s_id"))
+          .join(base.select(col("vec_id").as("s_id"),
+            col("emb").as("s_emb"), col("nrm").as("s_nrm")), "s_id"))
+        val nextState = bridge.plainLocalCheckpoint(
+          state.crossJoin(newC)
+            .select(col("vec_id"), col("emb"), col("nrm"),
+              least(col("min_dist"),
+                lit(1.0) - round(dot(col("emb"), col("s_emb"))
+                  / (col("nrm") * col("s_nrm")), 6)).as("min_dist")))
+        graft.CacheRegistry.registerCheckpoint(nextState)
+        state = nextState
+      }
+    }
+    centers.select(col("round"), col("vec_id"),
+      round(col("min_dist"), 6).as("min_dist"))
+  }
 }

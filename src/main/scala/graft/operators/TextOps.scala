@@ -910,7 +910,35 @@ object TextOps {
     * window steps, one exchange reused). Nothing quadratic; rounds is
     * a small fixed dial exactly like Lloyd iterations.
     */
-  def bpeTrain(documents: DataFrame, rounds: Int = 2): DataFrame = {
+  def bpeTrain(documents: DataFrame, rounds: Int = 2): DataFrame =
+    bpeLoop(documents, rounds)._1
+
+  /** C82: BPE ENCODE — tokenize the corpus with the merges
+    * [[bpeTrain]] learns: the same `rounds` greedy train-and-rewrite
+    * loop, publishing the FINAL rewritten token table (doc_id, pos,
+    * tok — merged tokens joined with '+') instead of the merge stats.
+    * This is the apply half of the tokenizer: what a training-data
+    * pipeline materializes after the trainer freezes its merge list.
+    * The published slice is a deterministic doc_id-mod sample purely
+    * to bound the gated artifact; the rewrite itself always runs on
+    * the full corpus (merges are corpus-wide statistics, so encoding
+    * a sample of a larger corpus is NOT the same operator).
+    * Shares [[bpeLoop]], so the scale shape is the trainer's: one
+    * doc_id exchange per round reused across the window steps.
+    */
+  def bpeEncode(documents: DataFrame, rounds: Int = 2,
+      docMod: Int = 25): DataFrame = {
+    require(docMod >= 1)
+    bpeLoop(documents, rounds)._2
+      .filter(pmod(col("doc_id"), lit(docMod)) === 0)
+      .select(col("doc_id"), col("pos"), col("tok"))
+  }
+
+  /** Shared trainer/encoder loop: returns (merge-stats frame, final
+    * rewritten token table). Mechanics documented on [[bpeTrain]].
+    */
+  private def bpeLoop(documents: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1 && rounds <= 16,
       s"BPE merge rounds is a small fixed dial, got $rounds")
@@ -969,7 +997,7 @@ object TextOps {
       cur = next
       stats = if (stats == null) row else stats.unionByName(row)
     }
-    stats
+    (stats, cur)
   }
 
   /** 32-bit md5-derived token hash, bit-identical to DuckDB's

@@ -1430,4 +1430,147 @@ class SimilarityTextOpsSpec extends SparkSpec {
       SimilarityOps.knnIvfPq(embeddings, k = 10, shortlist = 5)
     }
   }
+
+  test("bpeEncode: hand-unrolled rewrite, full-corpus merges, sampled slice") {
+    import spark.implicits._
+    // same fixture as the trainer spec: round 1 merges (a b) -> a+b,
+    // round 2 merges (a+b a+b); the ENCODED table is the expectation
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x"))
+      .toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(docs, 2, docMod = 1)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(enc.toSeq === Seq((1L, 1L, "a+b+a+b"), (1L, 2L, "c"),
+      (2L, 1L, "a+b"), (2L, 2L, "x")))
+    CacheRegistry.unpersistAll()
+    // on the corpus: the published slice is exactly doc_id % 25 == 0,
+    // and the MERGES are corpus-wide — a merged token appearing in the
+    // slice must be the trainer's round-selected pair, which was
+    // chosen on the FULL corpus (encoding a pre-sampled corpus would
+    // train different merges)
+    val full = TextOps.bpeEncode(documents, 2).cache()
+    try {
+      assert(full.filter(pmod(col("doc_id"), lit(25)) =!= 0).count() === 0)
+      assert(full.count() > 0)
+      val mergedToks = full.filter(col("tok").contains("+"))
+        .select("tok").distinct().collect().map(_.getString(0)).toSet
+      val pairs = TextOps.bpeTrain(documents, 2)
+        .select("pair").collect().map(_.getString(0)).toSet
+      val fromPairs = pairs.map(_.replace(' ', '+'))
+      assert(mergedToks.subsetOf(fromPairs),
+        s"slice contains a merge not in the trained table: " +
+          s"${mergedToks.diff(fromPairs)}")
+      // deterministic: rerun bit-identical
+      val again = TextOps.bpeEncode(documents, 2)
+      assert(full.except(again).isEmpty && again.except(full).isEmpty)
+    } finally { full.unpersist(); CacheRegistry.unpersistAll() }
+  }
+
+  test("mmrRerank: relevance-first pick, monotone scores, twins deferred") {
+    import spark.implicits._
+    val mmr = SimilarityOps.mmrRerank(embeddings).cache()
+    try {
+      // k selections per query, all distinct
+      val perQ = mmr.groupBy("q_id")
+        .agg(count(lit(1)).as("n"), countDistinct("c_id").as("d")).collect()
+      assert(perQ.length === 10)
+      assert(perQ.forall(r => r.getAs[Long]("n") === 5L
+        && r.getAs[Long]("d") === 5L))
+      // rank 1 is the pure-relevance argmax = knnIvf's rank 1
+      val ivf1 = SimilarityOps.knnIvf(embeddings)
+        .filter(col("rank") === 1L)
+        .select(col("q_id"), col("c_id").as("ivf_c"))
+      assert(mmr.filter(col("mmr_rank") === 1L).join(ivf1, "q_id")
+        .filter(col("c_id") =!= col("ivf_c")).count() === 0)
+      // the greedy max is non-increasing: penalties only grow as the
+      // selected set grows and the candidate pool only shrinks
+      val dec = mmr.as("a").join(mmr.as("b"),
+        col("a.q_id") === col("b.q_id")
+          && col("a.mmr_rank") + 1 === col("b.mmr_rank")
+          && col("b.score") > col("a.score") + lit(1e-9))
+      assert(dec.count() === 0)
+    } finally { mmr.unpersist(); CacheRegistry.unpersistAll() }
+    // diversity: inject an exact twin of every query's top neighbor —
+    // relevance alone would rank it second; MMR's penalty (cos = 1.0
+    // to the already-selected original) must defer it past rank 2
+    val top1 = SimilarityOps.knnIvf(embeddings).filter(col("rank") === 1L)
+      .select(col("c_id")).distinct()
+    val twins = embeddings.join(top1, col("vec_id") === col("c_id"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val aug = embeddings.unionByName(twins)
+    val mmrAug = SimilarityOps.mmrRerank(aug).cache()
+    try {
+      assert(mmrAug.filter(col("mmr_rank") === 2L
+        && col("c_id") >= 1000000L).count() === 0,
+        "an exact twin of the rank-1 pick was selected at rank 2")
+    } finally { mmrAug.unpersist(); CacheRegistry.unpersistAll() }
+  }
+
+  test("hybridRrf: fusion formula recomputed, both arms present, rank order") {
+    val rrf = SimilarityOps.hybridRrf(documents, embeddings).cache()
+    try {
+      // k-bounded, rank-contiguous per query
+      val perQ = rrf.groupBy("q_id").agg(count(lit(1)).as("n"),
+        max("rank").as("mx")).collect()
+      assert(perQ.nonEmpty)
+      assert(perQ.forall(r => r.getAs[Long]("n") <= 10L
+        && r.getAs[Long]("mx") === r.getAs[Long]("n")))
+      // the published rrf IS the formula over the published ranks
+      // (rank 0 = absent from that arm, contributing nothing)
+      val bad = rrf.withColumn("expect", round(
+        when(col("lex_rank") > 0, lit(1.0) / (lit(60) + col("lex_rank")))
+          .otherwise(lit(0.0))
+          + when(col("emb_rank") > 0, lit(1.0) / (lit(60) + col("emb_rank")))
+            .otherwise(lit(0.0)), 6))
+        .filter(col("rrf") =!= col("expect"))
+      assert(bad.count() === 0)
+      // fusion order: rrf non-increasing with rank within each query
+      val inc = rrf.as("a").join(rrf.as("b"),
+        col("a.q_id") === col("b.q_id")
+          && col("a.rank") < col("b.rank")
+          && col("b.rrf") > col("a.rrf"))
+      assert(inc.count() === 0)
+      // the fusion is genuinely hybrid on this corpus: each arm
+      // contributes somewhere (guards against one arm silently dying)
+      assert(rrf.filter(col("lex_rank") > 0).count() > 0)
+      assert(rrf.filter(col("emb_rank") > 0).count() > 0)
+    } finally { rrf.unpersist(); CacheRegistry.unpersistAll() }
+  }
+
+  test("kCenterSample: orthogonal geometry trajectory; monotone; dial guarded") {
+    import spark.implicits._
+    // v0/v1/v2 are (near-)duplicates on axis 0, v3..v5 the other axes:
+    // greedy farthest-point must pick one per axis and never a dup
+    val geo = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.999f, 0.001f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 0), (4L, Array(0f, 0f, 1f, 0f), 0),
+      (5L, Array(0f, 0f, 0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val sel = SimilarityOps.kCenterSample(geo, 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.toSeq === Seq((1L, 0L, 0.0), (2L, 3L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0)))
+    CacheRegistry.unpersistAll()
+    // corpus: k distinct centers, coverage radius non-increasing (the
+    // running mins only shrink, so their max shrinks with each round)
+    val ks = SimilarityOps.kCenterSample(embeddings, 8).cache()
+    try {
+      assert(ks.count() === 8)
+      assert(ks.select(countDistinct("vec_id")).head.getLong(0) === 8L)
+      val inc = ks.as("a").join(ks.as("b"),
+        col("a.round") + 1 === col("b.round")
+          && col("b.min_dist") > col("a.min_dist") + lit(1e-9))
+      assert(inc.filter(col("a.round") > 1).count() === 0)
+      val again = SimilarityOps.kCenterSample(embeddings, 8)
+      assert(ks.except(again).isEmpty && again.except(ks).isEmpty)
+    } finally { ks.unpersist(); CacheRegistry.unpersistAll() }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.kCenterSample(embeddings, 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.kCenterSample(embeddings, 65)
+    }
+  }
 }
