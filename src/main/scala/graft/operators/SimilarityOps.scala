@@ -428,6 +428,13 @@ object SimilarityOps {
         when(element_at(col("projs"), t * P + j + 1) > 0, lit(1 << j))
           .otherwise(lit(0))
       }.reduce(_ + _)
+    // Shape note (r11 sf1 attribution): dedup the bare id pairs FIRST,
+    // then fetch both embeddings — scoring inside the bucket join was
+    // A/B-measured at sf1 (2552 s stage vs 939 s for this shape): a
+    // pair found in many of the L tables would pay one 64-FMA dot PER
+    // TABLE pre-dedup, and on a clustered corpus cross-table duplicate
+    // rates are high, so the duplicate dots dominate the two pair-
+    // stream fetch sorts this shape pays instead.
     val buckets = e.select(col("vec_id"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("t"), bucketT(t).as("b"))): _*)).as("tb"))
