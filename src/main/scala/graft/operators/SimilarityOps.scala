@@ -417,12 +417,33 @@ object SimilarityOps {
         math.max(1, math.min(24, math.ceil(
           math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt))
       }
-    // stage projections once (same Catalyst-analysis rationale as C6)
+    // stage projections once (same Catalyst-analysis rationale as C6).
+    // r11 (sf1 stage breakdown): pin e as an EAGER CHECKPOINT LEAF on
+    // a vec_id-partitioned layout — the former lazy single-partition
+    // persist left failure modes the 10x artifact measured at ~680 of
+    // 1581 stage-seconds: (a) a small-file corpus scans as ONE
+    // partition, so the L·P-projection fan-out ran single-threaded;
+    // (b) the lazy cache let the four downstream consumers (x/y
+    // bucket sides, two fetch joins) race and recompute it; (c) the
+    // InMemoryRelation's estimated stats kept the two fetch joins on
+    // SMJ — as a checkpoint LEAF with exact size, they plan as
+    // broadcasts and the whole candidate pipeline fuses into one
+    // stage (an A/B with persist+eager count measured 1753 s stage vs
+    // 337 s for the leaf — the leaf's join planning, not eagerness,
+    // is most of the win). Deliberately NOT registered with
+    // CacheRegistry: the returned graph references this leaf, whose
+    // lineage is truncated, so a harness unpersistAll between
+    // construction and consumption would make the frame
+    // unrecomputable; the ContextCleaner reclaims the blocks when the
+    // frame is garbage-collected instead. The extra n-row exchange is
+    // trivially linear and matches the layout a real cluster already
+    // has.
     val projCols = array((0 until numTables * P).map(i =>
       planeProj(col("embedding").cast("array<double>"), i)): _*)
-    val e = graft.CacheRegistry.persist(
-      embeddings.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), projCols.as("projs")))
+    val e = org.apache.spark.sql.graftx.bridge.plainLocalCheckpoint(
+      embeddings.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"), projCols.as("projs")))
     def bucketT(t: Int): Column =
       (0 until P).map { j =>
         when(element_at(col("projs"), t * P + j + 1) > 0, lit(1 << j))
