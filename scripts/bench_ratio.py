@@ -9,19 +9,37 @@ import json
 import sys
 
 
+def num_map(artifact, key):
+    """The artifact's name->seconds map, keeping only plain numbers —
+    forked-heavy or older artifact shapes may carry nested objects or
+    nulls for some entries, which must be skipped, not crashed on."""
+    m = artifact.get(key, {})
+    if not isinstance(m, dict):
+        return {}
+    return {k: float(v) for k, v in m.items()
+            if isinstance(v, (int, float)) and not isinstance(v, bool)}
+
+
 def main():
+    if len(sys.argv) < 3:
+        print(__doc__.strip())
+        sys.exit(2)
     base_f, scaled_f = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 25
     with open(base_f) as f:
         base = json.load(f)
     with open(scaled_f) as f:
         scaled = json.load(f)
-    shared = sorted(set(base["queries"]) & set(scaled["queries"]))
+    bq, sq = num_map(base, "queries"), num_map(scaled, "queries")
+    bs, ss = num_map(base, "stage_ms"), num_map(scaled, "stage_ms")
+    shared = sorted(set(bq) & set(sq))
+    if not shared:
+        print("no shared plain-number query entries between the artifacts")
+        sys.exit(1)
     rows = []
     for q in shared:
-        w0, w1 = base["queries"][q], scaled["queries"][q]
-        s0 = base.get("stage_ms", {}).get(q, 0.0)
-        s1 = scaled.get("stage_ms", {}).get(q, 0.0)
+        w0, w1 = bq[q], sq[q]
+        s0, s1 = bs.get(q, 0.0), ss.get(q, 0.0)
         rows.append((q, w0, w1, w1 / w0 if w0 else float("inf"),
                      s1 / s0 if s0 else float("nan")))
     rows.sort(key=lambda r: -r[3])
@@ -29,8 +47,8 @@ def main():
           f"{'wallx':>6s} {'stagex':>7s}")
     for q, w0, w1, rw, rs in rows[:top_n]:
         print(f"{q:28s} {w0:8.2f} {w1:9.2f} {rw:6.2f} {rs:7.2f}")
-    t0 = sum(base["queries"][q] for q in shared)
-    t1 = sum(scaled["queries"][q] for q in shared)
+    t0 = sum(bq[q] for q in shared)
+    t1 = sum(sq[q] for q in shared)
     print(f"\nshared {len(shared)} queries: total {t0:.1f}s -> {t1:.1f}s "
           f"(ratio {t1 / t0:.2f})")
     skipped = scaled.get("skipped", [])
@@ -40,9 +58,8 @@ def main():
     if errs:
         print(f"errors at scaled SF: {errs}")
     print("\nslowest at scaled SF:")
-    for q, w1 in sorted(scaled["queries"].items(), key=lambda x: -x[1])[:10]:
-        print(f"  {q:28s} {w1:8.2f}s (stage "
-              f"{scaled.get('stage_ms', {}).get(q, 0) / 1000:.1f}s)")
+    for q, w1 in sorted(sq.items(), key=lambda x: -x[1])[:10]:
+        print(f"  {q:28s} {w1:8.2f}s (stage {ss.get(q, 0) / 1000:.1f}s)")
 
 
 if __name__ == "__main__":

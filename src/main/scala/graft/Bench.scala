@@ -30,8 +30,17 @@ object Bench {
   // the artifact's job there is RATIO-CLASS evidence, not
   // noise-floor medians (which the sf0.1 artifact already carries).
   // The emitted JSON records `passes`, so the artifact self-describes.
-  private val TimedPasses =
-    sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+  // Validated lazily (ADVICE r11): a bare .toInt in object init would
+  // surface as an opaque ExceptionInInitializerError, and 0/negative
+  // would make median(Nil) fail mid-run instead of failing here.
+  private lazy val TimedPasses =
+    sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 3
+      case Some(v) =>
+        require(v.matches("[0-9]+") && v.toInt >= 1,
+          s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$v'")
+        v.toInt
+    }
 
   private def gcMsNow(): Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -195,7 +204,14 @@ object Bench {
     // bucket join), making the family's headline movement
     // unattributable without a per-process wall
     "knn_graph", "knn_graph_recall", "emb_pca", "emb_pca_scaled",
-    "knn_lsh", "knn_ivfpq", "knn_ivfpq_recall", "dedup_semantic_incremental")
+    "knn_lsh", "knn_ivfpq", "knn_ivfpq_recall", "dedup_semantic_incremental",
+    // r12 (VERDICT r11 #4): q_spearman_approx was the round's largest
+    // committed-run distortion still outside the forked family
+    // (10.66 s committed vs 5.97 s driver-run, same binary)
+    "q_spearman_approx",
+    // r12 (VERDICT r11 #2): the production semantic-dedup path runs
+    // the knn_graph candidate machinery — same contention surface
+    "dedup_semantic_ann")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],

@@ -34,6 +34,13 @@ object Verify {
       // release operator-persisted intermediates: 40+ queries share
       // this JVM, leaked cache evicts useful blocks and leaks disk
       CacheRegistry.unpersistAll()
+      // safety net for anything the registry doesn't track (e.g. a
+      // future operator's unregistered localCheckpoint) — Bench has
+      // carried the same sweep since r4; Verify runs ~190 queries in
+      // one JVM against the same shrinking-execution-memory hazard
+      // (ADVICE r11)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
