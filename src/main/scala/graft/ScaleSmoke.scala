@@ -140,13 +140,10 @@ object ScaleSmoke {
       ("q_ks_test", (_, e, _) => AnalyticsOps.ksTest(e)),
       // C32 scoring plan + one per-lang ntile
       ("ccnet_bucket", (d, _, _) => TextOps.ccnetBucket(d)),
-      // C57's PRODUCTION path: ANN candidates from the auto-bucketed
-      // kNN graph feed the closure — never the exact O(n²) scorer
-      ("dedup_semantic_ann", (_, _, m) => SimilarityOps.dedupSemantic(m,
-        candidates = Some(SimilarityOps.knnGraph(m)
-          .filter(col("rank") > 0)
-          .filter(col("sim") >= 0.4)
-          .select(col("src").as("id1"), col("nbr").as("id2"))))),
+      // C57's PRODUCTION path (a first-class operator + registry
+      // entry since r12): ANN candidates from the auto-bucketed kNN
+      // graph feed the closure — never the exact O(n²) scorer
+      ("dedup_semantic_ann", (_, _, m) => SimilarityOps.dedupSemanticAnn(m)),
       // r8 adds (VERDICT r7 #7):
       // coarsen-first: Theil–Sen pairs form over |keys × days|, so
       // k× EVENT volume at a FIXED calendar span must cost only the
@@ -273,6 +270,16 @@ object ScaleSmoke {
       // r11 (C82): the trainer's per-round shape; the encode output
       // adds one mod-filter on the final pinned table
       ("bpe_encode", (d, _, _) => TextOps.bpeEncode(d, 2)),
+      // r12 (C80 batch dial, VERDICT r11 #5): 8 disjoint merges per
+      // round — same window machinery per round, so the 10x ratio
+      // must stay in bpe_train's class while each round buys 8x the
+      // merges (the real-vocab dial: merges/wall, not rounds/wall)
+      ("bpe_train_b8", (d, _, _) => TextOps.bpeTrain(d, 2, batch = 8)),
+      // r12 (C88): content dHash map + 4-band pair join over the
+      // twin-injected media table — map + bounded-fan-out equi-join,
+      // never a cross product
+      ("media_dedup", (d, _, _) => MultimodalOps.mediaDedup(
+        MultimodalOps.toTwinMediaTable(d.sparkSession, d))),
       // r11 (C85): both arms are the production retrieval paths; the
       // fusion join sees two k-row-per-query lists regardless of n
       ("hybrid_rrf", (d, _, m) => SimilarityOps.hybridRrf(d, m)))
@@ -290,7 +297,8 @@ object ScaleSmoke {
     // flag skipped only the ops map, so the slowest section still ran
     // and the promised quick iteration loop didn't exist.)
     val selectors = args.drop(2).toSet
-    val known = Set("ops", "giant", "fold", "grid", "tsdays", "plan")
+    val known = Set("ops", "giant", "fold", "grid", "tsdays", "plan",
+      "stream")
     require(selectors.subsetOf(known),
       s"unknown section selector(s) ${selectors -- known}; valid: $known")
     def want(s: String): Boolean = selectors.isEmpty || selectors(s)
@@ -483,6 +491,100 @@ object ScaleSmoke {
         s""""dedup_inc_mergeheavy":{"t1":$m1,"tk":$mk,"ratio":$mRatio}""")
     }
 
+    // Streaming-fold scale smoke (r12, VERDICT r11 #7): the D-family
+    // folds are spec-tested on toy drains only — this measures what a
+    // live ingest pipeline cares about: per-batch fold cost as the
+    // STANDING corpus grows, with the batch size FIXED (the honest
+    // production question; scaling batch and corpus together turns
+    // the semantic probe quadratic by construction, which is the gate
+    // form's job, not the ingest path's). One fixed 1x batch folds
+    // through the REAL streaming writers (MemoryStream → foreachBatch
+    // → parquet label/corpus round-trip, D11/D23's storage contract)
+    // against a 1x and a kx prior corpus; ratio class: the lexical
+    // fold's probe is index-bucketed (sublinear-to-linear in the
+    // corpus), the semantic exact probe is |corpus|·|batch| — linear
+    // at fixed batch.
+    val stream = if (!want("stream")) Seq.empty else {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.DataStreamWriter
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      def drainOne[T](prep: String => Unit,
+          writer: (DataFrame, String, String) => DataStreamWriter[org.apache.spark.sql.Row],
+          feed: (MemoryStream[T]) => Unit)(
+          implicit enc: org.apache.spark.sql.Encoder[T]): Double = {
+        val base = java.nio.file.Files.createTempDirectory("graft_stream")
+        try {
+          prep(base.toString)
+          val ms = MemoryStream[T]
+          val q = writer(ms.toDF(), s"$base/corpus", s"$base/labels")
+            .option("checkpointLocation", s"$base/ckpt").start()
+          feed(ms)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val t = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          CacheRegistry.unpersistAll()
+          t
+        } finally {
+          import java.nio.file.{Files, Path}
+          Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+      }
+      // fixed batch = the 1x corpus's mod-10 slice; prior = the rest
+      // of the (1x | kx) corpus, pre-clustered OUTSIDE the timed
+      // region (the fold's contract: the corpus was clustered long
+      // ago) and laid down as batch=-1 so the writer's batch<id
+      // filter includes it on the stream's batch 0
+      def lexDrain(all: DataFrame): Double = {
+        val batch = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .as[graft.sources.Schemas.Document].collect().toSeq
+        val batchIds = batch.map(_.doc_id).toSet
+        val prior = all.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+        drainOne[graft.sources.Schemas.Document](
+          base => {
+            prior.select("doc_id", "source", "text")
+              .write.parquet(s"$base/corpus/batch=-1")
+            DedupOps.dedupGroups(prior, 0.7)
+              .write.parquet(s"$base/labels")
+            CacheRegistry.unpersistAll()
+          },
+          (df, c, l) => graft.streaming.StreamOps
+            .streamingDedupIncremental(df, c, l),
+          ms => { ms.addData(batch); () })
+      }
+      def semDrain(all: DataFrame): Double = {
+        val batch = emb0.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .as[graft.sources.Schemas.Embedding].collect().toSeq
+        val batchIds = batch.map(_.vec_id).toSet
+        val prior = all.filter(!col("vec_id").isin(batchIds.toSeq: _*))
+        drainOne[graft.sources.Schemas.Embedding](
+          base => {
+            prior.select("vec_id", "embedding")
+              .write.parquet(s"$base/corpus/batch=-1")
+            SimilarityOps.dedupSemantic(prior,
+                maxExactRows = Long.MaxValue)
+              .write.parquet(s"$base/labels")
+            CacheRegistry.unpersistAll()
+          },
+          (df, c, l) => graft.streaming.StreamOps
+            .streamingDedupSemantic(df, c, l),
+          ms => { ms.addData(batch); () })
+      }
+      val l1 = lexDrain(docs0)
+      val lk = lexDrain(docsK)
+      val s1 = semDrain(emb0)
+      val sk = semDrain(embK)
+      val lr = lk / l1
+      val sr = sk / s1
+      println(f"[scale] stream_dedup_fold      1x=$l1%6.2fs  ${k}x=$lk%6.2fs  ratio=$lr%5.2f (fixed batch)")
+      println(f"[scale] stream_semantic_fold   1x=$s1%6.2fs  ${k}x=$sk%6.2fs  ratio=$sr%5.2f (fixed batch)")
+      Seq(
+        s""""stream_dedup_fold":{"t1":$l1,"tk":$lk,"ratio":$lr}""",
+        s""""stream_semantic_fold":{"t1":$s1,"tk":$sk,"ratio":$sr}""")
+    }
+
     // Fat-tile file-backed grid reader (VERDICT r5 #5): A25's
     // seek-past-blocks and never-open-pruned-tiles claims are
     // bench-invisible on 9 KB-scale tiles — write tiles at real I/O
@@ -562,7 +664,7 @@ object ScaleSmoke {
         s""","ratio":$ratio,"pruned_t":$tp,"pruned_n":$np}""")
     }
 
-    println((rows ++ giant ++ tsdays ++ fold ++ grid ++ plan)
+    println((rows ++ giant ++ tsdays ++ fold ++ stream ++ grid ++ plan)
       .mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
     spark.stop()
   }

@@ -49,6 +49,31 @@ object SparkEntry {
     s.read.parquet(dir)
   }
 
+  /** Trained IVF-PQ index for the C87 `knn_ivfpq_fold` twins,
+    * materialized ONCE per JVM per sf dir (the priorLabels pattern —
+    * parquet in a temp dir, removed on exit): a production ANN index
+    * is built once and searched many times, so the fold entries'
+    * timed region is the SEARCH alone, reading codebooks + codes +
+    * assignments from storage exactly as a deployment would. Bench's
+    * warmup pass pays the one-time training; timed passes and verify
+    * reuse it.
+    */
+  private val ivfpqDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfpqIndexDir(s: SparkSession, d: String): String =
+    ivfpqDirs.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_index")
+      SimilarityOps.writeIvfPqIndex(
+        SimilarityOps.knnIvfPqIndex(Tables.embeddings(s, d)), p.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(q => { Files.deleteIfExists(q); () })
+        catch { case _: Throwable => () }
+      }))
+      p.toString
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. reference surface (ERA5 mart semantics)
@@ -162,6 +187,20 @@ object SparkEntry {
     // certification twin below is the oracle gate
     "knn_ivfpq" -> ((s, d) => SimilarityOps.knnIvfPq(Tables.embeddings(s, d))),
     "knn_ivfpq_recall" -> ((s, d) => SimilarityOps.knnIvfPqRecall(Tables.embeddings(s, d))),
+    // C87 (r12, VERDICT r11 #3): train-once/search-many — the search
+    // half alone against the STORED index (materialized once per JVM,
+    // outside the timed region; the dedup_cluster_stats_fold
+    // pattern). Search output is bit-identical to knn_ivfpq by
+    // deterministic training, and the fold recall twin re-gates the
+    // stored index through the SAME brute-force oracle at both SFs —
+    // proving the write → read → search lifecycle the 100 TB story
+    // assumes, not just the in-memory composition.
+    "knn_ivfpq_fold" -> ((s, d) => SimilarityOps.knnIvfPqSearch(
+      Tables.embeddings(s, d),
+      SimilarityOps.readIvfPqIndex(s, ivfpqIndexDir(s, d)))),
+    "knn_ivfpq_fold_recall" -> ((s, d) => SimilarityOps.knnIvfPqRecall(
+      Tables.embeddings(s, d),
+      index = Some(SimilarityOps.readIvfPqIndex(s, ivfpqIndexDir(s, d))))),
     // C83 (r11): MMR diversity re-rank over the IVF candidate list —
     // the greedy trajectory is engine-exact (round-3 relevance,
     // round-6 penalties, c_id tiebreak), so the oracle unrolls all
@@ -177,6 +216,19 @@ object SparkEntry {
     "hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(
       Tables.documents(s, d), Tables.embeddings(s, d))),
     "dedup_semantic" -> ((s, d) => SimilarityOps.dedupSemantic(Tables.embeddings(s, d))),
+    // C86 (r12, VERDICT r11 #2): the PRODUCTION semantic-dedup path —
+    // closure over C36 kNN-graph candidates instead of the exact
+    // O(n²) scorer. Components are rows-only by design (LSH bucket
+    // membership has no DuckDB twin); the recall twin below is the
+    // oracle gate, run on the twin-injected corpus (C71 pattern so
+    // identical-embedding twins make the truth non-vacuous). At
+    // large SF the bench runs THIS and skips the exact gate forms
+    // (dedup_semantic, its fold, decontaminate_semantic) by name.
+    "dedup_semantic_ann" -> ((s, d) =>
+      SimilarityOps.dedupSemanticAnn(Tables.embeddings(s, d))),
+    "dedup_semantic_ann_recall" -> ((s, d) =>
+      SimilarityOps.dedupSemanticAnnRecall(
+        SimilarityOps.withSyntheticParaphrases(Tables.embeddings(s, d)))),
     // C79 (r11): the SEMANTIC incremental fold — cluster 90% of the
     // vectors, fold the remaining 10% in via the shared collapsed-
     // closure kernel; gated against the FULL-corpus closure oracle
@@ -276,6 +328,17 @@ object SparkEntry {
           .union(MultimodalOps.toGifAnimMediaTable(s, docs))
           .union(MultimodalOps.toWavMediaTable(s, docs)))
     }),
+    // C88 (r12, VERDICT r11 #6): perceptual near-dup over the BINARY
+    // column — 63-bit content dHash per item (media_dhash) and the
+    // hamming-banded pair join (media_dedup), both fully DuckDB-
+    // gated: bodies are the document text, so the oracle recomputes
+    // every block sum, bit, and pair from doc_id + text alone, and
+    // the banded join is provably EXACT to hamming ≤ 3 (pigeonhole
+    // over 4 bands) so the oracle is the plain O(n²) scan
+    "media_dhash" -> ((s, d) => MultimodalOps.mediaDHash(
+      MultimodalOps.toTwinMediaTable(s, Tables.documents(s, d)))),
+    "media_dedup" -> ((s, d) => MultimodalOps.mediaDedup(
+      MultimodalOps.toTwinMediaTable(s, Tables.documents(s, d)))),
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) =>
       TextOps.gopherQuality(TextOps.withSyntheticSlop(Tables.documents(s, d)))),
@@ -318,6 +381,12 @@ object SparkEntry {
     // chained CTEs, so selection, rewrite, and the merge table are all
     // hash-gated per round
     "bpe_train" -> ((s, d) => TextOps.bpeTrain(Tables.documents(s, d), 2)),
+    // C80's batched dial (r12, VERDICT r11 #5): top-4 pairwise-
+    // disjoint merges per round, rewritten in ONE pass — the oracle
+    // unrolls the same rounds with the top-N + disjointness-filter
+    // selection CTEs, so batched selection AND rewrite are hash-gated
+    "bpe_train_batched" -> ((s, d) =>
+      TextOps.bpeTrain(Tables.documents(s, d), 2, batch = 4)),
     // C82 (r11): the APPLY half of the tokenizer — the same 2 trained
     // merge rounds, publishing the final rewritten token table for a
     // deterministic mod-25 doc sample (the rewrite runs on the FULL
@@ -638,6 +707,53 @@ object SparkEntry {
   // shared by dedup_groups (C21) and train_split_grouped (C39): the
   // token-Jaccard edge set and its recursive transitive closure down
   // to per-doc min-label components
+  // C78/C87: the IVF-PQ recall gate's oracle — exact brute-force
+  // top-k truth; shared verbatim by the end-to-end entry and the
+  // stored-index fold twin (same gate, different engine-side index
+  // provenance)
+  private val ivfPqRecallSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings),
+      |s AS (SELECT q_id, c_id,
+      |  round(list_cosine_similarity(q_emb, c_emb), 3) AS sim
+      |  FROM q, c WHERE q_id <> c_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |  ORDER BY sim DESC, c_id) AS rank FROM s)
+      |SELECT count(*) AS n_truth, TRUE AS recall_ok
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  // C88: the twin-injected media table's content-hash CTEs — every
+  // item's body is its document's text, so block sums, comparison
+  // bits, and the 63-bit dHash are all rebuilt from (doc_id, text)
+  private val mediaDHashCteSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, 'png' AS format, 33 AS hdr, text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000001 AS media_id, 'jpeg' AS format,
+      |    39 AS hdr, text
+      |  FROM documents WHERE doc_id % 40 = 0),
+      |b AS (SELECT media_id, format, hdr, text, strlen(text) AS L FROM m),
+      |byt AS (SELECT media_id, (i * 64) // L AS blk,
+      |    ord(substr(text, CAST(i AS INT) + 1, 1)) AS v
+      |  FROM b, unnest(generate_series(0, L - 1)) AS u(i)),
+      |ba AS (SELECT media_id, blk, sum(v) AS s, count(*) AS c
+      |  FROM byt GROUP BY 1, 2),
+      |grid AS (SELECT media_id, j
+      |  FROM b, unnest(generate_series(0, 63)) AS g(j)),
+      |blocks AS (SELECT g.media_id, g.j,
+      |    coalesce(a.s, 0) AS s, coalesce(a.c, 0) AS c
+      |  FROM grid g LEFT JOIN ba a ON a.media_id = g.media_id
+      |    AND a.blk = g.j),
+      |h AS (SELECT x.media_id,
+      |    CAST(sum(CASE WHEN x.s * y.c > y.s * x.c
+      |      THEN 1::BIGINT << x.j ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM blocks x JOIN blocks y ON y.media_id = x.media_id
+      |    AND y.j = x.j + 1
+      |  WHERE x.j <= 62 GROUP BY 1)""".stripMargin
+
   private val closureCteSql =
     """WITH RECURSIVE t AS (SELECT doc_id, source,
       |  list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
@@ -670,6 +786,71 @@ object SparkEntry {
   private def bpeEncodeSql(rounds: Int, docMod: Int): String =
     bpeCtesSql(rounds) +
       s"\nSELECT doc_id, pos, tok FROM r$rounds WHERE doc_id % $docMod = 0"
+
+  /** C80's batched-oracle generator (r12): the same unrolled rounds
+    * with the top-1 selection CTE replaced by top-N + the
+    * NON-RECURSIVE disjointness filter (a candidate survives iff no
+    * higher-ranked candidate shares a token — the exact rule the
+    * engine applies, a bounded self-anti-join), the match join keyed
+    * on the selected SET, and per-selected-pair stats rows. Rewrite
+    * CTEs are the sequential generator's verbatim: disjoint pairs
+    * cannot match adjacent positions, so the island-parity machinery
+    * is untouched.
+    */
+  private def bpeTrainBatchedSql(rounds: Int, batch: Int): String =
+    bpeCtesSqlBatched(rounds, batch) + (1 to rounds)
+      .map(i => s"SELECT * FROM r${i}_stats")
+      .mkString("\n", "\nUNION ALL\n", "")
+
+  private def bpeCtesSqlBatched(rounds: Int, batch: Int): String = {
+    val base =
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM tk, unnest(generate_series(1, len(t))) AS u(i))""".stripMargin
+    val blocks = (1 to rounds).map { i =>
+      s"""r${i}_big AS (SELECT doc_id, pos, tok,
+         |  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM r${i - 1}),
+         |r${i}_cand AS (SELECT tok AS a, nxt AS b, count(*) AS n,
+         |  row_number() OVER (ORDER BY count(*) DESC, tok, nxt) AS rk
+         |  FROM r${i}_big WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  QUALIFY rk <= $batch),
+         |r${i}_sel AS (SELECT c.a, c.b, c.n FROM r${i}_cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM r${i}_cand d WHERE d.rk < c.rk
+         |    AND (d.a = c.a OR d.a = c.b OR d.b = c.a OR d.b = c.b))),
+         |r${i}_j AS (SELECT g.doc_id, g.pos, g.tok, g.nxt, s.a, s.b,
+         |  (s.a IS NOT NULL) AS m
+         |  FROM r${i}_big g LEFT JOIN r${i}_sel s
+         |    ON g.tok = s.a AND g.nxt = s.b),
+         |r${i}_el AS (SELECT doc_id, pos, a, b,
+         |  (row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2) = 1
+         |    AS elig
+         |  FROM (SELECT doc_id, pos, a, b,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |    FROM r${i}_j WHERE m)),
+         |r${i}_c AS (SELECT j.doc_id, j.pos, j.tok, j.nxt,
+         |  coalesce(e.elig, FALSE) AS elig
+         |  FROM r${i}_j j LEFT JOIN r${i}_el e USING (doc_id, pos)),
+         |r$i AS (SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+         |    AS pos,
+         |  CASE WHEN elig THEN tok || '+' || nxt ELSE tok END AS tok
+         |  FROM (SELECT *, coalesce(lag(elig) OVER (PARTITION BY doc_id
+         |    ORDER BY pos), FALSE) AS consumed FROM r${i}_c)
+         |  WHERE NOT consumed),
+         |r${i}_mc AS (SELECT a, b, count(*) AS n_merges
+         |  FROM r${i}_el WHERE elig GROUP BY 1, 2),
+         |r${i}_stats AS (SELECT CAST($i AS BIGINT) AS round,
+         |  s.a || ' ' || s.b AS pair, s.n,
+         |  coalesce(m.n_merges, 0) AS n_merges,
+         |  (SELECT count(DISTINCT tok) FROM r$i) AS vocab_size
+         |  FROM r${i}_sel s LEFT JOIN r${i}_mc m
+         |    ON m.a = s.a AND m.b = s.b)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + blocks
+  }
 
   private def bpeCtesSql(rounds: Int): String = {
     val base =
@@ -1364,18 +1545,10 @@ object SparkEntry {
     // C78: same C65 recall-gate shape — the brute-force truth size is
     // the oracle's half; recall_ok asserts the IVF-PQ probe → ADC
     // shortlist → exact-refine pipeline recovered >= the floor of it
-    "knn_ivfpq_recall" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
-        |  FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
-        |  FROM embeddings),
-        |s AS (SELECT q_id, c_id,
-        |  round(list_cosine_similarity(q_emb, c_emb), 3) AS sim
-        |  FROM q, c WHERE q_id <> c_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |  ORDER BY sim DESC, c_id) AS rank FROM s)
-        |SELECT count(*) AS n_truth, TRUE AS recall_ok
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "knn_ivfpq_recall" -> ivfPqRecallSql,
+    // C87: the stored-index search shares the SAME brute-force truth
+    // gate — a stale/corrupt persisted index fails CORRECTNESS here
+    "knn_ivfpq_fold_recall" -> ivfPqRecallSql,
     // C15: deterministic seeds (vec_id < 16), argmax assignment with
     // the (d DESC, list_id ASC) tiebreak, top-4 probe cells per query,
     // exact cosine inside probed cells. Unrounded cosine ordering
@@ -1512,6 +1685,50 @@ object SparkEntry {
         |SELECT c.vec_id, c.component, s.n_members,
         |c.vec_id = c.component AS is_canonical
         |FROM c JOIN s USING (component)""".stripMargin,
+    // C86: the ANN-path recall gate — truth = exact-closure duplicate
+    // count over the twin-injected corpus (recursive CTE, hash-gated
+    // n_truth); recall_ok is the in-row claim the oracle asserts TRUE
+    // (the C66 pattern: the ANN side has no DuckDB twin, but whether
+    // it detected >= floor of the SQL-expressible truth does)
+    "dedup_semantic_ann_recall" ->
+      """WITH RECURSIVE aug AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000001, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 40 = 0),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.emb, b.emb), 3) >= 0.4),
+        |ed AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+        |r AS (SELECT vec_id AS id, vec_id AS lbl FROM aug
+        |  UNION
+        |  SELECT ed.id1, r.lbl FROM ed JOIN r ON r.id = ed.id2),
+        |c AS (SELECT id AS vec_id, min(lbl) AS component FROM r
+        |  GROUP BY id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+        |FROM c WHERE vec_id <> component""".stripMargin,
+    // C88a: the oracle recomputes the ENTIRE content hash from
+    // doc_id + text alone — header lengths are the builders' closed
+    // forms (png 33, jpeg 39), bodies are the text bytes (pure-ASCII
+    // corpus: ord(char) = byte), block sums/counts in exact integers,
+    // bits by the division-free cross-product rule, the 63-bit value
+    // assembled by shifts (bit 63 deliberately unused — DuckDB
+    // refuses 1::BIGINT << 63)
+    "media_dhash" -> (mediaDHashCteSql +
+      """
+        |SELECT b.media_id, b.format, CAST(b.hdr + b.L AS BIGINT) AS n_bytes,
+        |CAST(b.L AS BIGINT) AS body_len, h.dhash
+        |FROM b JOIN h USING (media_id)""".stripMargin),
+    // C88b: the banded Spark join is provably EXACT to hamming <= 3
+    // (pigeonhole over 4 x 16-bit bands), so the oracle is the plain
+    // O(n²) popcount scan — any banding bug desyncs the pair set and
+    // fails the hash
+    "media_dedup" -> (mediaDHashCteSql +
+      """
+        |SELECT a.media_id AS id1, b.media_id AS id2,
+        |CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
     // C79: the semantic fold shares C57's FULL-corpus closure oracle —
     // fold(90% clustered, 10% batch) must equal the one-shot
     // recluster, which is exactly what this re-proves every round
@@ -2469,6 +2686,7 @@ object SparkEntry {
     // re-posed rewrite. The merge table row re-derives n_merges and
     // the post-rewrite vocab by scalar subqueries on the same CTEs.
     "bpe_train" -> bpeTrainSql(2),
+    "bpe_train_batched" -> bpeTrainBatchedSql(2, 4),
     "bpe_encode" -> bpeEncodeSql(2, 25),
     "bpe_pairs" ->
       """WITH t AS (SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, SpaceSavingAggregate, SpaceSavingMergeAggregate, TopKAggregate}
+import org.apache.spark.sql.graftx.{bridge, CharEntropy, FloatVectorDot, Md5Hash32, MediaDHashExpr, MediaMetaExpr, MediaWrapExpr, SortedIntersectCount, SpaceSavingAggregate, SpaceSavingMergeAggregate, TopKAggregate}
 
 /** Column/SQL facade over graft's native Catalyst expressions
   * (see org.apache.spark.sql.graftx.FloatVectorDot / TopKAggregate).
@@ -75,4 +75,11 @@ object VectorFns {
   def media_wrap(docId: Column, payload: Column, fmt: String): Column =
     bridge.column(MediaWrapExpr(bridge.expression(docId),
       bridge.expression(payload), fmt))
+
+  /** Perceptual content hash: binary payload → struct(format,
+    * body_off, dhash) — 63-bit dHash over the bytes past the parsed
+    * container header, codegen'd — see graftx.MediaDHashExpr.
+    */
+  def media_dhash(payload: Column): Column =
+    bridge.column(MediaDHashExpr(bridge.expression(payload)))
 }

@@ -111,6 +111,78 @@ object MultimodalOps {
       VectorFns.media_wrap(col("doc_id"), col("payload"), "gifanim")
         .as("payload"))
 
+  /** C88 twin-injected media table (r12, VERDICT r11 #6): every doc
+    * as a PNG item (media_id = doc_id), and every mod-40 doc ALSO as
+    * a JPEG item (media_id = doc_id + 10⁹+1) carrying the SAME text
+    * body — the re-encoded duplicate (same content, different
+    * container, different header metadata) that container-level
+    * metadata can never catch and content hashing must. The C71
+    * injected-twin pattern: the natural corpus guarantees no
+    * cross-container duplicates, so without the injection the pair
+    * gate would be vacuous.
+    */
+  def toTwinMediaTable(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val png = toMediaTable(documents)
+      .select(col("doc_id").as("media_id"),
+        VectorFns.media_wrap(col("doc_id"), col("payload"), "png")
+          .as("payload"))
+    val jpeg = toMediaTable(documents)
+      .filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select((col("doc_id") + lit(1000000001L)).as("media_id"),
+        col("payload"))
+      .select(col("media_id"),
+        VectorFns.media_wrap(col("media_id"), col("payload"), "jpeg")
+          .as("payload"))
+    png.unionByName(jpeg)
+  }
+
+  /** C88a: perceptual content hash per media item — format, byte
+    * sizes, and the 63-bit dHash over the content bytes past the
+    * parsed container header (graftx.MediaDHashExpr). Pure codegen'd
+    * map, no shuffle; at 100 TB this is one pass over the blob column
+    * exactly like the metadata decode. Fully oracle-gated: the
+    * builders' bodies are the document text, so DuckDB recomputes
+    * every block sum, comparison bit, and the hash itself per item.
+    */
+  def mediaDHash(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        VectorFns.media_dhash(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("media_id"), col("h.format").as("format"),
+        col("n_bytes"),
+        (col("n_bytes") - col("h.body_off")).cast("long").as("body_len"),
+        col("h.dhash").as("dhash"))
+
+  /** C88b: perceptual NEAR-DUP pairs over the hash — the C3 simhash
+    * machinery on media bytes: each 63-bit hash splits into 4
+    * 16-bit bands, candidates share a band value (pigeonhole: any
+    * pair within hamming `maxDist` ≤ 3 < 4 bands agrees on at least
+    * one whole band, so the banded join finds EXACTLY the pairs the
+    * exact O(n²) scan would — the oracle IS that scan), and the
+    * published row carries the exact popcount hamming. Scale shape:
+    * one map + a 4×-fan-out band equi-join — never a cross product;
+    * band width is the occupancy dial exactly like the LSH planes.
+    */
+  def mediaDedup(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4 x 16-bit bands guarantee full recall only to hamming 3, got $maxDist")
+    val h = mediaDHash(media).select(col("media_id"), col("dhash"))
+    val bands = h.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("bkey"))): _*)).as("tb"))
+      .select(col("media_id"), col("dhash"),
+        col("tb.band").as("band"), col("tb.bkey").as("bkey"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id1"), col("y.media_id").as("id2"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** C11: feature extraction over the binary column — one codegen'd
     * expression per row, partition-parallel with no shuffle and no
     * object-serialization barrier. Memory stays flat when payloads

@@ -909,9 +909,29 @@ object TextOps {
     * shuffles ONCE per round on doc_id and stays there for all four
     * window steps, one exchange reused). Nothing quadratic; rounds is
     * a small fixed dial exactly like Lloyd iterations.
+    *
+    * r12 (VERDICT r11 #5): `batch` selects the top-N most-frequent
+    * PAIRWISE-DISJOINT pairs per round and rewrites them in ONE pass
+    * — the dial that takes the trainer toward a real vocab (a 32k
+    * vocab needs thousands of merges; at one merge per round the
+    * round count, not the per-round work, is the wall). Disjointness
+    * rule (deterministic AND oracle-expressible): rank the top-N
+    * candidates by (n DESC, a, b); a candidate survives iff it shares
+    * NO token with ANY higher-ranked candidate (non-recursive — a
+    * dropped candidate still blocks, which keeps the rule a plain
+    * self-join instead of a sequential fold; the classical greedy
+    * differs only on chains ≥ 3 sharing tokens, where one round's
+    * loss is the next round's pick). Disjoint selected pairs cannot
+    * match adjacent positions (adjacent matches would share the
+    * middle token), so consecutive-match islands remain single-pair
+    * runs and the a==b parity rule applies per island unchanged —
+    * batched rewrite ≡ sequential rewrite whenever the selected pairs
+    * don't interact, which the spec pins. batch = 1 is bit-identical
+    * to the pre-batch operator.
     */
-  def bpeTrain(documents: DataFrame, rounds: Int = 2): DataFrame =
-    bpeLoop(documents, rounds)._1
+  def bpeTrain(documents: DataFrame, rounds: Int = 2,
+      batch: Int = 1): DataFrame =
+    bpeLoop(documents, rounds, batch)._1
 
   /** C82: BPE ENCODE — tokenize the corpus with the merges
     * [[bpeTrain]] learns: the same `rounds` greedy train-and-rewrite
@@ -927,9 +947,9 @@ object TextOps {
     * doc_id exchange per round reused across the window steps.
     */
   def bpeEncode(documents: DataFrame, rounds: Int = 2,
-      docMod: Int = 25): DataFrame = {
+      docMod: Int = 25, batch: Int = 1): DataFrame = {
     require(docMod >= 1)
-    bpeLoop(documents, rounds)._2
+    bpeLoop(documents, rounds, batch)._2
       .filter(pmod(col("doc_id"), lit(docMod)) === 0)
       .select(col("doc_id"), col("pos"), col("tok"))
   }
@@ -938,10 +958,12 @@ object TextOps {
     * rewritten token table). Mechanics documented on [[bpeTrain]].
     */
   private def bpeLoop(documents: DataFrame,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int, batch: Int = 1): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1 && rounds <= 16,
       s"BPE merge rounds is a small fixed dial, got $rounds")
+    require(batch >= 1 && batch <= 64,
+      s"BPE merges per round is a small fixed dial, got $batch")
     val bridge = org.apache.spark.sql.graftx.bridge
     def release(df: DataFrame): Unit =
       bridge.checkpointRdd(df)
@@ -956,23 +978,45 @@ object TextOps {
     var stats: DataFrame = null
     for (r <- 1 to rounds) {
       val big = cur.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      val top = bridge.plainLocalCheckpoint(
-        big.filter(col("nxt").isNotNull)
-          .groupBy(col("tok").as("a"), col("nxt").as("b"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("a"), col("b")).limit(1))
+      // top-`batch` candidates by (n DESC, a, b) via TakeOrdered, then
+      // the NON-RECURSIVE disjointness filter: a candidate survives
+      // iff it shares no token with ANY higher-ranked candidate — a
+      // bounded self-anti-join over ≤ batch rows (a dropped candidate
+      // still blocks; see the bpeTrain doc). batch = 1 degenerates to
+      // the plain top-1 with no blocker — the pre-batch operator.
+      val cand = big.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(batch)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("a"), col("b"))))
+      val sel =
+        if (batch == 1) cand.select(col("a"), col("b"), col("n"))
+        else cand.as("c").join(cand.as("d"),
+            col("d.rk") < col("c.rk")
+              && (col("d.a") === col("c.a") || col("d.a") === col("c.b")
+                || col("d.b") === col("c.a") || col("d.b") === col("c.b")),
+            "left_anti")
+          .select(col("a"), col("b"), col("n"))
+      val top = bridge.plainLocalCheckpoint(sel)
       graft.CacheRegistry.registerCheckpoint(top)
-      val j = big.crossJoin(broadcast(top))
-        .withColumn("m", col("tok") === col("a") && col("nxt") === col("b"))
+      // selected pairs are token-disjoint, so a position matches at
+      // most ONE pair — the broadcast equi-left-join marks it
+      val j = big.join(broadcast(top),
+          col("tok") === col("a") && col("nxt") === col("b"), "left")
+        .withColumn("m", col("a").isNotNull)
       // greedy left-to-right: islands of CONSECUTIVE match positions
-      // (gaps-and-islands on pos), merge offsets 1, 3, … within each
-      val el = j.filter(col("m"))
+      // (gaps-and-islands on pos), merge offsets 1, 3, … within each.
+      // Disjointness means consecutive matches are always the SAME
+      // pair (adjacent different-pair matches would share the middle
+      // token), so the parity rule is per-pair exactly as at batch 1.
+      val elp = j.filter(col("m"))
         .withColumn("isl", col("pos") - row_number().over(wDoc))
         .withColumn("elig",
           row_number().over(Window.partitionBy(col("doc_id"), col("isl"))
             .orderBy(col("pos"))) % 2 === 1)
-        .select(col("doc_id"), col("pos"), col("elig"))
-      val merged = j.join(el, Seq("doc_id", "pos"), "left")
+      val el = elp.select(col("doc_id"), col("pos"), col("elig"))
+      val merged = j.drop("a", "b", "n").join(el, Seq("doc_id", "pos"), "left")
         .withColumn("elig", coalesce(col("elig"), lit(false)))
         .withColumn("consumed",
           coalesce(lag(col("elig"), 1).over(wDoc), lit(false)))
@@ -983,15 +1027,17 @@ object TextOps {
             .otherwise(col("tok")).as("tok"))
       val next = bridge.plainLocalCheckpoint(merged)
       graft.CacheRegistry.registerCheckpoint(next)
-      // 1-row stats frame, pinned eagerly BEFORE the old table's
-      // blocks can be released (its plan reads cur + top leaves)
+      // per-selected-pair stats rows, pinned eagerly BEFORE the old
+      // table's blocks can be released (the plan reads cur + top)
       val row = bridge.plainLocalCheckpoint(
-        top.select(lit(r).cast("long").as("round"),
-            concat_ws(" ", col("a"), col("b")).as("pair"), col("n"))
-          .crossJoin(broadcast(el.filter(col("elig"))
-            .agg(count(lit(1)).as("n_merges"))))
+        top.join(elp.filter(col("elig")).groupBy("a", "b")
+            .agg(count(lit(1)).as("n_merges")), Seq("a", "b"), "left")
           .crossJoin(broadcast(
-            next.agg(countDistinct(col("tok")).as("vocab_size")))))
+            next.agg(countDistinct(col("tok")).as("vocab_size"))))
+          .select(lit(r).cast("long").as("round"),
+            concat_ws(" ", col("a"), col("b")).as("pair"), col("n"),
+            coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+            col("vocab_size")))
       graft.CacheRegistry.registerCheckpoint(row)
       release(cur)
       cur = next

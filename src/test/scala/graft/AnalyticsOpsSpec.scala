@@ -358,6 +358,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("theilSenSampled band_ok reads FALSE on a corrupted subsample") {
+    import spark.implicits._
+    // VERDICT r11 #8 (the winsorize tautology lesson): band_ok is
+    // published recomputed-not-asserted, so a refactor could silently
+    // make it structurally TRUE. Pin the comparison LIVE: a 40-day
+    // series whose SAMPLED days (the operator's own mod-8 md5 day
+    // draw, evaluated here with the identical expression) carry a
+    // fabricated slope-1000 signal while the unsampled majority is
+    // flat zero — the exact median is 0 (zero-zero pairs are ~77% of
+    // all pairs), the sampled median is exactly 1000, and band_ok
+    // must read FALSE.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val days = (0 until 40).map(i =>
+      new java.sql.Timestamp(ts0 + i.toLong * 86400000L))
+    val keptX = days.map(d => Tuple1(d)).toDF("ts")
+      .select(date_trunc("day", col("ts")).as("day"))
+      .filter(pmod(graft.functions.VectorFns.md5_hash32(
+        concat_ws("|", lit("k"), col("day").cast("date").cast("string"))),
+        lit(8L)) === lit(0L))
+      .select(datediff(col("day"), lit("2024-01-01").cast("date")))
+      .collect().map(_.getInt(0)).toSet
+    assert(keptX.size >= 2, s"need >= 2 kept days, draw kept $keptX")
+    val events = days.zipWithIndex.map { case (d, i) =>
+      (i.toLong, d, 1L, "k",
+        if (keptX.contains(i)) 1000.0 * i else 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val row = AnalyticsOps.theilSenSampled(events, sampleMod = 8).head()
+    assert(row.getAs[Double]("ts_slope_sampled") === 1000.0)
+    assert(math.abs(row.getAs[Double]("ts_slope")) < 1.0)
+    assert(!row.getAs[Boolean]("band_ok"),
+      "band_ok must flag a sampled median 1000 away from the exact one")
+  }
+
   test("winsorizeApprox: sketch cuts flip flags only inside the cut interval") {
     val events = Tables.events(spark, sf)
     val out = AnalyticsOps.winsorizeApprox(events).cache()

@@ -615,11 +615,16 @@ class SimilarityTextOpsSpec extends SparkSpec {
     // are near-random (LSH's hardest case); real corpora cluster
     val approx = SimilarityOps.knnGraph(embeddings, k = 5,
       numPlanes = 2, numTables = 6)
-    graft.CacheRegistry.unpersistAll()
     assert(approx.groupBy("src").count()
       .filter(col("count") > 5).count() === 0)
     val hit = truth.join(approx.select("src", "nbr"), Seq("src", "nbr")).count()
     val recall = hit.toDouble / truth.count()
+    // release AFTER the consuming actions — knnGraph's projection leaf
+    // is CacheRegistry-registered since r12, and the registry contract
+    // is release-after-consumption (an unpersistAll between
+    // construction and the joins above would drop the checkpoint
+    // blocks the approx frame's truncated lineage cannot rebuild)
+    graft.CacheRegistry.unpersistAll()
     assert(recall >= 0.6, s"knnGraph recall $recall below floor")
   }
 
@@ -630,11 +635,11 @@ class SimilarityTextOpsSpec extends SparkSpec {
     val expected = math.max(1, math.min(24,
       math.ceil(math.log(n.toDouble / 256) / math.log(2.0)).toInt))
     val auto = SimilarityOps.knnGraph(embeddings)
-    graft.CacheRegistry.unpersistAll()
     val explicitP = SimilarityOps.knnGraph(embeddings, numPlanes = expected)
-    graft.CacheRegistry.unpersistAll()
     assert(auto.exceptAll(explicitP).count() === 0)
     assert(explicitP.exceptAll(auto).count() === 0)
+    // registered-checkpoint contract: release after consumption
+    graft.CacheRegistry.unpersistAll()
   }
 
   test("urlDomains finds every injected URL under its derived domain") {
@@ -1572,5 +1577,149 @@ class SimilarityTextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SimilarityOps.kCenterSample(embeddings, 65)
     }
+  }
+
+  test("dedupSemanticAnn refines the exact closure; identical twins never escape") {
+    val aug = SimilarityOps.withSyntheticParaphrases(embeddings)
+    val exact = SimilarityOps.dedupSemantic(aug)
+    val ann = SimilarityOps.dedupSemanticAnn(aug)
+    // same universe: every vector appears exactly once
+    assert(ann.count() === aug.count())
+    assert(ann.select(countDistinct("vec_id")).head.getLong(0) === aug.count())
+    val j = ann.select(col("vec_id"), col("component").as("ac"))
+      .join(exact.select(col("vec_id"), col("component").as("xc")), "vec_id")
+    // ANN candidates are scored with the SAME exact round-3 cosine and
+    // threshold, so ANN pairs ⊆ exact pairs: the ANN closure can only
+    // REFINE the exact one — an ANN-non-canonical doc must be
+    // exact-non-canonical, and no ANN component spans two exact ones
+    assert(j.filter(col("ac") =!= col("vec_id")
+      && col("xc") === col("vec_id")).count() === 0,
+      "ANN marked a doc duplicate that the exact closure calls unique")
+    assert(j.groupBy("ac").agg(countDistinct("xc").as("nx"))
+      .filter(col("nx") > 1).count() === 0,
+      "an ANN component spans two exact components")
+    // injected identical twins project identically onto every LSH
+    // plane, so they share every bucket — the graph cannot miss them
+    val twins = ann.filter(col("vec_id") >= 1000000001L)
+    assert(twins.count() > 0)
+    assert(twins.filter(col("vec_id") === col("component")).count() === 0,
+      "an identical twin survived as its own canonical")
+    CacheRegistry.unpersistAll()
+  }
+
+  test("dedupSemanticAnnRecall clears the floor with non-vacuous truth") {
+    val r = SimilarityOps.dedupSemanticAnnRecall(
+      SimilarityOps.withSyntheticParaphrases(embeddings)).head()
+    assert(r.getAs[Long]("n_truth") >= 2L,
+      "truth must include at least the injected twins")
+    assert(r.getAs[Boolean]("recall_ok"), "ANN component recall below floor")
+    CacheRegistry.unpersistAll()
+  }
+
+  test("knnIvfPq index round-trips through parquet and searches identically") {
+    // the train-once/search-many contract (VERDICT r11 #3): persist
+    // codebooks + codes + assignments + centroids, read them back, and
+    // the search-only path must reproduce the end-to-end operator
+    // bit-for-bit (training is deterministic by the C54 protocol)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+    try {
+      val idx = SimilarityOps.knnIvfPqIndex(embeddings)
+      SimilarityOps.writeIvfPqIndex(idx, dir.toString)
+      CacheRegistry.unpersistAll()
+      val stored = SimilarityOps.readIvfPqIndex(spark, dir.toString)
+      val fromDisk = SimilarityOps.knnIvfPqSearch(embeddings, stored).cache()
+      val inMem = SimilarityOps.knnIvfPq(embeddings)
+      assert(fromDisk.except(inMem).isEmpty && inMem.except(fromDisk).isEmpty,
+        "search over the stored index diverged from the end-to-end operator")
+      fromDisk.unpersist()
+    } finally {
+      CacheRegistry.unpersistAll()
+      import java.nio.file.{Files, Path}
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("bpeTrain batched: non-interacting top-N equals sequential rounds") {
+    import spark.implicits._
+    // top-2 pairs (x,y) and (z,w) share no token and occur in disjoint
+    // positions — one batched round must equal two sequential rounds
+    val docs = Seq((1L, "s", "x y x y z w z w"), (2L, "s", "x y z w"))
+      .toDF("doc_id", "source", "text")
+    val batched = TextOps.bpeEncode(docs, rounds = 1, docMod = 1, batch = 2)
+    val seq2 = TextOps.bpeEncode(docs, rounds = 2, docMod = 1)
+    assert(batched.except(seq2).isEmpty && seq2.except(batched).isEmpty,
+      "batched disjoint merges must equal the sequential trajectory")
+    CacheRegistry.unpersistAll()
+    // the batch=1 path is bit-identical to the pre-batch operator
+    // shape: one stats row per round, same schema
+    val stats = TextOps.bpeTrain(docs, rounds = 1, batch = 2).collect()
+    assert(stats.map(_.getAs[String]("pair")).sorted.toSeq
+      === Seq("x y", "z w"))
+    CacheRegistry.unpersistAll()
+  }
+
+  test("bpeTrain batched: a candidate sharing a token with a higher rank is blocked") {
+    import spark.implicits._
+    // pairs (a,b):2 (b,b):2 (b,c):2 all share token b — only the
+    // highest-ranked (n DESC, a, b) survives the disjointness filter
+    val docs = Seq((1L, "s", "a b b c a b b c")).toDF("doc_id", "source", "text")
+    val stats = TextOps.bpeTrain(docs, rounds = 1, batch = 3).collect()
+    assert(stats.length === 1 && stats.head.getAs[String]("pair") === "a b",
+      s"expected only 'a b' selected, got ${stats.map(_.getAs[String]("pair")).toSeq}")
+    CacheRegistry.unpersistAll()
+  }
+
+  test("media dhash: closed-form fixtures, cross-container twins, band completeness") {
+    import spark.implicits._
+    // body with strictly increasing bytes → every adjacent block-sum
+    // comparison reads 'less' → all 63 bits clear; strictly decreasing
+    // → all set (2^63 − 1)
+    val inc = Array.tabulate(128)(i => i.toByte)
+    val dec = inc.reverse
+    def wrapped(fmt: String, id: Long, body: Array[Byte]) =
+      org.apache.spark.sql.graftx.MediaWrapExpr.wrap(fmt, id, body)
+    val fx = Seq(
+      (1L, wrapped("png", 1L, inc)), (2L, wrapped("png", 2L, dec)),
+      // same content in a different container: the hash must ignore
+      // the doc_id-derived header entirely
+      (3L, wrapped("jpeg", 3L, inc)), (4L, wrapped("gif", 4L, inc)),
+      (5L, wrapped("wav", 5L, inc))).toDF("media_id", "payload")
+    val h = MultimodalOps.mediaDHash(fx).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"), r.getAs[Long]("body_len"),
+          r.getAs[Long]("dhash")))).toMap
+    assert(h(1L) === (("png", 128L, 0L)))
+    // all 63 bits set = 2^63 − 1 = Long.MaxValue (bit 63 never used —
+    // the hash stays non-negative in BOTH engines; DuckDB refuses
+    // 1::BIGINT << 63 outright)
+    assert(h(2L)._3 === Long.MaxValue)
+    // the hash is computed from the BODY bytes only: the same content
+    // under png/jpeg/gif/wav containers (different doc_id-derived
+    // headers, different header lengths) hashes identically
+    assert(Seq(3L, 4L, 5L).forall(id => h(id)._3 === h(1L)._3))
+    assert(h(3L)._1 === "jpeg" && h(4L)._1 === "gif" && h(5L)._1 === "wav")
+    assert(Seq(3L, 4L, 5L).forall(id => h(id)._2 === 128L))
+    // band completeness at small hamming: boosting ONE interior block
+    // of the increasing body flips exactly the comparison into its
+    // successor (bit 10) — hamming 1 — and the 4-band join must
+    // surface the pair (pigeonhole: d ≤ 3 < 4 bands)
+    val boosted = inc.clone()
+    (20 until 22).foreach(i => boosted(i) = 255.toByte) // block 10 of 64
+    val media = Seq(
+      (10L, wrapped("png", 10L, inc)), (11L, wrapped("png", 11L, boosted)),
+      (12L, wrapped("jpeg", 12L, inc)),
+      (13L, wrapped("png", 13L, dec))).toDF("media_id", "payload")
+    val pairs = MultimodalOps.mediaDedup(media).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(pairs.contains((10L, 12L, 0L)), "exact content twin missed")
+    val nearPair = pairs.find(p => p._1 == 10L && p._2 == 11L)
+    assert(nearPair.isDefined && nearPair.get._3 >= 1L
+      && nearPair.get._3 <= 3L,
+      s"hamming-1-to-3 neighbor missed by the banded join: $pairs")
+    // the all-bits-flipped doc pairs with nothing
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
+    CacheRegistry.unpersistAll()
   }
 }
