@@ -74,6 +74,30 @@ object SparkEntry {
       p.toString
     })
 
+  /** Frozen merge table for the C89 `bpe_apply` entry, materialized
+    * ONCE per JVM per sf dir (the ivfpqIndexDir pattern): the
+    * tokenizer trains on the 80% slice, freezes its ordered merge
+    * list to parquet, and the apply entry tokenizes the HELD-OUT 20%
+    * from storage — the timed region is the apply pass alone, and
+    * the apply corpus is text the trainer never saw.
+    */
+  private val bpeMergesDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeMergesDir(s: SparkSession, d: String): String =
+    bpeMergesDirs.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bpe_merges")
+      TextOps.bpeTrain(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) =!= 0), 2)
+        .write.mode("overwrite").parquet(p.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(q => { Files.deleteIfExists(q); () })
+        catch { case _: Throwable => () }
+      }))
+      p.toString
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. reference surface (ERA5 mart semantics)
@@ -387,6 +411,15 @@ object SparkEntry {
     // selection CTEs, so batched selection AND rewrite are hash-gated
     "bpe_train_batched" -> ((s, d) =>
       TextOps.bpeTrain(Tables.documents(s, d), 2, batch = 4)),
+    // C89 (r12): the tokenizer's train→freeze→apply lifecycle — the
+    // 80% slice trains and freezes its merge table to parquet (once
+    // per JVM, outside the timed region), the held-out 20% tokenizes
+    // FROM STORAGE; the oracle re-derives the training rounds on the
+    // 80% slice and replays the frozen rewrite on the 20%, so the
+    // out-of-training apply is hash-gated position by position
+    "bpe_apply" -> ((s, d) => TextOps.bpeApply(
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+      s.read.parquet(bpeMergesDir(s, d)), 2)),
     // C82 (r11): the APPLY half of the tokenizer — the same 2 trained
     // merge rounds, publishing the final rewritten token table for a
     // deterministic mod-25 doc sample (the rewrite runs on the FULL
@@ -786,6 +819,80 @@ object SparkEntry {
   private def bpeEncodeSql(rounds: Int, docMod: Int): String =
     bpeCtesSql(rounds) +
       s"\nSELECT doc_id, pos, tok FROM r$rounds WHERE doc_id % $docMod = 0"
+
+  /** C89's oracle generator (r12): train rounds re-derived on the
+    * TRAINING slice (documents where doc_id % mod <> 0 — bpeCtesSql's
+    * blocks verbatim over the filtered base), then the APPLY corpus
+    * (doc_id % mod = 0) rewritten round by round against each
+    * r{i}_top — the frozen-merge replay, with no selection CTEs on
+    * the apply side at all.
+    */
+  private def bpeApplySql(rounds: Int, mod: Int): String = {
+    val trainBase =
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % $mod <> 0),
+         |r0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+         |  FROM tk, unnest(generate_series(1, len(t))) AS u(i))""".stripMargin
+    val trainBlocks = (1 to rounds).map { i =>
+      s"""r${i}_big AS (SELECT doc_id, pos, tok,
+         |  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM r${i - 1}),
+         |r${i}_top AS (SELECT tok AS a, nxt AS b, count(*) AS n
+         |  FROM r${i}_big WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |r${i}_j AS (SELECT g.doc_id, g.pos, g.tok, g.nxt,
+         |  (g.tok = t.a AND g.nxt = t.b) AS m FROM r${i}_big g, r${i}_top t),
+         |r${i}_el AS (SELECT doc_id, pos,
+         |  (row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2) = 1
+         |    AS elig
+         |  FROM (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |    FROM r${i}_j WHERE m)),
+         |r${i}_c AS (SELECT j.doc_id, j.pos, j.tok, j.nxt,
+         |  coalesce(e.elig, FALSE) AS elig
+         |  FROM r${i}_j j LEFT JOIN r${i}_el e USING (doc_id, pos)),
+         |r$i AS (SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+         |    AS pos,
+         |  CASE WHEN elig THEN tok || '+' || nxt ELSE tok END AS tok
+         |  FROM (SELECT *, coalesce(lag(elig) OVER (PARTITION BY doc_id
+         |    ORDER BY pos), FALSE) AS consumed FROM r${i}_c)
+         |  WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val applyBase =
+      s""",
+         |atk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % $mod = 0),
+         |a0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+         |  FROM atk, unnest(generate_series(1, len(t))) AS u(i))""".stripMargin
+    val applyBlocks = (1 to rounds).map { i =>
+      s"""a${i}_big AS (SELECT doc_id, pos, tok,
+         |  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM a${i - 1}),
+         |a${i}_j AS (SELECT g.doc_id, g.pos, g.tok, g.nxt,
+         |  (g.tok = t.a AND g.nxt = t.b) AS m FROM a${i}_big g, r${i}_top t),
+         |a${i}_el AS (SELECT doc_id, pos,
+         |  (row_number() OVER (PARTITION BY doc_id, isl ORDER BY pos) % 2) = 1
+         |    AS elig
+         |  FROM (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |    FROM a${i}_j WHERE m)),
+         |a${i}_c AS (SELECT j.doc_id, j.pos, j.tok, j.nxt,
+         |  coalesce(e.elig, FALSE) AS elig
+         |  FROM a${i}_j j LEFT JOIN a${i}_el e USING (doc_id, pos)),
+         |a$i AS (SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+         |    AS pos,
+         |  CASE WHEN elig THEN tok || '+' || nxt ELSE tok END AS tok
+         |  FROM (SELECT *, coalesce(lag(elig) OVER (PARTITION BY doc_id
+         |    ORDER BY pos), FALSE) AS consumed FROM a${i}_c)
+         |  WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    trainBase + trainBlocks + applyBase + applyBlocks +
+      s"\nSELECT doc_id, pos, tok FROM a$rounds"
+  }
 
   /** C80's batched-oracle generator (r12): the same unrolled rounds
     * with the top-1 selection CTE replaced by top-N + the
@@ -2687,6 +2794,7 @@ object SparkEntry {
     // the post-rewrite vocab by scalar subqueries on the same CTEs.
     "bpe_train" -> bpeTrainSql(2),
     "bpe_train_batched" -> bpeTrainBatchedSql(2, 4),
+    "bpe_apply" -> bpeApplySql(2, 5),
     "bpe_encode" -> bpeEncodeSql(2, 25),
     "bpe_pairs" ->
       """WITH t AS (SELECT doc_id,

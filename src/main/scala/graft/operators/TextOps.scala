@@ -954,6 +954,76 @@ object TextOps {
       .select(col("doc_id"), col("pos"), col("tok"))
   }
 
+  /** C89 (r12): tokenizer APPLY with a FROZEN merge table — the
+    * lifecycle half C80/C82 don't cover: production trains once,
+    * freezes the ordered merge list to storage, and tokenizes NEW
+    * text with it (text the trainer never saw — re-running the
+    * trainer on the new slice would learn different merges, which is
+    * why C82 deliberately rewrites the full training corpus). The
+    * C87 pattern for the tokenizer: `merges` is [[bpeTrain]]'s
+    * published table read back from storage; round r's pair set is a
+    * 1-to-N-row broadcast (the stored pairs are token-disjoint BY
+    * CONSTRUCTION of the trainer's selection, a set property
+    * independent of which corpus they apply to), and the rewrite is
+    * the island-parity pass verbatim — no counting, no selection, no
+    * training-side work anywhere in the plan.
+    *
+    * Scale shape per round: ONE doc-partitioned window pass over the
+    * apply corpus + a broadcast of ≤64 merge rows; rounds = the
+    * frozen vocab's merge-round count. Nothing reads the training
+    * corpus; the merge table is the entire model.
+    */
+  def bpeApply(documents: DataFrame, merges: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 16,
+      s"BPE merge rounds is a small fixed dial, got $rounds")
+    val bridge = org.apache.spark.sql.graftx.bridge
+    def release(df: DataFrame): Unit =
+      bridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var cur = bridge.plainLocalCheckpoint(
+      documents.select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok")))
+    graft.CacheRegistry.registerCheckpoint(cur)
+    for (r <- 1 to rounds) {
+      // the frozen round-r pair set: "a b" splits on the single
+      // space bpeTrain's publisher writes (tokens never contain
+      // spaces — they come from a whitespace split; merged tokens
+      // join with '+')
+      val sel = merges.filter(col("round") === r.toLong)
+        .select(element_at(split(col("pair"), " ", 2), 1).as("a"),
+          element_at(split(col("pair"), " ", 2), 2).as("b"))
+      val big = cur.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val j = big.join(broadcast(sel),
+          col("tok") === col("a") && col("nxt") === col("b"), "left")
+        .withColumn("m", col("a").isNotNull)
+      val el = j.filter(col("m"))
+        .withColumn("isl", col("pos") - row_number().over(wDoc))
+        .withColumn("elig",
+          row_number().over(Window.partitionBy(col("doc_id"), col("isl"))
+            .orderBy(col("pos"))) % 2 === 1)
+        .select(col("doc_id"), col("pos"), col("elig"))
+      val merged = j.drop("a", "b").join(el, Seq("doc_id", "pos"), "left")
+        .withColumn("elig", coalesce(col("elig"), lit(false)))
+        .withColumn("consumed",
+          coalesce(lag(col("elig"), 1).over(wDoc), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("doc_id"),
+          row_number().over(wDoc).cast("long").as("pos"),
+          when(col("elig"), concat(col("tok"), lit("+"), col("nxt")))
+            .otherwise(col("tok")).as("tok"))
+      val next = bridge.plainLocalCheckpoint(merged)
+      graft.CacheRegistry.registerCheckpoint(next)
+      release(cur)
+      cur = next
+    }
+    cur
+  }
+
   /** Shared trainer/encoder loop: returns (merge-stats frame, final
     * rewritten token table). Mechanics documented on [[bpeTrain]].
     */

@@ -1659,6 +1659,35 @@ class SimilarityTextOpsSpec extends SparkSpec {
     CacheRegistry.unpersistAll()
   }
 
+  test("bpeApply replays frozen merges; out-of-training text merges only trained pairs") {
+    import spark.implicits._
+    // applying the trainer's own merges to its own corpus must
+    // reproduce the encoder output exactly (same pairs, same rewrite)
+    val docs = documents
+    val merges = TextOps.bpeTrain(docs, 2)
+    val applied = TextOps.bpeApply(docs, merges, 2)
+    val encoded = TextOps.bpeEncode(docs, 2, docMod = 1)
+    assert(applied.except(encoded).isEmpty && encoded.except(applied).isEmpty,
+      "frozen-merge apply on the training corpus must equal the encoder")
+    // OUT-OF-TRAINING text: a novel doc carrying the round-1 trained
+    // pair twice gets it merged both times; tokens the table doesn't
+    // cover pass through verbatim, and nothing new is invented
+    val m = merges.collect().sortBy(_.getAs[Long]("round"))
+    val Array(a, b) = m.head.getAs[String]("pair").split(" ", 2)
+    val novel = Seq((900001L, "s", s"$a $b zzz0 $a $b zzz1"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.bpeApply(novel, merges, 2)
+      .orderBy("pos").collect().map(_.getAs[String]("tok")).toSeq
+    assert(out.count(_ == s"$a+$b") === 2,
+      s"trained pair not applied to novel text: $out")
+    assert(out.contains("zzz0") && out.contains("zzz1"))
+    val trained = m.map(_.getAs[String]("pair").replace(" ", "+")).toSet
+    assert(out.filter(_.contains("+"))
+      .forall(t => trained.exists(t.contains)),
+      s"apply invented merges: $out vs trained $trained")
+    CacheRegistry.unpersistAll()
+  }
+
   test("bpeTrain batched: a candidate sharing a token with a higher rank is blocked") {
     import spark.implicits._
     // pairs (a,b):2 (b,b):2 (b,c):2 all share token b — only the
