@@ -9,15 +9,24 @@ import json
 import sys
 
 
-def num_map(artifact, key):
+def num_map(artifact, key, label=None):
     """The artifact's name->seconds map, keeping only plain numbers —
     forked-heavy or older artifact shapes may carry nested objects or
-    nulls for some entries, which must be skipped, not crashed on."""
+    nulls for some entries, which must be skipped, not crashed on.
+    Anything dropped is REPORTED (ADVICE r12: a silent drop makes the
+    shared-set totals compare different subsets with no indication)."""
     m = artifact.get(key, {})
     if not isinstance(m, dict):
+        if label:
+            print(f"note: {label}.{key} is not a map - treated as empty")
         return {}
-    return {k: float(v) for k, v in m.items()
+    kept = {k: float(v) for k, v in m.items()
             if isinstance(v, (int, float)) and not isinstance(v, bool)}
+    dropped = sorted(set(m) - set(kept))
+    if dropped and label:
+        print(f"note: {label}.{key} dropped {len(dropped)} non-numeric "
+              f"entries: {', '.join(dropped)}")
+    return kept
 
 
 def main():
@@ -30,9 +39,18 @@ def main():
         base = json.load(f)
     with open(scaled_f) as f:
         scaled = json.load(f)
-    bq, sq = num_map(base, "queries"), num_map(scaled, "queries")
+    bq = num_map(base, "queries", label="base")
+    sq = num_map(scaled, "queries", label="scaled")
     bs, ss = num_map(base, "stage_ms"), num_map(scaled, "stage_ms")
     shared = sorted(set(bq) & set(sq))
+    only_base = sorted(set(bq) - set(sq))
+    only_scaled = sorted(set(sq) - set(bq))
+    if only_base:
+        print(f"note: {len(only_base)} queries only in base (excluded "
+              f"from shared totals): {', '.join(only_base)}")
+    if only_scaled:
+        print(f"note: {len(only_scaled)} queries only in scaled (excluded "
+              f"from shared totals): {', '.join(only_scaled)}")
     if not shared:
         print("no shared plain-number query entries between the artifacts")
         sys.exit(1)

@@ -55,8 +55,57 @@ object Bench {
   private def jsonSanitize(s: String): String =
     s.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
 
+  // r13 (VERDICT r12 #1): the driver's r12 bench hit its wall-clock
+  // kill (rc=124) — the suite grew 44% in two rounds and warmup+3
+  // passes of everything no longer fits the round budget. Three
+  // changes keep the artifact DRIVER-CERTIFIABLE as the surface grows:
+  // (a) a per-entry pass dial — a query whose WARMUP pass already
+  //     costs >= HeavyCutSec runs ONE timed pass instead of three
+  //     (the sf1 `passes` precedent: a 10-18 s certification gate's
+  //     job is ratio-class evidence, not noise-floor medians, and its
+  //     wall is far above the noise floor anyway); per-entry pass
+  //     counts land in the JSON (`passes_q`) so the artifact
+  //     self-describes;
+  // (b) a DEADLINE — when elapsed wall crosses it, remaining queries
+  //     are recorded as `deferred` and the artifact finalizes with
+  //     rc=0: a bounded-but-parsed artifact beats a timeout tail;
+  // (c) incremental emission — each finished query appends one JSONL
+  //     line to <out>.progress.jsonl and the main artifact is written
+  //     BEFORE the fork pass too, so even a hard kill mid-run leaves
+  //     per-query walls on disk instead of rc=124 + WARN spam.
+  private lazy val HeavyCutSec =
+    sys.env.get("SPARK_GRAFT_BENCH_HEAVY_SEC") match {
+      case None => 4.0
+      case Some(v) =>
+        require(v.matches("[0-9.]+") && v.toDouble > 0,
+          s"SPARK_GRAFT_BENCH_HEAVY_SEC must be a positive number, got '$v'")
+        v.toDouble
+    }
+  private lazy val DeadlineSec =
+    sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC") match {
+      case None => 1650.0 // 27.5 min from JVM start — under the ~40 min
+      // driver kill that took r12, with margin for sbt/startup ahead
+      case Some(v) =>
+        require(v.matches("[0-9.]+") && v.toDouble > 0,
+          s"SPARK_GRAFT_BENCH_DEADLINE_SEC must be a positive number, got '$v'")
+        v.toDouble
+    }
+
+  /** Serving entries measure the OPPOSITE contract from every other
+    * query: data served from an in-memory mart registered once per
+    * JVM (MartServing), so their timed passes must HIT the cache the
+    * warmup pass registered — clearing between passes would time mart
+    * recomputation, which is exactly what serving exists to avoid. A
+    * full clearAll still runs after the entry's last pass so later
+    * queries inherit nothing.
+    */
+  private val ServingQueries = Set("serving_keys", "serving_range",
+    "serving_wide", "serving_kpi")
+
   def main(args: Array[String]): Unit = {
     if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1")) { forkMain(); return }
+    val runT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - runT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -120,24 +169,50 @@ object Bench {
           jsonSanitize(Option(t.getMessage).getOrElse("")))
       }
 
+    val subset = only.isDefined
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (subset) "BENCH_subset.json" else "BENCH_full.json")
+    // incremental per-query record: survives any kill (VERDICT r12 #1b)
+    val progressPath = java.nio.file.Paths.get(outFile + ".progress.jsonl")
+    java.nio.file.Files.deleteIfExists(progressPath)
+    def appendProgress(line: String): Unit =
+      java.nio.file.Files.write(progressPath,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+
     // (wall s, stage ms, gc ms, retained-heap delta MB)
     val timings = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double, Double)]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val passesQ = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val deferred = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) => !skip.contains(name) }
       .foreach { case (name, fn) =>
+        if (elapsedSec > DeadlineSec) { deferred += name }
+        else {
+        val serving = ServingQueries.contains(name)
         // warmup pass: compiles generated code and JITs kernels (one-time
         // per-JVM costs, not engine throughput); caches dropped after so
         // every timed pass re-does all data work. A warmup failure
         // excludes the query from timing entirely.
+        val w0 = System.nanoTime()
         val warm = run(fn)
-        clearAll()
+        val warmWall = (System.nanoTime() - w0) / 1e9
+        if (!serving) clearAll()
         warm match {
-          case Some(err) => errors(name) = err
+          case Some(err) =>
+            errors(name) = err
+            appendProgress(s"""{"q":"$name","error":"$err"}""")
           case None =>
-            val passes = (1 to TimedPasses).map { _ =>
+            // the pass dial decides off the FIRST TIMED pass, not the
+            // warmup (a JVM-cold warmup charges one-time codegen/JIT
+            // costs to whichever query runs first): a pass already
+            // past HeavyCutSec is far above the noise floor the extra
+            // passes exist to reject, so it stands alone.
+            def onePass(last: Boolean): (Double, Double, Double, Double) = {
               // settle the heap first: every query starts from the same
               // baseline instead of inheriting the previous 40 queries'
               // garbage (the r3 bimodality)
@@ -149,17 +224,37 @@ object Bench {
               val wall = (System.nanoTime() - t0) / 1e9
               val stage = (drainedExecMs() - s0).toDouble
               val gc = (gcMsNow() - g0).toDouble
-              clearAll()
+              if (!serving || last) clearAll()
               val dh = settledHeapMb() - h0
               (wall, stage, gc, dh)
             }
-            if (!errors.contains(name))
+            val first = onePass(last = TimedPasses == 1)
+            val nPasses =
+              if (first._1 >= HeavyCutSec) 1 else TimedPasses
+            val passes = first +: (2 to nPasses).map(i =>
+              onePass(last = i == nPasses))
+            if (serving && nPasses == 1 && TimedPasses > 1) clearAll()
+            passesQ(name) = nPasses
+            if (!errors.contains(name)) {
               timings(name) = (median(passes.map(_._1)), median(passes.map(_._2)),
                 median(passes.map(_._3)), median(passes.map(_._4)))
+              val t = timings(name)
+              appendProgress(s"""{"q":"$name","wall":${t._1},"stage_ms":${t._2}""" +
+                s""","gc_ms":${t._3},"heap_mb":${math.rint(t._4)}""" +
+                s""","passes":$nPasses,"warm":$warmWall}""")
+            } else appendProgress(
+              s"""{"q":"$name","error":"${errors(name)}"}""")
+        }
         }
       }
 
     spark.stop()
+    // Emit the main artifact BEFORE the fork pass (VERDICT r12 #1c):
+    // if the process is killed during the forks, the timed loop's
+    // result is already on disk and on stdout.
+    emit(timings, errors, sfDir, forked = false, subset = subset,
+      skipped = skip, outFile = outFile, passesQ = passesQ,
+      deferred = deferred.toSeq, elapsedSec = elapsedSec)
     // Full runs ALSO fork the dedup-family heavies into fresh child
     // JVMs (one query per process) and report those walls alongside:
     // two consecutive rounds the official in-process artifact showed
@@ -168,50 +263,51 @@ object Bench {
     // separates host contention from a real plan regression — a
     // forked wall near the idle-host figure proves the in-process
     // residue environmental. Opt out with SPARK_GRAFT_BENCH_NOHEAVY=1.
+    // r13: children run warmup + ONE timed pass (their job is a
+    // per-process attribution point, not a median), and the fork loop
+    // respects the deadline — unforked names land in fork_deferred.
+    val forkDeferred = scala.collection.mutable.ListBuffer.empty[String]
     val forkHeavy =
       if (only.isEmpty && !sys.env.get("SPARK_GRAFT_BENCH_NOHEAVY").contains("1"))
-        HeavyQueries.filter(SparkEntry.queries.contains).map { n =>
-          n -> forkOne(n, sfDir)
+        HeavyQueries.filter(SparkEntry.queries.contains).flatMap { n =>
+          if (elapsedSec > DeadlineSec) { forkDeferred += n; None }
+          else Some(n -> forkOne(n, sfDir, passes = 1))
         }.toMap
       else Map.empty[String, Either[String, (Double, Double, Double, Double)]]
-    emit(timings, errors, sfDir, forked = false, subset = only.isDefined,
-      forkHeavy = forkHeavy, skipped = skip)
+    emit(timings, errors, sfDir, forked = false, subset = subset,
+      forkHeavy = forkHeavy, skipped = skip, outFile = outFile,
+      passesQ = passesQ, deferred = deferred.toSeq,
+      forkDeferred = forkDeferred.toSeq, elapsedSec = elapsedSec)
   }
 
   /** The queries whose in-process walls have disagreed with idle-host
     * truth under driver load — the near-dup clustering family (all
     * dominated by the similarity join + label loop).
+    *
+    * r13 TRIM (VERDICT r12 #1): the list had grown to 24 names and
+    * the fork pass alone cost ~10+ min of the driver's budget — a
+    * material share of the rc=124. The default set keeps ONE
+    * representative per contention family (the closure kernel, its
+    * fold, the gram pipeline, the knn/LSH bucket join, the ANN dedup
+    * path, the TPC-H headline); the dropped names (emb_pca pair,
+    * knn_ivfpq pair, q_spearman_approx, simhash/substring variants…)
+    * share those kernels and their historical spreads were resolved
+    * as host contention, with the deep multi-pass attribution runs
+    * available any time via SPARK_GRAFT_BENCH_FORK=1 +
+    * SPARK_GRAFT_BENCH_ONLY.
     */
-  private val HeavyQueries = Seq("dedup_groups", "dedup_apply",
-    "dedup_priority", // C50 runs the same clustering as dedup_apply
-    "dedup_semantic", // C57 runs the same label loop over cosine pairs
-    "pipeline_curate", "train_split_grouped", "dedup_incremental",
-    "dedup_incremental_fold", "dedup_weights",
-    // the posexplode-gram family also persists intermediates through
-    // CacheRegistry (ADVICE r6: same contamination surface as the
-    // clustering loop, so they earn the same per-process attribution)
-    "dedup_substring", "dedup_substring_rewrite", "boilerplate_strip",
-    // r8 continuation: C70 re-runs the clustering inside its gate
-    "dedup_cluster_stats",
-    // r9 (VERDICT r8 #1): q1_pricing's in-process wall AND stage time
-    // doubled in the r8 closing gate with the operator untouched —
-    // the fork wall is the idle-host attribution that clears (or
-    // confirms) a headline TPC-H regression
-    "q1_pricing",
-    // r11 (VERDICT r10 #4): the knn/embedding family — knn_graph's
-    // same-binary in-process wall spread 6.25 ↔ 11.85 s across r10's
-    // two runs (a ~2x host-contention band on the in-process LSH
-    // bucket join), making the family's headline movement
-    // unattributable without a per-process wall
-    "knn_graph", "knn_graph_recall", "emb_pca", "emb_pca_scaled",
-    "knn_lsh", "knn_ivfpq", "knn_ivfpq_recall", "dedup_semantic_incremental",
-    // r12 (VERDICT r11 #4): q_spearman_approx was the round's largest
-    // committed-run distortion still outside the forked family
-    // (10.66 s committed vs 5.97 s driver-run, same binary)
-    "q_spearman_approx",
-    // r12 (VERDICT r11 #2): the production semantic-dedup path runs
-    // the knn_graph candidate machinery — same contention surface
-    "dedup_semantic_ann")
+  private val HeavyQueries = Seq(
+    // the closure family (one kernel: posting-list PPJoin + min-label
+    // loop) — the family VERDICT r12 #2 asks to attribute per-process
+    "dedup_groups", "dedup_apply", "dedup_priority", "dedup_weights",
+    "dedup_cluster_stats", "dedup_incremental",
+    // five-stage curation DAG (contains the closure kernel)
+    "pipeline_curate",
+    // knn/LSH bucket join family (r10's 2x in-process band) + the
+    // production ANN semantic-dedup path built on it
+    "knn_graph", "dedup_semantic_ann",
+    // TPC-H headline (VERDICT r8 #1 precedent)
+    "q1_pricing")
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],
@@ -219,7 +315,12 @@ object Bench {
       forked: Boolean, subset: Boolean,
       forkHeavy: Map[String, Either[String, (Double, Double, Double, Double)]] =
         Map.empty,
-      skipped: Set[String] = Set.empty): Unit = {
+      skipped: Set[String] = Set.empty,
+      outFile: String = "",
+      passesQ: collection.Map[String, Int] = Map.empty,
+      deferred: Seq[String] = Seq.empty,
+      forkDeferred: Seq[String] = Seq.empty,
+      elapsedSec: Double = 0.0): Unit = {
     def map1(f: ((Double, Double, Double, Double)) => Double): String =
       timings.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -237,19 +338,26 @@ object Bench {
     // prose regenerates from the artifact instead of hand-counting
     // (VERDICT r7 #8 — the 162.0s/137 vs 152.7s/139 bookkeeping drift)
     val sk = skipped.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val pq = passesQ.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val df = deferred.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fd = forkDeferred.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${timings.size},"n_errors":${errors.size}""" +
       s""","queries":${map1(_._1)},"stage_ms":${map1(_._2)}""" +
       s""","gc_ms":${map1(_._3)},"heap_delta_mb":${map1(v => math.rint(v._4))}""" +
       s""","fork_wall":$fw,"fork_errors":$fe""" +
-      s""","skipped":$sk""" +
+      s""","skipped":$sk,"passes_q":$pq""" +
+      s""","deferred":$df,"fork_deferred":$fd""" +
+      s""","elapsed_sec":${math.rint(elapsedSec)}""" +
       s""","errors":$es,"passes":$TimedPasses,"forked":$forked,"sf":"$sfDir"}"""
     println(line)
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) default to a DIFFERENT file:
     // a debugging subset silently clobbering the official full-run
     // artifact cost round 4 its bench evidence.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (subset) "BENCH_subset.json" else "BENCH_full.json")
+    val outF = if (outFile.nonEmpty) outFile
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        if (subset) "BENCH_subset.json" else "BENCH_full.json")
     // The driver keeps only the LAST ~2000 chars of stdout and parses
     // JSON out of that tail — the full line above is ~8 KB at 160+
     // queries, so its head (the "metric" key) scrolls out of the
@@ -263,12 +371,13 @@ object Bench {
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${timings.size},"n_errors":${errors.size}""" +
-      s""","queries":$top,"full":"$outFile","sf":"$sfDir"}"""
+      s""","n_deferred":${deferred.size}""" +
+      s""","queries":$top,"full":"$outF","sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
     // the driver's stored tail truncated round 2's wall-time map; keep
     // the full line on disk so no consumer has to reconstruct it.
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outF),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -296,13 +405,13 @@ object Bench {
     emit(timings, errors, sfDir, forked = true, subset = only.isDefined)
   }
 
-  /** Run ONE query's full bench (warmup + 3 medianed passes) in a
-    * fresh child JVM and parse back its (wall, stage, gc, heap)
-    * tuple. Shared by fork mode and the full run's heavy-family
-    * attribution pass.
+  /** Run ONE query's bench (warmup + `passes` timed passes; 0 =
+    * inherit the parent's pass count) in a fresh child JVM and parse
+    * back its (wall, stage, gc, heap) tuple. Shared by fork mode and
+    * the full run's heavy-family attribution pass.
     */
-  private def forkOne(name: String,
-      sfDir: String): Either[String, (Double, Double, Double, Double)] = {
+  private def forkOne(name: String, sfDir: String,
+      passes: Int = 0): Either[String, (Double, Double, Double, Double)] = {
     val javaBin = new java.io.File(new java.io.File(
       System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     // sbt's runMain classpath is the launcher jar; rebuild the real one
@@ -321,6 +430,9 @@ object Bench {
     pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
     pb.environment().remove("SPARK_GRAFT_BENCH_NOHEAVY")
     pb.environment().remove("SPARK_GRAFT_BENCH_SKIP")
+    pb.environment().remove("SPARK_GRAFT_BENCH_DEADLINE_SEC")
+    if (passes > 0)
+      pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.to(
@@ -330,6 +442,8 @@ object Bench {
       case _: Throwable => ""
     }
     java.nio.file.Files.deleteIfExists(out)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out.toString + ".progress.jsonl"))
     (field(json, "queries", name), field(json, "stage_ms", name),
       field(json, "gc_ms", name), field(json, "heap_delta_mb", name)) match {
       case (Some(w), Some(s), g, h) =>

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * Extra args select sections (default: all): `ops` (the operator
   * ratio table), `giant` (giant-component label-loop stress), `fold`
   * (incremental fold + merge-heavy bridge fold + full-recluster
-  * comparison), `grid` (fat-tile file-backed reader I/O ratios) —
+  * comparison), `grid` (fat-tile file-backed reader I/O ratios),
+  * `stream` (per-batch fold cost vs a kx standing corpus at fixed
+  * batch), `streambatch` (the dual: fixed corpus, ~10x batch),
+  * `bpedial` (the C80 batch dial at its 16x64=1024-merge budget) —
   * e.g. `… 10 giant` runs ONLY the giant stress.
   */
 object ScaleSmoke {
@@ -298,7 +301,7 @@ object ScaleSmoke {
     // and the promised quick iteration loop didn't exist.)
     val selectors = args.drop(2).toSet
     val known = Set("ops", "giant", "fold", "grid", "tsdays", "plan",
-      "stream")
+      "stream", "streambatch", "bpedial")
     require(selectors.subsetOf(known),
       s"unknown section selector(s) ${selectors -- known}; valid: $known")
     def want(s: String): Boolean = selectors.isEmpty || selectors(s)
@@ -504,7 +507,7 @@ object ScaleSmoke {
     // fold's probe is index-bucketed (sublinear-to-linear in the
     // corpus), the semantic exact probe is |corpus|·|batch| — linear
     // at fixed batch.
-    val stream = if (!want("stream")) Seq.empty else {
+    val stream = if (!want("stream") && !want("streambatch")) Seq.empty else {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.DataStreamWriter
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -519,8 +522,12 @@ object ScaleSmoke {
           val ms = MemoryStream[T]
           val q = writer(ms.toDF(), s"$base/corpus", s"$base/labels")
             .option("checkpointLocation", s"$base/ckpt").start()
-          feed(ms)
+          // t0 BEFORE the feed (ADVICE r12): the micro-batch can start
+          // processing as soon as addData lands, so timing only
+          // processAllAvailable undercounts nondeterministically —
+          // and the 1x drain being shortest, the skew inflates kx/1x.
           val t0 = System.nanoTime()
+          feed(ms)
           q.processAllAvailable()
           val t = (System.nanoTime() - t0) / 1e9
           q.stop()
@@ -537,11 +544,14 @@ object ScaleSmoke {
       // region (the fold's contract: the corpus was clustered long
       // ago) and laid down as batch=-1 so the writer's batch<id
       // filter includes it on the stream's batch 0
-      def lexDrain(all: DataFrame): Double = {
-        val batch = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
+      def lexDrain(all: DataFrame, batchMod: Int = 10): Double = {
+        val batch = docs0.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
           .as[graft.sources.Schemas.Document].collect().toSeq
-        val batchIds = batch.map(_.doc_id).toSet
-        val prior = all.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+        // prior excludes the LARGEST batch slice (mod 10 ⊇ mod 100),
+        // so growing-batch runs compare against an IDENTICAL prior
+        val priorIds = docs0.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select("doc_id").as[Long].collect().toSet
+        val prior = all.filter(!col("doc_id").isin(priorIds.toSeq: _*))
         drainOne[graft.sources.Schemas.Document](
           base => {
             prior.select("doc_id", "source", "text")
@@ -554,11 +564,12 @@ object ScaleSmoke {
             .streamingDedupIncremental(df, c, l),
           ms => { ms.addData(batch); () })
       }
-      def semDrain(all: DataFrame): Double = {
-        val batch = emb0.filter(pmod(col("vec_id"), lit(10)) === 0)
+      def semDrain(all: DataFrame, batchMod: Int = 10): Double = {
+        val batch = emb0.filter(pmod(col("vec_id"), lit(batchMod)) === 0)
           .as[graft.sources.Schemas.Embedding].collect().toSeq
-        val batchIds = batch.map(_.vec_id).toSet
-        val prior = all.filter(!col("vec_id").isin(batchIds.toSeq: _*))
+        val priorIds = emb0.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select("vec_id").as[Long].collect().toSet
+        val prior = all.filter(!col("vec_id").isin(priorIds.toSeq: _*))
         drainOne[graft.sources.Schemas.Embedding](
           base => {
             prior.select("vec_id", "embedding")
@@ -572,17 +583,42 @@ object ScaleSmoke {
             .streamingDedupSemantic(df, c, l),
           ms => { ms.addData(batch); () })
       }
-      val l1 = lexDrain(docs0)
-      val lk = lexDrain(docsK)
-      val s1 = semDrain(emb0)
-      val sk = semDrain(embK)
-      val lr = lk / l1
-      val sr = sk / s1
-      println(f"[scale] stream_dedup_fold      1x=$l1%6.2fs  ${k}x=$lk%6.2fs  ratio=$lr%5.2f (fixed batch)")
-      println(f"[scale] stream_semantic_fold   1x=$s1%6.2fs  ${k}x=$sk%6.2fs  ratio=$sr%5.2f (fixed batch)")
-      Seq(
-        s""""stream_dedup_fold":{"t1":$l1,"tk":$lk,"ratio":$lr}""",
-        s""""stream_semantic_fold":{"t1":$s1,"tk":$sk,"ratio":$sr}""")
+      val fixedBatch = if (!want("stream")) Seq.empty else {
+        val l1 = lexDrain(docs0)
+        val lk = lexDrain(docsK)
+        val s1 = semDrain(emb0)
+        val sk = semDrain(embK)
+        val lr = lk / l1
+        val sr = sk / s1
+        println(f"[scale] stream_dedup_fold      1x=$l1%6.2fs  ${k}x=$lk%6.2fs  ratio=$lr%5.2f (fixed batch)")
+        println(f"[scale] stream_semantic_fold   1x=$s1%6.2fs  ${k}x=$sk%6.2fs  ratio=$sr%5.2f (fixed batch)")
+        Seq(
+          s""""stream_dedup_fold":{"t1":$l1,"tk":$lk,"ratio":$lr}""",
+          s""""stream_semantic_fold":{"t1":$s1,"tk":$sk,"ratio":$sr}""")
+      }
+      // r13 (VERDICT r12 #8): the DUAL point — prior corpus FIXED at
+      // 1x (minus the mod-10 slice, identical in both runs), batch
+      // grown ~10x (mod-100 slice → mod-10 slice of the same
+      // universe). Bounds the ingest-burst story: the lexical fold's
+      // candidate probe is |union postings| × |batch postings| and
+      // the semantic exact probe is |corpus| × |batch| — both linear
+      // in the batch at a fixed corpus, so the per-batch fold wall
+      // must grow ≲ 10x (usually well under: per-micro-batch fixed
+      // overhead dominates the small-batch run).
+      val growBatch = if (!want("streambatch")) Seq.empty else {
+        val lb1 = lexDrain(docs0, batchMod = 100)
+        val lbK = lexDrain(docs0, batchMod = 10)
+        val sb1 = semDrain(emb0, batchMod = 100)
+        val sbK = semDrain(emb0, batchMod = 10)
+        val lbr = lbK / lb1
+        val sbr = sbK / sb1
+        println(f"[scale] stream_dedup_batch     b1=$lb1%6.2fs  b10=$lbK%6.2fs  ratio=$lbr%5.2f (fixed corpus, 10x batch)")
+        println(f"[scale] stream_semantic_batch  b1=$sb1%6.2fs  b10=$sbK%6.2fs  ratio=$sbr%5.2f (fixed corpus, 10x batch)")
+        Seq(
+          s""""stream_dedup_batch":{"t_b1":$lb1,"t_b10":$lbK,"ratio":$lbr}""",
+          s""""stream_semantic_batch":{"t_b1":$sb1,"t_b10":$sbK,"ratio":$sbr}""")
+      }
+      fixedBatch ++ growBatch
     }
 
     // Fat-tile file-backed grid reader (VERDICT r5 #5): A25's
@@ -592,6 +628,29 @@ object ScaleSmoke {
     // measure full-scan vs one-var-select vs region-pruned walls.
     // Expected shape: one-var ≈ 1/7 of full payload read (plus one
     // header per tile), pruned ≈ kept-tiles fraction of full.
+    // r13 (VERDICT r12 #5): the C80 batch dial at its BUDGET — the
+    // gated bpe_train_batched entry runs small rounds, so nothing had
+    // measured the full 16 × 64 = 1024-merge plan the dial exists
+    // for. Per-round wall must stay ~flat as rounds grow 2 → 16 at
+    // batch=64: each round is one doc-window pass + one ≤64-row
+    // broadcast regardless of how many rounds precede it (the token
+    // table re-pins per round, so lineage depth doesn't accumulate).
+    val bpedial = if (!want("bpedial")) Seq.empty else {
+      import graft.operators.TextOps
+      def trainWall(rounds: Int): Double = {
+        force(TextOps.bpeTrain(docs0, rounds, batch = 64))
+        CacheRegistry.unpersistAll()
+        val t = time { force(TextOps.bpeTrain(docs0, rounds, batch = 64)) }
+        CacheRegistry.unpersistAll()
+        t
+      }
+      val t2 = trainWall(2)
+      val t16 = trainWall(16)
+      val perRoundRatio = (t16 / 16) / (t2 / 2)
+      println(f"[scale] bpe_dial_b64          r2=$t2%6.2fs  r16=$t16%6.2fs  per-round ratio=$perRoundRatio%5.2f (1024 merges)")
+      Seq(s""""bpe_dial_b64":{"t_r2":$t2,"t_r16":$t16,"per_round_ratio":$perRoundRatio}""")
+    }
+
     val grid = if (!want("grid")) Seq.empty else {
       import graft.sources.grid.GridFiles
       val dir = java.nio.file.Files.createTempDirectory("graft_fat_tiles")
@@ -664,7 +723,7 @@ object ScaleSmoke {
         s""","ratio":$ratio,"pruned_t":$tp,"pruned_n":$np}""")
     }
 
-    println((rows ++ giant ++ tsdays ++ fold ++ stream ++ grid ++ plan)
+    println((rows ++ giant ++ tsdays ++ fold ++ stream ++ bpedial ++ grid ++ plan)
       .mkString(s"""{"k":$k,"ops":{""", ",", "}}"))
     spark.stop()
   }

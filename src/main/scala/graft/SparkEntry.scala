@@ -98,6 +98,26 @@ object SparkEntry {
       p.toString
     })
 
+  /** Served daily mart for the A24/A45 serving bench family (r13,
+    * VERDICT r12 #7): MartServing.register once per JVM per sf dir.
+    * The dashboard contract is an InMemoryTableScan over a registered
+    * mart VERSION, so the serving entries' timed region must hit the
+    * cache — Bench skips its between-pass cache clear for these
+    * entries (the warmup pass pays registration), and this helper
+    * re-registers whenever the cache was evicted by a harness sweep
+    * between QUERIES, so a timed pass never silently times mart
+    * recomputation. At 100 TB the mart is still serving-sized
+    * (keys × days), so register cost is the pipeline's, not the
+    * dashboards'.
+    */
+  private def servedDailyMart(s: SparkSession, d: String): String = {
+    val name = "graft_served_daily_" + java.lang.Integer.toHexString(d.hashCode)
+    if (!s.catalog.tableExists(name) || !s.catalog.isCached(name))
+      graft.serving.MartServing.register(s,
+        AgriOps.dailyMart(Tables.events(s, d)), name)
+    name
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A. reference surface (ERA5 mart semantics)
@@ -159,8 +179,12 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_join_semi" -> ((s, d) => AnalyticsOps.suppliersWithShipments(
       Tables.supplier(s, d), Tables.lineitem(s, d))),
+    // r13 (VERDICT r12 #4): gate corpus carries injected order-less
+    // twins — the natural corpus has zero, which made the hash gate
+    // vacuous (the hash of an empty set proves nothing)
     "q_join_anti" -> ((s, d) => AnalyticsOps.customersWithoutOrders(
-      Tables.customer(s, d), Tables.orders(s, d))),
+      AnalyticsOps.withSyntheticOrderless(Tables.customer(s, d)),
+      Tables.orders(s, d))),
     "q_join_outer" -> ((s, d) => AnalyticsOps.orderCountDistribution(
       Tables.customer(s, d), Tables.orders(s, d))),
     "q_window_running" -> ((s, d) => AnalyticsOps.runningWindow(Tables.events(s, d))),
@@ -585,6 +609,23 @@ object SparkEntry {
     "pipeline_mart" -> ((s, d) => PipelineOps.martPipeline(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => ScaleOps.skewAudit(Tables.events(s, d), "event_type")),
     "q_percent_rank" -> ((s, d) => AnalyticsOps.percentRanks(Tables.events(s, d))),
+    // A45 (r13, VERDICT r12 #7): the dashboard-shape SERVING family —
+    // MartServing's four query shapes over the registered daily mart
+    // (register happens once per JVM outside the timed region; Bench
+    // keeps the cache warm between these entries' passes, so the
+    // measured latency is the dashboard SLA: an InMemoryTableScan
+    // with pushed predicates, spec-asserted). Oracles re-derive the
+    // mart as a CTE — serving a cached mart version must equal
+    // recomputing it.
+    "serving_keys" -> ((s, d) => graft.serving.MartServing.keys(
+      s, servedDailyMart(s, d), "event_type")),
+    "serving_range" -> ((s, d) => graft.serving.MartServing.rangeLoad(
+      s, servedDailyMart(s, d), "event_type", rangeKeys,
+      "day", "2024-01-05 00:00:00", "2024-01-12 00:00:00")),
+    "serving_wide" -> ((s, d) => graft.serving.MartServing.wideSeries(
+      s, servedDailyMart(s, d), "event_type", pivotKeys, "day", "value_mean")),
+    "serving_kpi" -> ((s, d) => graft.serving.MartServing.kpiRow(
+      s, servedDailyMart(s, d), "event_type", "day")),
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness oracle.
@@ -760,6 +801,22 @@ object SparkEntry {
   // C88: the twin-injected media table's content-hash CTEs — every
   // item's body is its document's text, so block sums, comparison
   // bits, and the 63-bit dHash are all rebuilt from (doc_id, text)
+  /** The A3 daily mart as a CTE — the serving oracles' shared base:
+    * a query served from the registered in-memory mart must equal
+    * the same query over a fresh recomputation of the mart.
+    */
+  private val dailyMartCteSql =
+    """WITH mart AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |  (CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value))
+      |    AS value_mean,
+      |  round(min(value), 4) AS value_min,
+      |  round(max(value), 4) AS value_max,
+      |  CAST(round(sum(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+      |    AS value_sum,
+      |  count(*) AS n_obs
+      |  FROM events GROUP BY event_type, date_trunc('day', ts))""".stripMargin
+
   private val mediaDHashCteSql =
     """WITH m AS (
       |  SELECT doc_id AS media_id, 'png' AS format, 33 AS hdr, text
@@ -767,7 +824,15 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 1000000001 AS media_id, 'jpeg' AS format,
       |    39 AS hdr, text
-      |  FROM documents WHERE doc_id % 40 = 0),
+      |  FROM documents WHERE doc_id % 40 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000002 AS media_id, 'gif' AS format,
+      |    13 AS hdr, text
+      |  FROM documents WHERE doc_id % 40 = 20
+      |  UNION ALL
+      |  SELECT doc_id + 3000000003 AS media_id, 'wav' AS format,
+      |    44 AS hdr, text
+      |  FROM documents WHERE doc_id % 40 = 10),
       |b AS (SELECT media_id, format, hdr, text, strlen(text) AS L FROM m),
       |byt AS (SELECT media_id, (i * 64) // L AS blk,
       |    ord(substr(text, CAST(i AS INT) + 1, 1)) AS v
@@ -1355,8 +1420,15 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
     "q_join_anti" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000, c_name || '#orderless',
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 40 = 0)
+        |SELECT c_custkey, c_name, c_mktsegment FROM cust
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = cust.c_custkey)""".stripMargin,
     "q_join_outer" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -4270,5 +4342,33 @@ object SparkEntry {
         |CAST(k.n AS DOUBLE) / t.total AS share,
         |CAST(k.n AS DOUBLE) * t.n_keys / t.total AS skew_factor
         |FROM k CROSS JOIN t""".stripMargin,
+    // A45 (r13): serving oracles re-derive the daily mart as a CTE —
+    // a query served from the registered in-memory mart must equal
+    // the same query over a fresh recomputation
+    "serving_keys" -> (dailyMartCteSql +
+      "\nSELECT DISTINCT event_type FROM mart ORDER BY event_type"),
+    "serving_range" -> (dailyMartCteSql +
+      """
+        |SELECT event_type, day, value_mean, value_min, value_max,
+        |  value_sum, n_obs
+        |FROM mart
+        |WHERE event_type IN ('click', 'purchase')
+        |  AND day >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND day <= TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_type, day""".stripMargin),
+    // wideSeries' pivot cell is Exact.avgD over the (day, key) group;
+    // the daily mart has exactly one row per (event_type, day), so
+    // the mirror is the same decimal-exact mean over that single row
+    "serving_wide" -> (dailyMartCteSql + "\nSELECT day,\n" +
+      pivotKeys.map(k =>
+        s"""CAST(sum(CAST(CASE WHEN event_type = '$k' THEN value_mean END
+           |  AS DECIMAL(20,6))) AS DOUBLE)
+           |  / count(CASE WHEN event_type = '$k' THEN value_mean END)
+           |  AS "$k"""".stripMargin).mkString(",\n") +
+      "\nFROM mart GROUP BY day ORDER BY day"),
+    "serving_kpi" -> (dailyMartCteSql +
+      """
+        |SELECT count(*) AS n_rows, count(DISTINCT event_type) AS n_keys,
+        |  min(day) AS t_start, max(day) AS t_end FROM mart""".stripMargin),
   )
 }

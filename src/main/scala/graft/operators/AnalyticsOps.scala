@@ -105,6 +105,25 @@ object AnalyticsOps {
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name", "s_nationkey")
 
+  /** De-vacuated gate corpus for the B5 anti-join entry (VERDICT r12
+    * #4): in the driver's corpus EVERY customer has an order, so the
+    * left-anti gate hashed an empty result set — a broken anti-join
+    * returning nothing would still pass. The C71 injected-hazard
+    * pattern: every mod-`mod` customer gets an ORDER-LESS twin
+    * (c_custkey + 10⁹ — outside the o_custkey key range by
+    * construction, name suffixed so the twin is self-identifying) so
+    * the entry emits |customer|/mod rows at every SF and the DuckDB
+    * oracle rebuilds the same twins verbatim.
+    */
+  def withSyntheticOrderless(customer: DataFrame, mod: Int = 40): DataFrame = {
+    val base = customer.select("c_custkey", "c_name", "c_mktsegment")
+    base.unionByName(base
+      .filter(pmod(col("c_custkey"), lit(mod)) === 0)
+      .select((col("c_custkey") + lit(1000000000L)).as("c_custkey"),
+        concat(col("c_name"), lit("#orderless")).as("c_name"),
+        col("c_mktsegment")))
+  }
+
   /** B5: left-anti join (NOT EXISTS) — customers with no orders. */
   def customersWithoutOrders(customer: DataFrame,
       orders: DataFrame): DataFrame =

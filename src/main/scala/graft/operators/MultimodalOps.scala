@@ -122,18 +122,26 @@ object MultimodalOps {
     * gate would be vacuous.
     */
   def toTwinMediaTable(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val png = toMediaTable(documents)
+    val base = toMediaTable(documents)
+    val png = base
       .select(col("doc_id").as("media_id"),
         VectorFns.media_wrap(col("doc_id"), col("payload"), "png")
           .as("payload"))
-    val jpeg = toMediaTable(documents)
-      .filter(pmod(col("doc_id"), lit(40)) === 0)
-      .select((col("doc_id") + lit(1000000001L)).as("media_id"),
-        col("payload"))
+    // r13 (VERDICT r12 #6): one twin family PER non-PNG container, on
+    // disjoint mod-40 slices, so the GATED pair set exercises every
+    // header-skip code path each round — the big-endian chunk walk
+    // (jpeg), the little-endian GCT skip (gif), and the RIFF chunk
+    // walk to the data span (wav) — not just in specs
+    def twins(fmt: String, slice: Int, idOff: Long) = base
+      .filter(pmod(col("doc_id"), lit(40)) === slice)
+      .select((col("doc_id") + lit(idOff)).as("media_id"), col("payload"))
       .select(col("media_id"),
-        VectorFns.media_wrap(col("media_id"), col("payload"), "jpeg")
+        VectorFns.media_wrap(col("media_id"), col("payload"), fmt)
           .as("payload"))
-    png.unionByName(jpeg)
+    png
+      .unionByName(twins("jpeg", 0, 1000000001L))
+      .unionByName(twins("gif", 20, 2000000002L))
+      .unionByName(twins("wav", 10, 3000000003L))
   }
 
   /** C88a: perceptual content hash per media item — format, byte
@@ -151,7 +159,10 @@ object MultimodalOps {
         length(col("payload")).cast("long").as("n_bytes"))
       .select(col("media_id"), col("h.format").as("format"),
         col("n_bytes"),
-        (col("n_bytes") - col("h.body_off")).cast("long").as("body_len"),
+        // the expression's own hashed-span length (ADVICE r12) — NOT
+        // n_bytes - body_off, which disagrees for WAV payloads with
+        // chunks after 'data'
+        col("h.body_len").as("body_len"),
         col("h.dhash").as("dhash"))
 
   /** C88b: perceptual NEAR-DUP pairs over the hash — the C3 simhash

@@ -1077,14 +1077,18 @@ object SimilarityOps {
     */
   def knnIvfPqIndex(embeddings: DataFrame, kCells: Int = 8,
       iters: Int = 2, m: Int = 8, ksub: Int = 16,
-      pqIters: Int = 2): IvfPqIndex = {
+      pqIters: Int = 2, dimHint: Int = 0): IvfPqIndex = {
     val bridge = org.apache.spark.sql.graftx.bridge
     // pinned once: training scans the normalized frame ~6 times (two
     // Lloyd loops + assignment + subvector build); re-normalizing per
     // scan would repeat the per-row dot each time
     val e = bridge.plainLocalCheckpoint(normalized(embeddings))
     graft.CacheRegistry.registerCheckpoint(e)
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    // dimHint skips the driver-side probe when the caller already
+    // knows the dimensionality (ADVICE r12: the composed knnIvfPq ran
+    // the probe twice per call — once here, once in the search half)
+    val dim = if (dimHint > 0) dimHint
+      else embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m even subspaces")
     val dsub = dim / m
 
@@ -1148,10 +1152,11 @@ object SimilarityOps {
     */
   def knnIvfPqSearch(embeddings: DataFrame, idx: IvfPqIndex,
       nQueries: Int = 10, k: Int = 5, nProbe: Int = 4,
-      m: Int = 8, shortlist: Int = 64): DataFrame = {
+      m: Int = 8, shortlist: Int = 64, dimHint: Int = 0): DataFrame = {
     require(nProbe >= 1, "need nProbe >= 1")
     require(shortlist >= k, "the PQ shortlist must cover the final k")
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    val dim = if (dimHint > 0) dimHint
+      else embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m even subspaces")
     val dsub = dim / m
     val cents = idx.cents
@@ -1229,9 +1234,12 @@ object SimilarityOps {
       m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
       shortlist: Int = 64): DataFrame = {
     require(nProbe >= 1 && nProbe <= kCells)
+    // one dim probe for the whole composition (ADVICE r12: index +
+    // search each ran their own driver-side size() action)
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
     knnIvfPqSearch(embeddings,
-      knnIvfPqIndex(embeddings, kCells, iters, m, ksub, pqIters),
-      nQueries, k, nProbe, m, shortlist)
+      knnIvfPqIndex(embeddings, kCells, iters, m, ksub, pqIters, dimHint = dim),
+      nQueries, k, nProbe, m, shortlist, dimHint = dim)
   }
 
   /** C78's oracle gate — the C65 pattern: brute-force truth size from

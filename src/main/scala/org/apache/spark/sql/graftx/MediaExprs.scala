@@ -513,9 +513,15 @@ case class MediaDHashExpr(child: Expression)
 }
 
 object MediaDHashExpr {
+  // body_len is the HASHED span's length (ADVICE r12): for WAV the
+  // hash covers the data-chunk span only, so deriving body length as
+  // n_bytes - body_off on the caller's side would disagree with the
+  // hashed region whenever chunks follow 'data' — the expression is
+  // the only party that knows the true span, so it publishes it.
   val schema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("body_off", IntegerType, nullable = false),
+    StructField("body_len", LongType, nullable = false),
     StructField("dhash", LongType, nullable = false)))
 
   private val PNG = UTF8String.fromString("png")
@@ -655,6 +661,6 @@ object MediaDHashExpr {
         j += 1
       }
     }
-    new GenericInternalRow(Array[Any](fmt, off, dh))
+    new GenericInternalRow(Array[Any](fmt, off, bodyLen.toLong, dh))
   }
 }

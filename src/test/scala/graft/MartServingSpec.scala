@@ -44,6 +44,32 @@ class MartServingSpec extends SparkSpec {
     assert(kpi.getTimestamp(3).toString.startsWith("2024-01-03 23:00"))
   }
 
+  test("serving_* entries serve from the cache and re-register after eviction") {
+    // the A45 bench/gate entries: every serving query's physical plan
+    // must be a cache scan (InMemoryTableScan above the relation),
+    // never a recomputation of the mart lineage
+    def servedPlanOk(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.split("InMemoryRelation").head.contains("InMemoryTableScan"),
+        s"$name: expected a cache scan above the relation in:\n$plan")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+    Seq("serving_keys", "serving_range", "serving_wide", "serving_kpi")
+      .foreach(servedPlanOk)
+    // the range entry's key predicate reaches the cache scan
+    val range = SparkEntry.queries("serving_range")(spark, sf)
+    val rplan = range.queryExecution.executedPlan.toString
+      .split("InMemoryRelation").head
+    assert(rplan.contains("IN (click,purchase)"),
+      s"expected the IN-list pushed into the cache scan in:\n$rplan")
+    // a harness cache sweep between queries (Bench.clearAll) must not
+    // leave later serving entries silently recomputing: the helper
+    // re-registers when the cache is gone
+    spark.catalog.clearCache()
+    servedPlanOk("serving_kpi")
+  }
+
   test("refresh swaps the served version; unregister drops view and cache") {
     MartServing.register(spark, mart, "srv_v")
     val v2 = MartServing.refresh(spark, mart.filter(col("region") === "r0"), "srv_v")
