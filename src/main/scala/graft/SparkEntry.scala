@@ -390,6 +390,12 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetition(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) =>
       TextOps.gopherQuality(TextOps.withSyntheticSlop(Tables.documents(s, d)))),
+    // C90 (r13): NB quality classifier distilled from the C61 gate —
+    // same slop-injected corpus, so both classes are populated at
+    // every SF (the natural corpus is ~all-keep and the model would
+    // be vacuous without the injected negatives)
+    "nb_quality" -> ((s, d) =>
+      TextOps.nbQuality(TextOps.withSyntheticSlop(Tables.documents(s, d)))),
     "quality_report" -> ((s, d) => TextOps.qualityReport(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
@@ -4342,6 +4348,68 @@ object SparkEntry {
         |CAST(k.n AS DOUBLE) / t.total AS share,
         |CAST(k.n AS DOUBLE) * t.n_keys / t.total AS skew_factor
         |FROM k CROSS JOIN t""".stripMargin,
+    // C90 (r13): NB distillation of the gopher gate — the oracle
+    // re-derives the labels (C61's CTE verbatim), retrains the
+    // multinomial counts, and rescores every doc; log-odds quantize
+    // as floor(·10¹²) DECIMAL(38,0) (the C69 protocol), sums are
+    // exact decimal adds, publish = round(sum/10¹², 4), keep_pred on
+    // the rounded value
+    "nb_quality" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' ### ### ### ... ... ...' ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        |    AS toks FROM aug),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(toks, x -> strlen(x))), 0)
+        |    AS BIGINT) AS word_chars,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |    AS BIGINT) AS alpha_words,
+        |  CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+        |    AS n_symbols,
+        |  CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stop
+        |  FROM t),
+        |lab AS (SELECT doc_id,
+        |  (n_words >= 30 AND n_words <= 100000
+        |    AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |    AND 10 * n_symbols <= n_words
+        |    AND 5 * alpha_words >= 4 * n_words
+        |    AND n_stop >= 2) AS keep
+        |  FROM s),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT tok,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM tok JOIN lab USING (doc_id) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS tot_neg,
+        |  CAST(count(*) AS BIGINT) AS vocab FROM tc),
+        |odds AS (SELECT tok, CAST(floor(
+        |  (ln(CAST(n_pos + 1 AS DOUBLE) / CAST(tot_pos + vocab AS DOUBLE))
+        |   - ln(CAST(n_neg + 1 AS DOUBLE) / CAST(tot_neg + vocab AS DOUBLE)))
+        |  * 1e12) AS DECIMAL(38,0)) AS q
+        |  FROM tc CROSS JOIN tot),
+        |pr AS (SELECT CAST(floor(ln(
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |    / CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+        |  * 1e12) AS DECIMAL(38,0)) AS qp FROM lab),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  sum(q) AS qsum FROM tok JOIN odds USING (tok) GROUP BY doc_id)
+        |SELECT lab.doc_id, lab.keep AS label,
+        |  coalesce(sc.n_toks, 0) AS n_toks,
+        |  round(CAST(coalesce(sc.qsum, CAST(0 AS DECIMAL(38,0))) + pr.qp
+        |    AS DOUBLE) / 1e12, 4) AS score,
+        |  round(CAST(coalesce(sc.qsum, CAST(0 AS DECIMAL(38,0))) + pr.qp
+        |    AS DOUBLE) / 1e12, 4) > 0 AS keep_pred
+        |FROM lab LEFT JOIN sc USING (doc_id) CROSS JOIN pr""".stripMargin,
     // A45 (r13): serving oracles re-derive the daily mart as a CTE —
     // a query served from the registered in-memory mart must equal
     // the same query over a fresh recomputation

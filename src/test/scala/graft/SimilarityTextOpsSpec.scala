@@ -1013,6 +1013,57 @@ class SimilarityTextOpsSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("nbQuality: distilled model recovers the gate; prior-only zero-token doc") {
+    import spark.implicits._
+    // separable fixture: positive docs share a "clean" vocabulary,
+    // negative docs carry tokens that ONLY negatives have — after
+    // training, those tokens' log-odds are strongly negative and the
+    // distilled prediction must match the rule gate's label exactly
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a $filler"),
+      (2L, s"the a of $filler"),
+      (3L, s"the a $filler ### ### ### ### ### ### ### ##"),
+      (4L, s"the a $filler ### ### ### ### ### ### ### ##"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.nbQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    // labels mirror gopherQuality
+    assert(out(1L)._1 && out(2L)._1 && !out(3L)._1 && !out(4L)._1)
+    // predictions recover the labels on the separable fixture
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => out(id)._4 === out(id)._1))
+    // the zero-token doc appears, scores the prior alone, and the
+    // prior here is ln((2+1)/(3+1)) < 0 → predicted negative
+    assert(out(5L)._2 === 0L && !out(5L)._4)
+    assert(math.abs(out(5L)._3 - math.log(3.0 / 4.0)) < 1e-3)
+    // corpus-level: the distillation recovers the TOKEN-SEPARABLE
+    // structure — slop-marked docs (injected negatives, whose tokens
+    // exist only in the negative class) predicted negative, and
+    // gate-passing docs predicted positive, both ≥95%. Full-corpus
+    // agreement is NOT asserted: the gate's length/stopword-count
+    // rules fail ~half the natural corpus and token identity cannot
+    // encode document length — the honest limit of an NB distillation
+    // (measured: separable recalls 1.00/1.00 at sf0.001-0.1, overall
+    // agreement 0.65-0.67).
+    val corpus = TextOps.nbQuality(TextOps.withSyntheticSlop(
+      graft.sources.Tables.documents(spark, sf)))
+    val agg = corpus.agg(
+      sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L).otherwise(0L)),
+      sum(when(pmod(col("doc_id"), lit(7)) === 0 && !col("keep_pred"), 1L)
+        .otherwise(0L)),
+      sum(when(col("label"), 1L).otherwise(0L)),
+      sum(when(col("label") && col("keep_pred"), 1L).otherwise(0L)),
+      sum(when(col("keep_pred"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val (nSlop, slopNeg, nPos, posHit, predPos, n) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        agg.getLong(4), agg.getLong(5))
+    assert(slopNeg.toDouble / nSlop >= 0.95, s"slop recall $slopNeg/$nSlop")
+    assert(posHit.toDouble / nPos >= 0.95, s"positive recall $posHit/$nPos")
+    assert(predPos > 0 && predPos < n, s"one-class prediction: $predPos/$n")
+  }
+
   test("gopherQuality: rule gates fire per signal; pure-map plan, no shuffle") {
     import spark.implicits._
     val filler = (1 to 40).map(i => s"word$i").mkString(" ")
