@@ -42,7 +42,35 @@ def main():
     bq = num_map(base, "queries", label="base")
     sq = num_map(scaled, "queries", label="scaled")
     bs, ss = num_map(base, "stage_ms"), num_map(scaled, "stage_ms")
+    # ADVICE r13: the heavy dial publishes min(warmup, t1) for entries
+    # whose first pass crosses the cut and median-of-N otherwise, so a
+    # query near the boundary can flip statistic regimes between
+    # artifacts on host noise alone (min-of-2 is biased low vs
+    # median-of-3). passes_q records the regime; flag every shared
+    # entry whose regime differs so its ratio is read with that bias
+    # in mind. Older artifacts lack passes_q -> empty map, no flags.
+    # r14 forensics: stage_ms (summed executorRunTime) grows with task
+    # count, so stage ratios between artifacts at different local[N]
+    # are config deltas, not regressions (the r12->r13 "3.1x stage"
+    # reproduced exactly by re-running the same binary at 4 vs 32
+    # cpus). Artifacts record cpus since r14; warn when they differ.
+    bc, sc = base.get("cpus"), scaled.get("cpus")
+    if bc is not None and sc is not None and bc != sc:
+        print(f"note: cpus differ (base {bc}, scaled {sc}) - stage_ms "
+              f"ratios reflect parallelism config, compare walls only")
+    bp = base.get("passes_q", {}) or {}
+    sp = scaled.get("passes_q", {}) or {}
     shared = sorted(set(bq) & set(sq))
+    regime_diff = sorted(
+        q for q in shared
+        if q in bp and q in sp and bp[q] != sp[q])
+    if regime_diff:
+        print(f"note: {len(regime_diff)} shared entries change pass "
+              f"regime (passes_q base->scaled; min-of-2 vs median "
+              f"stats differ): "
+              + ", ".join(f"{q} {bp[q]}->{sp[q]}" for q in regime_diff))
+    elif bp and sp:
+        print("note: pass regimes (passes_q) agree for all shared entries")
     only_base = sorted(set(bq) - set(sq))
     only_scaled = sorted(set(sq) - set(bq))
     if only_base:
@@ -58,17 +86,29 @@ def main():
     for q in shared:
         w0, w1 = bq[q], sq[q]
         s0, s1 = bs.get(q, 0.0), ss.get(q, 0.0)
-        rows.append((q, w0, w1, w1 / w0 if w0 else float("inf"),
+        flag = "*" if q in regime_diff else ""
+        rows.append((q + flag, w0, w1, w1 / w0 if w0 else float("inf"),
                      s1 / s0 if s0 else float("nan")))
     rows.sort(key=lambda r: -r[3])
     print(f"{'query':28s} {'base_s':>8s} {'scaled_s':>9s} "
-          f"{'wallx':>6s} {'stagex':>7s}")
+          f"{'wallx':>6s} {'stagex':>7s}"
+          + ("   (* = pass regime differs)" if regime_diff else ""))
     for q, w0, w1, rw, rs in rows[:top_n]:
         print(f"{q:28s} {w0:8.2f} {w1:9.2f} {rw:6.2f} {rs:7.2f}")
     t0 = sum(bq[q] for q in shared)
     t1 = sum(sq[q] for q in shared)
     print(f"\nshared {len(shared)} queries: total {t0:.1f}s -> {t1:.1f}s "
           f"(ratio {t1 / t0:.2f})")
+    # stage_ms is per-timed-pass (median across passes, or the single
+    # pass when the dial collapses) in every artifact since r12, so the
+    # shared-set stage total is directly comparable across pass dials —
+    # this is the contention-immune statistic (VERDICT r13 #3)
+    st_shared = [q for q in shared if bs.get(q, 0.0) > 0 and q in ss]
+    if st_shared:
+        st0 = sum(bs[q] for q in st_shared) / 1000.0
+        st1 = sum(ss[q] for q in st_shared) / 1000.0
+        print(f"shared {len(st_shared)} stage totals (per-pass): "
+              f"{st0:.1f}s -> {st1:.1f}s (ratio {st1 / st0:.2f})")
     skipped = scaled.get("skipped", [])
     if skipped:
         print(f"skipped at scaled SF: {', '.join(sorted(skipped))}")

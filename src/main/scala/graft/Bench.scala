@@ -40,9 +40,12 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
       case None => 3
       case Some(v) =>
-        require(v.matches("[0-9]+") && v.toInt >= 1,
+        // parse-then-require (ADVICE r13 #4): an int that overflows the
+        // regex check (e.g. "99999999999") must hit the friendly message
+        val parsed = scala.util.Try(v.toInt).toOption
+        require(parsed.exists(_ >= 1),
           s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$v'")
-        v.toInt
+        parsed.get
     }
 
   private def gcMsNow(): Long =
@@ -76,23 +79,41 @@ object Bench {
   //     line to <out>.progress.jsonl and the main artifact is written
   //     BEFORE the fork pass too, so even a hard kill mid-run leaves
   //     per-query walls on disk instead of rc=124 + WARN spam.
+  // ADVICE r13 #4: parse-then-require instead of a permissive regex —
+  // "1.2.3" or "." passed "[0-9.]+" and then blew up inside toDouble,
+  // bypassing the descriptive message this validation exists for.
+  private def posDoubleEnv(key: String, default: => Double): Double =
+    sys.env.get(key) match {
+      case None => default
+      case Some(v) =>
+        val parsed = scala.util.Try(v.toDouble).toOption
+        require(parsed.exists(d => d > 0 && !d.isNaN && !d.isInfinite),
+          s"$key must be a positive number, got '$v'")
+        parsed.get
+    }
+  // r14: cut lowered 4.0 -> 2.5 to fund the two new streaming gate
+  // entries inside the same main-loop deadline: the 14 entries in the
+  // [2.5, 4) band collapse to min(warmup, t1), saving ~86 s of timed
+  // passes (r13 artifact accounting); a 2.5 s wall is still ~5x the
+  // host's noise floor, and bench_ratio.py flags every pass-regime
+  // flip so cross-round stats stay comparable.
   private lazy val HeavyCutSec =
-    sys.env.get("SPARK_GRAFT_BENCH_HEAVY_SEC") match {
-      case None => 4.0
-      case Some(v) =>
-        require(v.matches("[0-9.]+") && v.toDouble > 0,
-          s"SPARK_GRAFT_BENCH_HEAVY_SEC must be a positive number, got '$v'")
-        v.toDouble
-    }
+    posDoubleEnv("SPARK_GRAFT_BENCH_HEAVY_SEC", 2.5)
+  // 27.5 min from JVM start — under the ~40 min driver kill that took
+  // r12, with margin for sbt/startup ahead
   private lazy val DeadlineSec =
-    sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC") match {
-      case None => 1650.0 // 27.5 min from JVM start — under the ~40 min
-      // driver kill that took r12, with margin for sbt/startup ahead
-      case Some(v) =>
-        require(v.matches("[0-9.]+") && v.toDouble > 0,
-          s"SPARK_GRAFT_BENCH_DEADLINE_SEC must be a positive number, got '$v'")
-        v.toDouble
-    }
+    posDoubleEnv("SPARK_GRAFT_BENCH_DEADLINE_SEC", 1650.0)
+  // ADVICE r13 #2: the fork pass previously shared the main loop's
+  // deadline with no reserved budget, so a main loop that consumed the
+  // whole budget dropped the per-process attribution evidence entirely
+  // (r13: 7 of 10 fork children deferred committed, 10 of 10 on the
+  // driver). The fork loop now has its OWN deadline — by default 7
+  // minutes past the main one — so the roster's children always get
+  // wall-clock even when the timed loop runs to its limit. Worst-case
+  // total (main 1650 s + fork 420 s = 34.5 min) stays under the ~40
+  // min driver kill.
+  private lazy val ForkDeadlineSec =
+    posDoubleEnv("SPARK_GRAFT_BENCH_FORK_DEADLINE_SEC", DeadlineSec + 420.0)
 
   /** Serving entries measure the OPPOSITE contract from every other
     * query: data served from an in-memory mart registered once per
@@ -222,7 +243,11 @@ object Bench {
             // BOTH samples to survive a min. Codegen bias in the
             // warmup is ~0.3-0.5 s — noise at this magnitude. stage/
             // gc/heap stay from the timed pass (the attributable one).
-            def onePass(last: Boolean): (Double, Double, Double, Double) = {
+            // tuple: (wall s, stage ms, gc ms, heap delta MB, heap
+            // baseline MB) — the baseline rides along so a pass that
+            // turns out RETROACTIVELY to be the last (the heavy dial
+            // collapsing nPasses to 1) can still get a real delta.
+            def onePass(last: Boolean): (Double, Double, Double, Double, Double) = {
               // settle the heap first: every query starts from the same
               // baseline instead of inheriting the previous 40 queries'
               // garbage (the r3 bimodality); the retained-heap delta is
@@ -238,14 +263,26 @@ object Bench {
               val gc = (gcMsNow() - g0).toDouble
               if (!serving || last) clearAll()
               val dh = if (last) settledHeapMb() - h0 else 0.0
-              (wall, stage, gc, dh)
+              (wall, stage, gc, dh, h0)
             }
-            val first = onePass(last = TimedPasses == 1)
+            val first0 = onePass(last = TimedPasses == 1)
             val nPasses =
-              if (first._1 >= HeavyCutSec) 1 else TimedPasses
+              if (first0._1 >= HeavyCutSec) 1 else TimedPasses
+            // ADVICE r13 #1: when the dial collapses an entry to a
+            // single pass, that pass ran with last=false and its heap
+            // delta was hard-coded 0.0 — published indistinguishable
+            // from a measured no-leak. Nothing has run since the pass,
+            // so measure the delta NOW against the pass's own baseline
+            // (serving entries clear their mart cache first, same as a
+            // last pass would have).
+            val first =
+              if (nPasses == 1 && TimedPasses > 1) {
+                if (serving) clearAll()
+                (first0._1, first0._2, first0._3,
+                  settledHeapMb() - first0._5, first0._5)
+              } else first0
             val passes = first +: (2 to nPasses).map(i =>
               onePass(last = i == nPasses))
-            if (serving && nPasses == 1 && TimedPasses > 1) clearAll()
             passesQ(name) = nPasses
             if (!errors.contains(name)) {
               val wallStat =
@@ -267,9 +304,11 @@ object Bench {
     // Emit the main artifact BEFORE the fork pass (VERDICT r12 #1c):
     // if the process is killed during the forks, the timed loop's
     // result is already on disk and on stdout.
+    val roster = forkRoster()
     emit(timings, errors, sfDir, forked = false, subset = subset,
       skipped = skip, outFile = outFile, passesQ = passesQ,
-      deferred = deferred.toSeq, elapsedSec = elapsedSec)
+      deferred = deferred.toSeq, elapsedSec = elapsedSec,
+      forkRosterNames = roster)
     // Full runs ALSO fork the dedup-family heavies into fresh child
     // JVMs (one query per process) and report those walls alongside:
     // two consecutive rounds the official in-process artifact showed
@@ -281,18 +320,25 @@ object Bench {
     // r13: children run warmup + ONE timed pass (their job is a
     // per-process attribution point, not a median), and the fork loop
     // respects the deadline — unforked names land in fork_deferred.
+    // r14 (ADVICE r13 #2 + VERDICT r13 #2): the fork loop gets its own
+    // deadline (ForkDeadlineSec, past the main one) and a ROTATING
+    // roster — half the heavy list per round, alternating on the
+    // committed BENCH_r*.json round parity — so every heavy entry gets
+    // a contention-immune isolated wall at least every second round
+    // even when the main loop consumes its full budget.
     val forkDeferred = scala.collection.mutable.ListBuffer.empty[String]
     val forkHeavy =
       if (only.isEmpty && !sys.env.get("SPARK_GRAFT_BENCH_NOHEAVY").contains("1"))
-        HeavyQueries.filter(SparkEntry.queries.contains).flatMap { n =>
-          if (elapsedSec > DeadlineSec) { forkDeferred += n; None }
+        roster.filter(SparkEntry.queries.contains).flatMap { n =>
+          if (elapsedSec > ForkDeadlineSec) { forkDeferred += n; None }
           else Some(n -> forkOne(n, sfDir, passes = 1))
         }.toMap
       else Map.empty[String, Either[String, (Double, Double, Double, Double)]]
     emit(timings, errors, sfDir, forked = false, subset = subset,
       forkHeavy = forkHeavy, skipped = skip, outFile = outFile,
       passesQ = passesQ, deferred = deferred.toSeq,
-      forkDeferred = forkDeferred.toSeq, elapsedSec = elapsedSec)
+      forkDeferred = forkDeferred.toSeq, elapsedSec = elapsedSec,
+      forkRosterNames = roster)
   }
 
   /** The queries whose in-process walls have disagreed with idle-host
@@ -321,8 +367,41 @@ object Bench {
     // knn/LSH bucket join family (r10's 2x in-process band) + the
     // production ANN semantic-dedup path built on it
     "knn_graph", "dedup_semantic_ann",
+    // exact-gate semantic dedup — re-listed r14 (VERDICT r13 #1: its
+    // committed wall rose 7.69 -> 11.86 s with the operator untouched
+    // and no fork wall to attribute it; the isolated wall is the
+    // attribution)
+    "dedup_semantic",
     // TPC-H headline (VERDICT r8 #1 precedent)
     "q1_pricing")
+
+  /** The round's fork roster (VERDICT r13 #2): by default HALF of
+    * `HeavyQueries`, alternating halves each round so the whole family
+    * gets an isolated wall at least every second round at half the
+    * per-round fork budget (~5-6 children ≈ 4-6 min). The round parity
+    * comes from counting the committed per-round driver artifacts
+    * (BENCH_r<N>.json) in the working directory — deterministic within
+    * a round, flips when the driver lands the next round's artifact.
+    * Override: SPARK_GRAFT_BENCH_FORK_SET=all|even|odd.
+    */
+  private def forkRoster(): Seq[String] = {
+    def half(parity: Int): Seq[String] =
+      HeavyQueries.zipWithIndex.collect {
+        case (n, i) if i % 2 == parity => n }
+    sys.env.get("SPARK_GRAFT_BENCH_FORK_SET") match {
+      case Some("all") => HeavyQueries
+      case Some("even") => half(0)
+      case Some("odd") => half(1)
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_FORK_SET must be all|even|odd, got '$other'")
+      case None =>
+        val rounds = Option(new java.io.File(".").list())
+          .getOrElse(Array.empty[String])
+          .count(_.matches("BENCH_r[0-9]+\\.json"))
+        half(rounds % 2)
+    }
+  }
 
   private def emit(
       timings: collection.Map[String, (Double, Double, Double, Double)],
@@ -335,7 +414,8 @@ object Bench {
       passesQ: collection.Map[String, Int] = Map.empty,
       deferred: Seq[String] = Seq.empty,
       forkDeferred: Seq[String] = Seq.empty,
-      elapsedSec: Double = 0.0): Unit = {
+      elapsedSec: Double = 0.0,
+      forkRosterNames: Seq[String] = Seq.empty): Unit = {
     def map1(f: ((Double, Double, Double, Double)) => Double): String =
       timings.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
@@ -357,14 +437,23 @@ object Bench {
       .mkString("{", ",", "}")
     val df = deferred.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fd = forkDeferred.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the round's roster makes fork coverage self-describing: a name
+    // absent from fork_wall is either off-roster this round (rotation)
+    // or in fork_deferred — never silently dropped
+    val fr = forkRosterNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${timings.size},"n_errors":${errors.size}""" +
       s""","queries":${map1(_._1)},"stage_ms":${map1(_._2)}""" +
       s""","gc_ms":${map1(_._3)},"heap_delta_mb":${map1(v => math.rint(v._4))}""" +
       s""","fork_wall":$fw,"fork_errors":$fe""" +
       s""","skipped":$sk,"passes_q":$pq""" +
-      s""","deferred":$df,"fork_deferred":$fd""" +
+      s""","deferred":$df,"fork_deferred":$fd,"fork_roster":$fr""" +
       s""","elapsed_sec":${math.rint(elapsedSec)}""" +
+      // cpus makes stage_ms self-describing (r14 forensics: the r12
+      // artifact's 3.1x-lower stage totals turned out to be the 4-cpu
+      // default vs 32 — executorRunTime sums grow with task count, so
+      // cross-artifact stage ratios are only meaningful at equal cpus)
+      s""","cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}""" +
       s""","errors":$es,"passes":$TimedPasses,"forked":$forked,"sf":"$sfDir"}"""
     println(line)
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) default to a DIFFERENT file:

@@ -399,6 +399,16 @@ object SparkEntry {
     "quality_report" -> ((s, d) => TextOps.qualityReport(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) => TextOps.sampleTemperature(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d), 0.7)),
+    // D11 driver gate (r14, VERDICT r13 #5): the STREAMING incremental
+    // fold drained end-to-end (3-file AvailableNow ingest) — final
+    // carried labels equal the batch re-cluster, so it shares C21's
+    // closure oracle and the streaming kernel is hash-certified per
+    // round, not just spec-tested
+    "stream_dedup_fold" -> ((s, d) => StreamOps.streamDedupFoldGate(s, d)),
+    // D1 driver gate (r14): the windowed-agg streaming kernel drained
+    // end-to-end (3-file AvailableNow, incremental exact-decimal
+    // state) — equals the batch hourly mart, shares A1's oracle
+    "stream_hourly_gate" -> ((s, d) => StreamOps.streamHourlyGate(s, d)),
     // C43: cluster 90% of the corpus first, then fold the remaining
     // 10% in incrementally — gated against the FULL-corpus closure
     // oracle, so the incremental path is proven equal to re-clustering
@@ -1278,6 +1288,9 @@ object SparkEntry {
     // sum (order-independent), then one double op — a plain double
     // avg's last ulp differs between engines and flips round(.,4)
     "q_hourly_mart" -> hourlyMartSql,
+    // D1 gate: AvailableNow drain with associative exact-decimal
+    // state equals the batch mart, so A1's SQL is the oracle
+    "stream_hourly_gate" -> hourlyMartSql,
     "q_incremental_mart" -> hourlyMartSql,
     "q_unit_convert" ->
       """SELECT event_id, event_type,
@@ -2745,6 +2758,16 @@ object SparkEntry {
         |CAST(1.0 AS DOUBLE) / s.n_members AS weight
         |FROM c JOIN s USING (component)""".stripMargin),
     "dedup_groups" -> (closureCteSql +
+      """,
+        |s AS (SELECT component, count(*) AS n_members FROM c
+        |  GROUP BY component)
+        |SELECT c.doc_id, c.component, s.n_members,
+        |c.doc_id = c.component AS is_canonical
+        |FROM c JOIN s USING (component)""".stripMargin),
+    // D11 gate: the streaming fold converges to the batch re-cluster
+    // (StreamOpsSpec "D11" pins bit-equality), so the oracle is C21's
+    // closure SQL verbatim
+    "stream_dedup_fold" -> (closureCteSql +
       """,
         |s AS (SELECT component, count(*) AS n_members FROM c
         |  GROUP BY component)

@@ -169,6 +169,92 @@ object StreamOps {
         }
       }
 
+  /** Registry gate for D11 (r14, VERDICT r13 #5): the streaming
+    * incremental-dedup fold driven END-TO-END from the scale-factor
+    * corpus and returned as a DataFrame, so the per-round DuckDB
+    * oracle certifies the streaming kernel — not just the spec. The
+    * documents table is split into three parquet files (range-split on
+    * doc_id — deterministic), drained as a real file stream
+    * (`maxFilesPerTrigger=1` under `Trigger.AvailableNow`, the D4
+    * ingest shape) through [[streamingDedupIncremental]], and the
+    * carried label table is the result. The fold's convergence
+    * argument (absorbing transitive merges; StreamOpsSpec "D11" pins
+    * it bit-for-bit at both batch groupings) means the final labels
+    * equal the one-shot batch re-cluster, so the entry shares C21
+    * `dedup_groups`' oracle SQL verbatim — a fully hash-gated
+    * streaming entry.
+    *
+    * Every invocation works in a fresh temp dir (input split, corpus,
+    * labels, checkpoint), so repeated bench passes re-do the whole
+    * ingest rather than replaying an old checkpoint.
+    */
+  def streamDedupFoldGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("stream_dedup_fold").toString
+    val in = s"$base/in"
+    docs.repartitionByRange(3, col("doc_id")).write.parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = streamingDedupIncremental(stream, s"$base/corpus", s"$base/labels")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$base/labels")
+      .select("doc_id", "component", "n_members", "is_canonical")
+  }
+
+  /** Registry gate for D1 (r14): the windowed-aggregation streaming
+    * kernel under the per-round DuckDB oracle. The events table is
+    * range-split into three parquet files and drained as a file
+    * stream (`maxFilesPerTrigger=1`, `Trigger.AvailableNow`) through
+    * the D1 shape — tumbling 1-hour window groupBy with INCREMENTAL
+    * state folding across micro-batches — into a complete-mode memory
+    * sink. The aggregation buffers are A1's exact-decimal form
+    * ([[graft.operators.Exact.avgD]]'s sum/count pair, carried
+    * unreduced): DECIMAL(20,6) addition is associative, so the state
+    * folded over any micro-batch split equals the one-shot batch
+    * aggregate bit-for-bit and the final single double division
+    * matches A1 — the entry shares `q_hourly_mart`'s oracle SQL
+    * verbatim. (The D1 production query keeps its watermark for
+    * unbounded feeds; the gate's AvailableNow drain is finite and
+    * complete-mode, where a watermark would only drop late rows the
+    * oracle counts.)
+    *
+    * Sink state is mart-sized (keys × hours), so complete mode's
+    * driver-held result is bounded regardless of input volume — the
+    * same argument as the A45 serving marts.
+    */
+  def streamHourlyGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "event_type", "value")
+    val base = java.nio.file.Files
+      .createTempDirectory("stream_hourly_gate").toString
+    val in = s"$base/in"
+    ev.repartitionByRange(3, col("event_id")).write.parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val agg = stream
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        sum(col("value").cast(DecimalType(20, 6))).as("value_sum_dec"),
+        count(col("value")).as("n_val"),
+        count(lit(1)).as("n_obs"))
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_stream_hourly_gate")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_hourly_gate")
+      .select(col("event_type"), col("window.start").as("hour_ts"),
+        (col("value_sum_dec").cast("double") / col("n_val")).as("avg_value"),
+        col("n_obs"))
+  }
+
   /** D23 (r11, VERDICT r10 #7): streaming SEMANTIC-dedup fold — the
     * embedding-space twin of D11, closing the gap that the semantic
     * family had no ingest path: each arriving micro-batch of vectors
