@@ -1933,11 +1933,16 @@ object AnalyticsOps {
       percentile_approx(col("value"), probs, lit(2000)).as("cv"),
       percentile_approx(col("user_id").cast("double"), probs, lit(2000))
         .as("cu"))
-    val binned = events.join(broadcast(cuts), "event_type")
-      .select(col("event_type"),
-        size(filter(col("cv"), c => c < col("value"))).as("bv"),
-        size(filter(col("cu"), c => c < col("user_id").cast("double")))
-          .as("bu"))
+    // r14 (guide §1.2/§5): binned feeds BOTH histogram rollups and the
+    // final rank join — unshared, the percentile sketch aggregate (the
+    // expensive subtree) re-ran three times. Persist the 3-int-column
+    // frame so the sketch and the bin-assignment scan run once.
+    val binned = graft.CacheRegistry.persist(
+      events.join(broadcast(cuts), "event_type")
+        .select(col("event_type"),
+          size(filter(col("cv"), c => c < col("value"))).as("bv"),
+          size(filter(col("cu"), c => c < col("user_id").cast("double")))
+            .as("bu")))
     def binRanks(binCol: String, out: String) = {
       val w = Window.partitionBy("event_type").orderBy(binCol)
       binned.groupBy(col("event_type"), col(binCol))

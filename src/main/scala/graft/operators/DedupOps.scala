@@ -829,13 +829,21 @@ object DedupOps {
     graft.CacheRegistry.releaseSince(cacheMark)
     val labels = propagateMin(edges, maxIters, checkpointDir, reliableEvery)
     releaseBlocks(edges)
-    val all = documents.select(col("doc_id"))
+    // r14 (guide §2.4): sizes from the LABELS leaf, not from the
+    // corpus-wide `all` frame — every member of a multi-node component
+    // touches an edge, so it is labeled, and component sizes over
+    // labels equal sizes over the corpus; unlabeled docs are singletons
+    // (n_members = 1 via the coalesce). The former shape evaluated
+    // `all` (a corpus join) twice — once for the size rollup, once for
+    // the final join — i.e. two full corpus passes where one suffices.
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("n_members"))
+    documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
-    val sizes = all.groupBy("component").agg(count(lit(1)).as("n_members"))
-    all.join(sizes, "component")
-      .select(col("doc_id"), col("component"), col("n_members"),
+      .join(sizes, Seq("component"), "left")
+      .select(col("doc_id"), col("component"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
         (col("doc_id") === col("component")).as("is_canonical"))
   }
 
@@ -889,6 +897,7 @@ object DedupOps {
       case None => df.localCheckpoint(true)
     }
 
+
   /** Min-label propagation with pointer halving over a BIDIRECTIONAL,
     * already-checkpointed edge list (id1, id2) — the closure kernel
     * shared by [[dedupGroups]] (raw doc graph) and [[dedupIncremental]]
@@ -916,6 +925,7 @@ object DedupOps {
       checkpointDir: Option[String] = None,
       reliableEvery: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    require(maxIters >= 1, s"propagateMin needs >= 1 round, got $maxIters")
     // plainLocalCheckpoint, NOT Dataset.localCheckpoint: the round-r
     // plan references the round-(r−1) checkpoint twice (halving
     // self-join), and Dataset.localCheckpoint's origin-metadata
@@ -926,9 +936,14 @@ object DedupOps {
       if (checkpointDir.isDefined && round % reliableEvery == 0)
         pinReliable(df, checkpointDir)
       else org.apache.spark.sql.graftx.bridge.plainLocalCheckpoint(df)
-    var labels = pinRound(
-      edges.select(col("id1").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("component")), 0)
+    // r14 (guide §2.4): round 1 used to join the edges against an
+    // IDENTITY label frame (label(x) = x, itself a distinct + eager
+    // checkpoint) — that join is a no-op by construction, so the first
+    // round now reads min(id1, min id2) straight off the edge list:
+    // the round-0 distinct, its checkpoint, and round 1's label join
+    // (two exchanges + one pinned frame) disappear; rounds 2+ are
+    // unchanged. `labels == null` marks the fused first round.
+    var labels: DataFrame = null
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
@@ -937,15 +952,26 @@ object DedupOps {
     val debugLabels = sys.env.contains("GRAFT_DEBUG_LABELS")
     while (!converged && iter < maxIters) {
       val roundT0 = if (debugLabels) System.nanoTime() else 0L
-      val nbrMin = edges.as("e")
-        .join(labels.as("l"), col("e.id2") === col("l.doc_id"))
-        .groupBy(col("e.id1").as("doc_id"))
-        .agg(min(col("l.component")).as("nbr_min"))
       val cand = org.apache.spark.sql.graftx.bridge.plainLocalCheckpoint(
-        labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("component"), coalesce(col("nbr_min"), col("component")))
-              .as("component")))
+        if (labels == null)
+          // fused round 1: every participating node's neighbors still
+          // carry their own ids, so min-of-neighbors = min(id2) and
+          // the candidate label is least(self, min neighbor) — the
+          // identical frame the identity-join round produced
+          edges.groupBy(col("id1").as("doc_id"))
+            .agg(min(col("id2")).as("nbr_min"))
+            .select(col("doc_id"),
+              least(col("doc_id"), col("nbr_min")).as("component"))
+        else {
+          val nbrMin = edges.as("e")
+            .join(labels.as("l"), col("e.id2") === col("l.doc_id"))
+            .groupBy(col("e.id1").as("doc_id"))
+            .agg(min(col("l.component")).as("nbr_min"))
+          labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("component"), coalesce(col("nbr_min"), col("component")))
+                .as("component"))
+        })
       // pointer halving: follow one hop of the label chain. Every
       // label IS a participating node id, so the lookup self-join
       // always resolves; least() keeps monotonicity.
@@ -959,7 +985,7 @@ object DedupOps {
       // next is materialized (eager checkpoint): this round's cand and
       // the previous labels are dead weight from here on
       releaseBlocks(cand)
-      releaseBlocks(labels)
+      if (labels != null) releaseBlocks(labels)
       val s = next.agg(sum(col("component").cast(DecimalType(38, 0))))
         .head.getDecimal(0)
       // null sum ⟺ zero rows ⟺ no edges at all: converged by

@@ -598,9 +598,13 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         floor(col("v").cast("double") * lit(1048576.0)).cast(I).as("qv"))
-    val gram = q.as("a").join(q.as("b"), "vec_id")
-      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
-      .agg(sum(col("a.qv") * col("b.qv")).as("g"))
+    // r14 (guide §1.2/§5): the Gram build is the only corpus-sized
+    // work here and BOTH mat-vec steps (x1, x2) consume it — persist
+    // the d²-row result so the ×d fan-out join runs once, not twice
+    val gram = graft.CacheRegistry.persist(
+      q.as("a").join(q.as("b"), "vec_id")
+        .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+        .agg(sum(col("a.qv") * col("b.qv")).as("g")))
     val x1 = gram.groupBy(col("i").as("pos")).agg(sum(col("g")).as("x1"))
     val x2 = gram
       .join(broadcast(x1.select(col("pos").as("j"), col("x1"))), "j")
@@ -642,9 +646,11 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("v").cast("double").as("dv"))
-    val gram = q.as("a").join(q.as("b"), "vec_id")
-      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
-      .agg(sum(col("a.dv") * col("b.dv")).as("g"))
+    // persisted for the same two-consumer reason as the exact form
+    val gram = graft.CacheRegistry.persist(
+      q.as("a").join(q.as("b"), "vec_id")
+        .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+        .agg(sum(col("a.dv") * col("b.dv")).as("g")))
     val x1 = gram.groupBy(col("i").as("pos")).agg(sum(col("g")).as("x1"))
     // per-round rescale: divide the iterate by its max |component|
     // before the next mat-vec (overflow-proof at any round count)
@@ -1337,20 +1343,23 @@ object SimilarityOps {
     val pairs = candidates.getOrElse(
       embeddingNearDups(embeddings, minCosine, maxExactRows)
         .select(col("id1"), col("id2")))
+    // r14: sizes from the labels leaf instead of a second corpus pass;
+    // see dedupGroups for the equivalence note
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint(true)
     val labels = DedupOps.propagateMin(edges, 50, None, 10)
       .withColumnRenamed("doc_id", "vec_id")
-    val all = embeddings.select(col("vec_id"))
+    org.apache.spark.sql.graftx.bridge.checkpointRdd(edges)
+      .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("n_members"))
+    embeddings.select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("component"))
-    org.apache.spark.sql.graftx.bridge.checkpointRdd(edges)
-      .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
-    val sizes = all.groupBy("component").agg(count(lit(1)).as("n_members"))
-    all.join(sizes, "component")
-      .select(col("vec_id"), col("component"), col("n_members"),
+      .join(sizes, Seq("component"), "left")
+      .select(col("vec_id"), col("component"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
         (col("vec_id") === col("component")).as("is_canonical"))
   }
 

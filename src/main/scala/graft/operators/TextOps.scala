@@ -234,13 +234,25 @@ object TextOps {
     */
   def nbQuality(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val labels = gopherQuality(documents).select(col("doc_id"), col("keep"))
-    val toks = documents
+    // r14 (guide §1.2/§5): the labels frame feeds THREE consumers
+    // (token-class counts, the doc prior, the final join) and the
+    // token stream TWO (train counts, scoring sums) — unshared, the
+    // corpus paid ~5 tokenize+regex passes per run (the gopher gate's
+    // rlike/regexp_count scan is the expensive subtree). Persist the
+    // |docs|-row label frame once, and collapse the occurrence stream
+    // to a persisted (doc, tok, c) term table shared by train and
+    // score: occurrence sums become c-weighted sums over distinct
+    // (doc, tok) rows — exact integer/decimal arithmetic, identical
+    // result, corpus passes drop 5 → 2 at any scale.
+    val labels = graft.CacheRegistry.persist(
+      gopherQuality(documents).select(col("doc_id"), col("keep")))
+    val tc = graft.CacheRegistry.persist(documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val tokCounts = toks.join(labels, "doc_id")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c")))
+    val tokCounts = tc.join(labels, "doc_id")
       .groupBy("tok")
-      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_neg"))
+      .agg(sum(when(col("keep"), col("c")).otherwise(0L)).as("n_pos"),
+        sum(when(!col("keep"), col("c")).otherwise(0L)).as("n_neg"))
     val totals = tokCounts.agg(sum("n_pos").as("tot_pos"),
       sum("n_neg").as("tot_neg"), count(lit(1)).as("vocab"))
     val odds = tokCounts.crossJoin(broadcast(totals))
@@ -256,9 +268,10 @@ object TextOps {
       .select(floor(log((col("d_pos") + lit(1L)).cast("double")
           / (col("d_neg") + lit(1L)).cast("double")) * lit(1.0e12))
         .cast(DecimalType(38, 0)).as("qp"))
-    val scored = toks.join(odds, "tok")
+    val scored = tc.join(odds, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum(col("q")).as("qsum"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c").cast(DecimalType(20, 0)) * col("q")).as("qsum"))
     // every doc appears: a zero-token doc scores the prior alone
     val score = round((coalesce(col("qsum"),
         lit(BigDecimal(0)).cast(DecimalType(38, 0)))
@@ -804,8 +817,18 @@ object TextOps {
               ceil(size(col("toks")) / lit(segLen.toDouble)).cast("int") - 1),
             i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " ")))
           .as("segs"))
-    val segRows = base.select(col("doc_id"),
-      posexplode(col("segs")).as(Seq("seg_no", "seg")))
+    // r14 (guide §1.2/§5): segRows fed the frequency count AND the
+    // anti-join side, and `base` was evaluated a third time for the
+    // per-doc segment totals — three tokenize+segment passes over the
+    // corpus. Persist the segment rows once and take n_segs from the
+    // cached frame (docs with zero segments never enter segRows, so
+    // the left join + coalesce(0) below reports them exactly as the
+    // old base-side projection did).
+    val segRows = graft.CacheRegistry.persist(
+      base.select(col("doc_id"),
+        posexplode(col("segs")).as(Seq("seg_no", "seg"))))
+    val nSegs = segRows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"))
     val hot = segRows.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
@@ -818,12 +841,14 @@ object TextOps {
         array_join(transform(col("ss"), s => s.getField("seg")), " ")
           .as("clean_text"),
         size(col("ss")).cast("long").as("n_kept"))
-    base.select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
+    documents.select(col("doc_id"))
+      .join(nSegs, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        (coalesce(col("n_segs"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
   /** C46: deterministic corpus-global k-sample — "give me exactly k
@@ -1078,14 +1103,16 @@ object TextOps {
       val j = big.join(broadcast(sel),
           col("tok") === col("a") && col("nxt") === col("b"), "left")
         .withColumn("m", col("a").isNotNull)
-      val el = j.filter(col("m"))
-        .withColumn("isl", col("pos") - row_number().over(wDoc))
+      // r14 (guide §2.4): same single-window-chain island-parity pass
+      // as [[bpeLoop]] — one doc_id shuffle per round instead of the
+      // (doc_id, isl) window + (doc_id, pos) join-back (see the
+      // equivalence note there)
+      val islStart = max(when(col("m")
+          && !coalesce(lag(col("m"), 1).over(wDoc), lit(false)), col("pos")))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val merged = j
         .withColumn("elig",
-          row_number().over(Window.partitionBy(col("doc_id"), col("isl"))
-            .orderBy(col("pos"))) % 2 === 1)
-        .select(col("doc_id"), col("pos"), col("elig"))
-      val merged = j.drop("a", "b").join(el, Seq("doc_id", "pos"), "left")
-        .withColumn("elig", coalesce(col("elig"), lit(false)))
+          col("m") && (col("pos") - islStart) % 2 === 0)
         .withColumn("consumed",
           coalesce(lag(col("elig"), 1).over(wDoc), lit(false)))
         .filter(!col("consumed"))
@@ -1116,12 +1143,16 @@ object TextOps {
       bridge.checkpointRdd(df)
         .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    var cur = bridge.plainLocalCheckpoint(
+    // curCk is the release HANDLE (the raw checkpoint leaf — from
+    // round 1 on, `cur` is a projection over it and checkpointRdd
+    // can't unpin through a Project)
+    var curCk = bridge.plainLocalCheckpoint(
       documents.select(col("doc_id"),
           posexplode(tokens(col("text"))).as(Seq("p0", "tok")))
         .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
           col("tok")))
-    graft.CacheRegistry.registerCheckpoint(cur)
+    graft.CacheRegistry.registerCheckpoint(curCk)
+    var cur: DataFrame = curCk
     var stats: DataFrame = null
     for (r <- 1 to rounds) {
       val big = cur.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
@@ -1157,28 +1188,46 @@ object TextOps {
       // Disjointness means consecutive matches are always the SAME
       // pair (adjacent different-pair matches would share the middle
       // token), so the parity rule is per-pair exactly as at batch 1.
-      val elp = j.filter(col("m"))
-        .withColumn("isl", col("pos") - row_number().over(wDoc))
+      //
+      // r14 (guide §2.4): the parity pass is now ONE window chain on
+      // the (doc_id, pos) ordering instead of the former
+      // filter-to-matches → (doc_id, isl)-window → join-back shape,
+      // which paid a second exchange (the isl partition key) plus a
+      // (doc_id, pos) sort-merge join back per round. An island is a
+      // maximal run of consecutive match POSITIONS, so its start is
+      // `m && !lag(m)` and the running max of start positions gives
+      // every match row its island start; within-island rank parity
+      // (old: row_number over (doc_id, isl) odd) is exactly
+      // (pos − isl_start) even. All frames share wDoc's sort — the
+      // round's rewrite shuffles the corpus ONCE.
+      val islStart = max(when(col("m")
+          && !coalesce(lag(col("m"), 1).over(wDoc), lit(false)), col("pos")))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val merged = j
         .withColumn("elig",
-          row_number().over(Window.partitionBy(col("doc_id"), col("isl"))
-            .orderBy(col("pos"))) % 2 === 1)
-      val el = elp.select(col("doc_id"), col("pos"), col("elig"))
-      val merged = j.drop("a", "b", "n").join(el, Seq("doc_id", "pos"), "left")
-        .withColumn("elig", coalesce(col("elig"), lit(false)))
+          col("m") && (col("pos") - islStart) % 2 === 0)
         .withColumn("consumed",
           coalesce(lag(col("elig"), 1).over(wDoc), lit(false)))
         .filter(!col("consumed"))
         .select(col("doc_id"),
           row_number().over(wDoc).cast("long").as("pos"),
           when(col("elig"), concat(col("tok"), lit("+"), col("nxt")))
-            .otherwise(col("tok")).as("tok"))
+            .otherwise(col("tok")).as("tok"),
+          // merge provenance rides INTO the checkpoint so the stats
+          // row below reads the pinned leaf instead of re-running the
+          // whole rewrite (eligible rows are never consumed — an elig
+          // row's predecessor is never elig by parity, so every merge
+          // survives the filter and the per-pair counts are identical
+          // to the former pre-filter groupBy)
+          when(col("elig"), concat_ws(" ", col("a"), col("b"))).as("mp"))
       val next = bridge.plainLocalCheckpoint(merged)
       graft.CacheRegistry.registerCheckpoint(next)
-      // per-selected-pair stats rows, pinned eagerly BEFORE the old
-      // table's blocks can be released (the plan reads cur + top)
+      // per-selected-pair stats rows — both inputs (top, next) are
+      // pinned leaves, so this costs two tiny scans of the checkpoint
       val row = bridge.plainLocalCheckpoint(
-        top.join(elp.filter(col("elig")).groupBy("a", "b")
-            .agg(count(lit(1)).as("n_merges")), Seq("a", "b"), "left")
+        top.join(next.filter(col("mp").isNotNull).groupBy("mp")
+            .agg(count(lit(1)).as("n_merges")),
+            concat_ws(" ", col("a"), col("b")) === col("mp"), "left")
           .crossJoin(broadcast(
             next.agg(countDistinct(col("tok")).as("vocab_size"))))
           .select(lit(r).cast("long").as("round"),
@@ -1186,8 +1235,9 @@ object TextOps {
             coalesce(col("n_merges"), lit(0L)).as("n_merges"),
             col("vocab_size")))
       graft.CacheRegistry.registerCheckpoint(row)
-      release(cur)
-      cur = next
+      release(curCk)
+      curCk = next
+      cur = next.select(col("doc_id"), col("pos"), col("tok"))
       stats = if (stats == null) row else stats.unionByName(row)
     }
     (stats, cur)
